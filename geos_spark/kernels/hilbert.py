@@ -338,6 +338,123 @@ def hilbert_encode_sql(level: int, x_expr: str, y_expr: str) -> str:
     return f"((((({il1}) << 1) & 4294967295) | ({il0})) >> {32 - 2 * level})"
 
 
+def hilbert_sql_ctes(
+    level: int, src: str, x_col: str, y_col: str, out_col: str = "cell"
+) -> tuple[str, str]:
+    """Linear-size SQL for the Hilbert code as a chain of CTEs.
+
+    Returns (cte_fragment, final_cte_name): the fragment defines CTEs
+    ``h_s1 .. h_fin`` (the last one = src's columns + ``out_col``) and
+    must be embedded in a WITH clause after ``src`` is defined.
+    DuckDB dialect (xor(); & | << >> operators).
+    """
+    _check_level(level)
+    sh = 16 - level
+    steps: list[tuple[str, list[str]]] = []
+    steps.append(
+        (
+            "h_s1",
+            [
+                f"((({x_col}) << {sh}) & 4294967295) AS hx",
+                f"((({y_col}) << {sh}) & 4294967295) AS hy",
+            ],
+        )
+    )
+    steps.append(
+        (
+            "h_s2",
+            [
+                "xor(hx, hy) AS ra",
+                "xor(65535, xor(hx, hy)) AS rb",
+                "xor(65535, (hx | hy)) AS rc",
+                "(hx & xor(hy, 65535)) AS rd",
+            ],
+        )
+    )
+    steps.append(
+        (
+            "h_s3",
+            [
+                "(ra | (rb >> 1)) AS qa",
+                "xor((ra >> 1), ra) AS qb",
+                "xor(xor((rc >> 1), (rb & (rd >> 1))), rc) AS qc",
+                "xor(xor((ra & (rc >> 1)), (rd >> 1)), rd) AS qd",
+            ],
+        )
+    )
+    prev = ("qa", "qb", "qc", "qd")
+    for rnd, s in ((2, 2), (3, 4)):
+        a, b, c, d = prev
+        na, nb, nc, nd = f"qa{rnd}", f"qb{rnd}", f"qc{rnd}", f"qd{rnd}"
+        steps.append(
+            (
+                f"h_r{rnd}",
+                [
+                    f"xor(({a} & ({a} >> {s})), ({b} & ({b} >> {s}))) AS {na}",
+                    f"xor(({a} & ({b} >> {s})), ({b} & (xor({a}, {b}) >> {s}))) AS {nb}",
+                    f"xor({c}, xor(({a} & ({c} >> {s})), ({b} & ({d} >> {s})))) AS {nc}",
+                    f"xor({d}, xor(({b} & ({c} >> {s})), (xor({a}, {b}) & ({d} >> {s})))) AS {nd}",
+                ],
+            )
+        )
+        prev = (na, nb, nc, nd)
+    a, b, c, d = prev
+    steps.append(
+        (
+            "h_r4",
+            [
+                f"xor({c}, xor(({a} & ({c} >> 8)), ({b} & ({d} >> 8)))) AS qc4",
+                f"xor({d}, xor(({b} & ({c} >> 8)), (xor({a}, {b}) & ({d} >> 8)))) AS qd4",
+            ],
+        )
+    )
+    steps.append(
+        (
+            "h_fi",
+            [
+                "xor(qc4, (qc4 >> 1)) AS ffa",
+                "xor(qd4, (qd4 >> 1)) AS ffb",
+                "xor(hx, hy) AS fi0",
+            ],
+        )
+    )
+    steps.append(
+        ("h_i1", ["(ffb | xor(65535, (fi0 | ffa))) AS fi1"])
+    )
+    # interleave fi0 and fi1, 4 masked steps each
+    masks = [(8, 16711935), (4, 252645135), (2, 858993459), (1, 1431655765)]
+    for tag in ("fi0", "fi1"):
+        cur = tag
+        for i, (s, m) in enumerate(masks):
+            name = f"h_{tag}_{i}"
+            col = f"{tag}_{i}"
+            steps.append((name, [f"(({cur} | ({cur} << {s})) & {m}) AS {col}"]))
+            cur = col
+    steps.append(
+        (
+            "h_fin",
+            [
+                f"((((fi1_3 << 1) & 4294967295) | fi0_3) >> {32 - 2 * level}) AS {out_col}"
+            ],
+        )
+    )
+    frags = []
+    prev_name = src
+    for name, cols in steps:
+        frags.append(
+            f"{name} AS (SELECT *, {', '.join(cols)} FROM {prev_name})"
+        )
+        prev_name = name
+    return ",\n".join(frags), prev_name
+
+
+HILBERT_TEMP_COLS = (
+    "hx, hy, ra, rb, rc, rd, qa, qb, qc, qd, qa2, qb2, qc2, qd2, "
+    "qa3, qb3, qc3, qd3, qc4, qd4, ffa, ffb, fi0, fi1, "
+    "fi0_0, fi0_1, fi0_2, fi0_3, fi1_0, fi1_1, fi1_2, fi1_3"
+)
+
+
 def _subst(expr: str, name: str, repl: str) -> str:
     """Whole-token textual substitution."""
     out = []

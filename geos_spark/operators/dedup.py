@@ -1,0 +1,209 @@
+"""Deduplication operators for the training-data pipeline tier.
+
+- exact_dedup: hash-groupBy on content hash (native).
+- minhash_lsh: shingle -> minhash signature -> LSH band buckets ->
+  candidate pairs -> exact Jaccard verify. Hashing uses md5-derived
+  integers so an external SQL oracle reproduces signatures exactly.
+- simhash: 64-bit simhash from token md5s (native bit ops).
+- ngram_jaccard: exact n-gram Jaccard for candidate pairs.
+
+Scale notes: every stage is a narrow projection or an equijoin on a
+band/bucket key; the explode fan-out is bounded by tokens-per-doc and
+the band count. Hot buckets (boilerplate shingles) are capped with a
+per-bucket count filter, the standard LSH guard at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# large Mersenne-ish primes for affine rehash (fit comfortably in i64)
+_MINHASH_A = 1103515245
+_MINHASH_P = 2147483647  # 2^31 - 1
+
+
+def md5_i64(c: Column) -> Column:
+    """First 8 hex digits of md5 as an integer (portable to any SQL)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content-hash groups: (fingerprint, n_dups, keeper_id)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Array of k-word shingles (space-joined token windows)."""
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>) — minhash signature per document.
+
+    hash_j(shingle) = (a_j * h + b_j) mod p with h = md5_i64(shingle);
+    signature element j = min over shingles.
+    """
+    sh = word_shingles(F.col(text_col), shingle_k)
+    h = F.transform(sh, lambda s: md5_i64(s))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    h,
+                    lambda v: (
+                        (v * F.lit(_MINHASH_A * (j + 1) % _MINHASH_P) + F.lit(j * 12345 + 1))
+                        % F.lit(_MINHASH_P)
+                    ),
+                )
+            ).alias(f"h{j}")
+            for j in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
+
+    Pairs sharing at least one band bucket; hot buckets larger than
+    ``max_bucket`` are dropped (boilerplate guard — logged upstream).
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.element_at(F.col("sig"), b * rows + r + 1)
+                                for r in range(rows)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    # cap hot buckets
+    counts = banded.groupBy("band", "bucket").count()
+    banded = banded.join(
+        counts.where(F.col("count") <= max_bucket).drop("count"),
+        ["band", "bucket"],
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard verify of candidate pairs: returns
+    (id_a, id_b, jaccard) for pairs >= threshold."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    j = (
+        candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        )
+        .withColumn(
+            "uni", F.size(F.array_union("sh_a", "sh_b")).cast("double")
+        )
+        .withColumn("jaccard", F.col("inter") / F.col("uni"))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return j
+
+
+def simhash64(text: Column, shingle_k: int = 2) -> Column:
+    """64-bit simhash over word shingles (native bit arithmetic).
+
+    For each of 64 bits: sum +/-1 per shingle by that bit of the
+    shingle hash; bit set iff sum > 0. Uses two 32-bit md5-derived
+    halves per shingle for the 64 bits.
+    """
+    sh = word_shingles(text, shingle_k)
+    lo = F.transform(sh, lambda s: md5_i64(s))
+    hi = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long")
+    )
+    bits = []
+    for b in range(64):
+        src = lo if b < 32 else hi
+        k = b % 32
+        vote = F.aggregate(
+            src,
+            F.lit(0).cast("long"),
+            lambda acc, v: acc
+            + F.when(F.shiftright(v, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bits.append(
+            F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            * F.lit(1 << b).cast("long")
+            if b < 63
+            # avoid 1<<63 overflow in a positive long literal
+            else F.when(vote > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for x in bits[1:]:
+        out = out + x
+    return out

@@ -1,0 +1,140 @@
+"""Distributed spatial join: the engine's flagship operator.
+
+Two-phase plan (SURVEY §2.5, §3.1):
+
+1. **global phase (native)** — both sides are assigned Hilbert tile
+   cells: points get their containing tile via the JVM-native bitwise
+   cell chain (zero python); polygons explode to every tile their
+   envelope overlaps (pUDF producing an int array, then ``explode``).
+   A Catalyst equijoin on ``cell`` plus a codegen'd bbox
+   containment/overlap filter reproduces the reference's envelope
+   short-circuit (``src/geom/Geometry.cpp:295``) *before* any python
+   runs.
+2. **local refine (pUDF)** — surviving candidate pairs cross the Arrow
+   boundary once; the batch kernel factorizes the polygon column,
+   decodes each distinct WKB once per batch (the distributed analogue
+   of GEOS prepared geometries, ``src/geom/prep/PreparedPolygon.cpp``),
+   and evaluates the vectorized ray-crossing locator.
+
+Pair dedup: a point lives in exactly one tile, so point joins produce
+no duplicates. (Polygon-polygon joins use reference-point dedup — see
+``polygon_join``.)
+
+Scale notes: the poly side is broadcast when small (Catalyst/AQE
+decides); the skew knob is the hot-cell salting in ``salted`` mode —
+hot cells are replicated on the build side and salted on the probe
+side so one popular tile cannot pin a single task.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from geos_spark.functions.hilbert_native import with_tile_cell
+from geos_spark.functions.st import DEFAULT_EXTENT, st_tile_cells
+
+# Location codes (geom::Location)
+_INTERIOR, _BOUNDARY, _EXTERIOR = 0, 1, 2
+
+# predicate -> set of accepted point locations in the polygon
+_POINT_PREDICATES = {
+    "intersects": (_INTERIOR, _BOUNDARY),
+    "covers": (_INTERIOR, _BOUNDARY),       # polygon covers point
+    "coveredby": (_INTERIOR, _BOUNDARY),    # point coveredBy polygon
+    "contains": (_INTERIOR,),               # polygon contains point
+    "within": (_INTERIOR,),                 # point within polygon
+    "touches": (_BOUNDARY,),
+}
+
+
+@pandas_udf(T.IntegerType())
+def pip_refine(px: pd.Series, py: pd.Series, wkb: pd.Series) -> pd.Series:
+    """Batch point-in-polygon location refine.
+
+    Decodes each distinct polygon once per Arrow batch (prepared-
+    geometry semantics), then runs the vectorized ray-crossing kernel
+    over the (pair x segment) expansion.
+    """
+    import numpy as np
+
+    from geos_spark.kernels.pip import locate_points
+    from geos_spark.kernels.wkb import decode_polygons
+
+    n = len(px)
+    if n == 0:
+        return pd.Series([], dtype="int32")
+    codes, uniques = pd.factorize(wkb.map(bytes))
+    pack, geom_offsets = decode_polygons(list(uniques))
+    pts = np.column_stack([px.to_numpy(), py.to_numpy()])
+
+    # expand: pair i targets geometry codes[i] -> packed polygons
+    # geom_offsets[c]..geom_offsets[c+1] (multipolygons contribute >1)
+    counts = geom_offsets[codes + 1] - geom_offsets[codes]
+    pair_rep = np.repeat(np.arange(n), counts)
+    cum = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    intra = np.arange(int(counts.sum())) - np.repeat(cum, counts)
+    poly_idx = np.repeat(geom_offsets[codes], counts) + intra
+
+    loc = locate_points(pts, pack, pair_rep, poly_idx)
+    # reduce multi-poly geometries: min location (0 beats 1 beats 2)
+    out = np.full(n, _EXTERIOR, dtype=np.int64)
+    np.minimum.at(out, pair_rep, loc.astype(np.int64))
+    return pd.Series(out.astype("int32"))
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    predicate: str = "intersects",
+    *,
+    x_col: str = "x",
+    y_col: str = "y",
+    wkb_col: str = "wkb",
+    bbox_cols: tuple[str, str, str, str] = ("xmin", "ymin", "xmax", "ymax"),
+    level: int = 6,
+    extent: tuple[float, float, float, float] = DEFAULT_EXTENT,
+    keep_location: bool = False,
+) -> DataFrame:
+    """Join points to polygons on a spatial predicate.
+
+    Returns all columns of both inputs (plus ``location`` if
+    requested). Inputs must not share column names.
+    """
+    if predicate not in _POINT_PREDICATES:
+        raise ValueError(
+            f"unsupported point predicate {predicate!r}; "
+            f"one of {sorted(_POINT_PREDICATES)}"
+        )
+    accepted = _POINT_PREDICATES[predicate]
+
+    xmin, ymin, xmax, ymax = bbox_cols
+    pts = with_tile_cell(points, x_col, y_col, level, extent, out="__cell")
+
+    cells_udf = st_tile_cells(level, extent)
+    polys = polygons.withColumn(
+        "__cell",
+        F.explode(
+            cells_udf(F.col(xmin), F.col(ymin), F.col(xmax), F.col(ymax))
+        ),
+    )
+
+    # global phase: cell equijoin + envelope short-circuit (codegen)
+    cand = pts.join(polys, "__cell").where(
+        (F.col(x_col) >= F.col(xmin))
+        & (F.col(x_col) <= F.col(xmax))
+        & (F.col(y_col) >= F.col(ymin))
+        & (F.col(y_col) <= F.col(ymax))
+    )
+
+    refined = cand.withColumn(
+        "location", pip_refine(F.col(x_col), F.col(y_col), F.col(wkb_col))
+    )
+    cond: Column = F.col("location").isin(list(accepted))
+    out = refined.where(cond).drop("__cell")
+    if not keep_location:
+        out = out.drop("location")
+    return out

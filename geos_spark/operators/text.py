@@ -1,0 +1,95 @@
+"""Text-analysis operators for the training-data pipeline tier.
+
+All native ``pyspark.sql.functions`` expressions (JVM-side, codegen):
+token counting, quality scoring, n-gram language ID heuristic, and
+document fingerprinting. The ``text`` column is only ever *read* —
+never re-encoded — preserving the byte-identical passthrough
+invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets (heuristic language ID)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "una", "por"],
+    "pt": ["não", "uma", "para", "com", "mais"],
+    "it": ["il", "che", "per", "con", "della"],
+}
+
+EN_STOPWORDS = ["the", "and", "of", "to", "in", "is", "was", "for"]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (split on runs of whitespace)."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def substr_count(text: Column, sub: str) -> Column:
+    """Occurrences of a literal substring (length-difference trick —
+    identical semantics in any SQL engine, used by the oracle)."""
+    n = len(sub)
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(sub)))) / F.lit(n)
+    ).cast("long")
+
+
+def word_count(text: Column, word: str) -> Column:
+    """Occurrences of a word with space delimiters (pad ends)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    return substr_count(padded, f" {word} ")
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add quality-signal columns: n_chars, n_tokens, stopword_hits,
+    punct_hits, upper_ratio-free (all integer/exact except ratios)."""
+    t = F.col(text_col)
+    stop_hits = None
+    for w in EN_STOPWORDS:
+        c = word_count(t, w)
+        stop_hits = c if stop_hits is None else stop_hits + c
+    return (
+        df.withColumn("n_chars", F.length(t))
+        .withColumn("n_tokens", token_count(t))
+        .withColumn("stopword_hits", stop_hits)
+        .withColumn("punct_hits", substr_count(t, "."))
+        .withColumn(
+            "stopword_ratio",
+            F.col("stopword_hits").cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+        )
+    )
+
+
+def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language marker-word hits
+    (ties broken by language code order). Native expressions only."""
+    t = F.col(text_col)
+    # greatest() over (score, lang) structs: struct comparison is
+    # lexicographic, so the max picks the highest score; ties resolve
+    # to the greatest lang code — mirror in oracle with max(row(...)).
+    structs = [
+        F.struct(
+            sum(
+                (word_count(t, w) for w in words[1:]),
+                word_count(t, words[0]),
+            ).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    best = F.greatest(*structs)
+    return df.withColumn("lang_guess", best["lang"]).withColumn(
+        "lang_score", best["score"]
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """128-bit-ish document fingerprint: md5 of the raw text (exact
+    content identity; collision-safe at corpus scale)."""
+    return df.withColumn("fingerprint", F.md5(F.col(text_col)))

@@ -1,0 +1,506 @@
+"""Driver-contract query catalog: Spark implementations + DuckDB
+oracle SQL for each operator (SURVEY.md §2 inventory).
+
+Every query here is a pure function (spark, sf_dir) -> DataFrame whose
+result is reproducible by the paired ANSI-SQL oracle on the same
+parquet tables. Geometry inputs are derived *deterministically* from
+row ids (integer arithmetic only) so both engines construct identical
+geometry sets — see ``geos_spark.sources.pages``.
+
+Column names and types are aligned pairwise (the driver hashes values
+after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geos_spark.functions.hilbert_native import with_hilbert_cell
+from geos_spark.kernels.hilbert import hilbert_sql_ctes
+from geos_spark.operators.knn import knn_join_broadcast, within_distance_join
+from geos_spark.operators.spatial_join import point_in_polygon_join
+from geos_spark.sources.pages import (
+    EXTENT,
+    point_sql,
+    star_params_sql,
+    star_polygons,
+    with_doc_point,
+)
+
+_LEVEL_TILE = 12  # oracle tile-assignment level (HilbertEncoder rule)
+_LEVEL_JOIN = 6  # join partitioning level
+
+_STRIDE_12 = 4096.0 / ((1 << 12) - 1)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _doc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_doc_point(_docs(spark, sf_dir).select("doc_id"))
+
+
+def _centers(spark: SparkSession) -> DataFrame:
+    i = F.col("id")
+    return spark.range(256).select(
+        i.alias("poly_id"),
+        ((i % 16) * 256 + 128).cast("double").alias("cx"),
+        (F.floor(i / 16) * 256 + 128).cast("double").alias("cy"),
+    )
+
+
+_POINTS_CTE = f"""
+points AS (
+    SELECT doc_id,
+           {point_sql('doc_id')[0]} AS px,
+           {point_sql('doc_id')[1]} AS py
+    FROM documents
+)
+"""
+
+
+# ----------------------------------------------------------------------
+# tile assignment (HilbertEncoder midpoint rule, level 12)
+# ----------------------------------------------------------------------
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _doc_points(spark, sf_dir)
+    gx = F.when(
+        F.col("x") > 0, F.floor(F.col("x") / F.lit(_STRIDE_12))
+    ).otherwise(F.lit(0)).cast("long")
+    gy = F.when(
+        F.col("y") > 0, F.floor(F.col("y") / F.lit(_STRIDE_12))
+    ).otherwise(F.lit(0)).cast("long")
+    g = pts.withColumn("gx", gx).withColumn("gy", gy)
+    out = with_hilbert_cell(g, "gx", "gy", _LEVEL_TILE, out="cell")
+    return out.select("doc_id", F.col("cell").cast("long").alias("cell"))
+
+
+def q_tile_assign_sql() -> str:
+    ctes, fin = hilbert_sql_ctes(_LEVEL_TILE, "grid", "gx", "gy")
+    return f"""
+WITH {_POINTS_CTE},
+grid AS (
+    SELECT doc_id,
+           CASE WHEN px > 0 THEN CAST(FLOOR(px / (4096.0/4095.0)) AS BIGINT) ELSE 0 END AS gx,
+           CASE WHEN py > 0 THEN CAST(FLOOR(py / (4096.0/4095.0)) AS BIGINT) ELSE 0 END AS gy
+    FROM points
+),
+{ctes}
+SELECT doc_id, CAST(cell AS BIGINT) AS cell FROM {fin}
+"""
+
+
+# ----------------------------------------------------------------------
+# point-in-polygon spatial join (ray crossing, star polygons)
+# ----------------------------------------------------------------------
+
+
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _doc_points(spark, sf_dir)
+    polys = star_polygons(spark)
+    out = point_in_polygon_join(
+        pts, polys, "intersects", level=_LEVEL_JOIN, extent=EXTENT
+    )
+    return out.select("doc_id", "poly_id")
+
+
+def q_pip_join_sql() -> str:
+    # GEOS RayCrossingCounter rule in SQL: upward edges count when the
+    # point is left of the edge (orientation > 0), downward when right.
+    return f"""
+WITH {_POINTS_CTE},
+{star_params_sql()},
+crossings AS (
+    SELECT p.doc_id, e.poly_id,
+           COUNT(*) FILTER (
+               WHERE ((e.y1 > p.py AND e.y2 <= p.py) OR (e.y2 > p.py AND e.y1 <= p.py))
+                 AND (CASE WHEN e.y2 < e.y1 THEN -1 ELSE 1 END)
+                     * ((e.x2 - e.x1) * (p.py - e.y1) - (e.y2 - e.y1) * (p.px - e.x1)) > 0
+           ) AS n_cross
+    FROM points p
+    JOIN star_bbox bb
+      ON p.px >= bb.xmin AND p.px <= bb.xmax
+     AND p.py >= bb.ymin AND p.py <= bb.ymax
+    JOIN star_edges e ON e.poly_id = bb.poly_id
+    GROUP BY p.doc_id, e.poly_id
+)
+SELECT doc_id, poly_id FROM crossings WHERE n_cross % 2 = 1
+"""
+
+
+# ----------------------------------------------------------------------
+# bbox containment join (pure native envelope SQL — rectangle fast path)
+# ----------------------------------------------------------------------
+
+
+def q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _doc_points(spark, sf_dir)
+    polys = star_polygons(spark).select("poly_id", "xmin", "ymin", "xmax", "ymax")
+    out = pts.join(
+        F.broadcast(polys),
+        (F.col("x") >= F.col("xmin"))
+        & (F.col("x") <= F.col("xmax"))
+        & (F.col("y") >= F.col("ymin"))
+        & (F.col("y") <= F.col("ymax")),
+    )
+    return out.select("doc_id", "poly_id")
+
+
+def q_bbox_join_sql() -> str:
+    return f"""
+WITH {_POINTS_CTE},
+{star_params_sql()}
+SELECT p.doc_id, bb.poly_id
+FROM points p
+JOIN star_bbox bb
+  ON p.px >= bb.xmin AND p.px <= bb.xmax
+ AND p.py >= bb.ymin AND p.py <= bb.ymax
+"""
+
+
+# ----------------------------------------------------------------------
+# kNN join (k nearest star centers; ties by id)
+# ----------------------------------------------------------------------
+
+
+def q_knn_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _doc_points(spark, sf_dir)
+    out = knn_join_broadcast(pts, _centers(spark), k=4)
+    return out.select("doc_id", "rank", "poly_id")
+
+
+def q_knn_centers_sql() -> str:
+    return f"""
+WITH {_POINTS_CTE},
+centers AS (
+    SELECT p.range::BIGINT AS poly_id,
+           CAST((p.range % 16) * 256 + 128 AS DOUBLE) AS cx,
+           CAST((p.range // 16) * 256 + 128 AS DOUBLE) AS cy
+    FROM range(256) p
+),
+scored AS (
+    SELECT p.doc_id, c.poly_id,
+           (p.px - c.cx) * (p.px - c.cx) + (p.py - c.cy) * (p.py - c.cy) AS dist2,
+           ROW_NUMBER() OVER (
+               PARTITION BY p.doc_id
+               ORDER BY (p.px - c.cx) * (p.px - c.cx) + (p.py - c.cy) * (p.py - c.cy) ASC,
+                        c.poly_id ASC
+           ) AS rank
+    FROM points p CROSS JOIN centers c
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, poly_id FROM scored WHERE rank <= 4
+"""
+
+
+# ----------------------------------------------------------------------
+# within-distance join (expanded-envelope cell assignment)
+# ----------------------------------------------------------------------
+
+_DIST = 50.0
+
+
+def q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _doc_points(spark, sf_dir)
+    out = within_distance_join(
+        pts, _centers(spark), _DIST, level=_LEVEL_JOIN, extent=EXTENT
+    )
+    return out.select("doc_id", "poly_id")
+
+
+def q_distance_join_sql() -> str:
+    return f"""
+WITH {_POINTS_CTE},
+centers AS (
+    SELECT p.range::BIGINT AS poly_id,
+           CAST((p.range % 16) * 256 + 128 AS DOUBLE) AS cx,
+           CAST((p.range // 16) * 256 + 128 AS DOUBLE) AS cy
+    FROM range(256) p
+)
+SELECT p.doc_id, c.poly_id
+FROM points p CROSS JOIN centers c
+WHERE (p.px - c.cx) * (p.px - c.cx) + (p.py - c.cy) * (p.py - c.cy) <= {_DIST * _DIST}
+"""
+
+
+# ----------------------------------------------------------------------
+# scalar constructions: area + centroid over the star polygons
+# ----------------------------------------------------------------------
+
+
+def q_star_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geos_spark.functions.st import st_area
+
+    return star_polygons(spark).select(
+        "poly_id", st_area(F.col("wkb")).alias("area")
+    )
+
+
+def q_star_area_sql() -> str:
+    # shoelace over the edge list; our kernel's base-translated form is
+    # algebraically identical and exact on integer coordinates
+    return f"""
+WITH {star_params_sql()}
+SELECT poly_id,
+       ABS(SUM( (x1 - first_x) * (y2) - (x2 - first_x) * (y1) )) / 2.0 AS area
+FROM (
+    SELECT e.*, FIRST_VALUE(x1) OVER (PARTITION BY poly_id ORDER BY j) AS first_x
+    FROM star_edges e
+)
+GROUP BY poly_id
+"""
+
+
+def q_star_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geos_spark.functions.st import st_centroid_x, st_centroid_y
+
+    p = star_polygons(spark)
+    return p.select(
+        "poly_id",
+        st_centroid_x(F.col("wkb")).alias("cx_out"),
+        st_centroid_y(F.col("wkb")).alias("cy_out"),
+    )
+
+
+def q_star_centroid_sql() -> str:
+    # area-weighted triangle centroid with base-point translation
+    # (Centroid.cpp): base = first vertex; cg3 = sum a2*(p+q);
+    # c = cg3/3/areasum2 + base. All products exact on integer coords.
+    return f"""
+WITH {star_params_sql()},
+based AS (
+    SELECT e.*,
+           FIRST_VALUE(x1) OVER (PARTITION BY poly_id ORDER BY j) AS bx,
+           FIRST_VALUE(y1) OVER (PARTITION BY poly_id ORDER BY j) AS by
+    FROM star_edges e
+),
+sums AS (
+    SELECT poly_id, ANY_VALUE(bx) AS bx, ANY_VALUE(by) AS by,
+           SUM((x1 - bx) * (y2 - by) - (x2 - bx) * (y1 - by)) AS areasum2,
+           SUM(((x1 - bx) * (y2 - by) - (x2 - bx) * (y1 - by)) * ((x1 - bx) + (x2 - bx))) AS cg3x,
+           SUM(((x1 - bx) * (y2 - by) - (x2 - bx) * (y1 - by)) * ((y1 - by) + (y2 - by))) AS cg3y
+    FROM based
+    GROUP BY poly_id
+)
+SELECT poly_id,
+       cg3x / 3.0 / areasum2 + bx AS cx_out,
+       cg3y / 3.0 / areasum2 + by AS cy_out
+FROM sums
+"""
+
+
+# ----------------------------------------------------------------------
+# aggregations: extent of all doc points (native min/max)
+# ----------------------------------------------------------------------
+
+
+def q_extent_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _doc_points(spark, sf_dir)
+    return pts.agg(
+        F.min("x").alias("minx"),
+        F.min("y").alias("miny"),
+        F.max("x").alias("maxx"),
+        F.max("y").alias("maxy"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_extent_agg_sql() -> str:
+    return f"""
+WITH {_POINTS_CTE}
+SELECT MIN(px) AS minx, MIN(py) AS miny,
+       MAX(px) AS maxx, MAX(py) AS maxy,
+       COUNT(*) AS n
+FROM points
+"""
+
+
+# ----------------------------------------------------------------------
+# spatial sort / top-k by Hilbert cell
+# ----------------------------------------------------------------------
+
+
+def q_hilbert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = q_tile_assign(spark, sf_dir)
+    return t.orderBy(F.col("cell").asc(), F.col("doc_id").asc()).limit(100)
+
+
+def q_hilbert_topk_sql() -> str:
+    return (
+        q_tile_assign_sql().rstrip()
+        + " ORDER BY cell ASC, doc_id ASC LIMIT 100"
+    )
+
+
+# ----------------------------------------------------------------------
+# webtext tier: dedup / text stats / language guess
+# ----------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geos_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def q_dedup_exact_sql() -> str:
+    return """
+SELECT md5(text) AS fingerprint,
+       COUNT(*) AS n_dups,
+       MIN(doc_id) AS keeper_id
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geos_spark.operators.text import with_quality
+
+    out = with_quality(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars_out"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("stopword_hits").cast("long").alias("stopword_hits"),
+    )
+
+
+def q_token_stats_sql() -> str:
+    words = ["the", "and", "of", "to", "in", "is", "was", "for"]
+    hits = " + ".join(
+        f"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+        for w in words
+    )
+    return f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_out,
+       CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST({hits} AS BIGINT) AS stopword_hits
+FROM documents
+"""
+
+
+def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geos_spark.operators.text import with_lang_guess
+
+    out = with_lang_guess(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("lang_guess"),
+        F.col("lang_score").cast("long").alias("lang_score"),
+    )
+
+
+def q_lang_guess_sql() -> str:
+    from geos_spark.operators.text import LANG_MARKERS
+
+    selects = []
+    for lang, words in sorted(LANG_MARKERS.items()):
+        hits = " + ".join(
+            f"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+            for w in words
+        )
+        selects.append(
+            f"SELECT doc_id, '{lang}' AS lang, CAST({hits} AS BIGINT) AS score FROM documents"
+        )
+    union = " UNION ALL ".join(selects)
+    # ties resolve to greatest lang code (mirrors struct-greatest)
+    return f"""
+WITH scores AS ({union}),
+ranked AS (
+    SELECT doc_id, lang, score,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, lang DESC
+           ) AS rn
+    FROM scores
+)
+SELECT doc_id, lang AS lang_guess, score AS lang_score
+FROM ranked WHERE rn = 1
+"""
+
+
+# ----------------------------------------------------------------------
+# similarity search: brute-force cosine top-k
+# ----------------------------------------------------------------------
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geos_spark.operators.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = cosine_topk(emb, queries, k=5)
+    return out.select("q_id", F.col("rank").cast("int").alias("rank"), "vec_id")
+
+
+def q_ann_topk_sql() -> str:
+    return """
+WITH q AS (
+    SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id % 50 = 0
+),
+v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+),
+scored AS (
+    SELECT q.q_id, v.vec_id,
+           list_dot_product(q.qv, v.vv)
+             / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.vv, v.vv))) AS cosine
+    FROM q CROSS JOIN v
+    WHERE q.q_id <> v.vec_id
+),
+ranked AS (
+    SELECT q_id, vec_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC
+           ) AS rank
+    FROM scored
+)
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id FROM ranked WHERE rank <= 5
+"""
+
+
+# ----------------------------------------------------------------------
+# registry
+# ----------------------------------------------------------------------
+
+QUERIES = {
+    "tile_assign": q_tile_assign,
+    "pip_join": q_pip_join,
+    "bbox_join": q_bbox_join,
+    "knn_centers": q_knn_centers,
+    "distance_join": q_distance_join,
+    "star_area": q_star_area,
+    "star_centroid": q_star_centroid,
+    "extent_agg": q_extent_agg,
+    "hilbert_topk": q_hilbert_topk,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "lang_guess": q_lang_guess,
+    "ann_topk": q_ann_topk,
+}
+
+ORACLES = {
+    "tile_assign": q_tile_assign_sql(),
+    "pip_join": q_pip_join_sql(),
+    "bbox_join": q_bbox_join_sql(),
+    "knn_centers": q_knn_centers_sql(),
+    "distance_join": q_distance_join_sql(),
+    "star_area": q_star_area_sql(),
+    "star_centroid": q_star_centroid_sql(),
+    "extent_agg": q_extent_agg_sql(),
+    "hilbert_topk": q_hilbert_topk_sql(),
+    "dedup_exact": q_dedup_exact_sql(),
+    "token_stats": q_token_stats_sql(),
+    "lang_guess": q_lang_guess_sql(),
+    "ann_topk": q_ann_topk_sql(),
+}
