@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline spatial-join + tiling throughput.
+
+Default mode: runs the headline suite on local[$SPARK_GRAFT_CPUS]
+(default 32) against $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "rows": {...}, "rows_per_sec": {...}}
+
+Scaling mode (north rule: throughput efficiency >= 0.8 from N to 4N):
+  python bench.py --scaling
+re-executes the suite in two subprocesses at local[8] and local[32]
+and reports rates + efficiency = (rate_32 / rate_8) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_SYNTH = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))
+
+
+def _bench_queries(spark):
+    """Headline jobs. Each returns a DataFrame; timing includes full
+    materialization (count)."""
+    from pyspark.sql import functions as F
+
+    from geos_spark.functions.hilbert_native import with_hilbert_cell
+    from geos_spark.operators.knn import within_distance_join
+    from geos_spark.operators.spatial_join import point_in_polygon_join
+    from geos_spark.queries import _centers, _STRIDE_12
+    from geos_spark.sources.pages import EXTENT, star_polygons, with_doc_point
+
+    pts_1m = with_doc_point(
+        spark.range(0, N_SYNTH, 1, CPUS * 4).withColumnRenamed("id", "doc_id")
+    )
+    stars = star_polygons(spark)
+
+    def pip_join_1m():
+        return point_in_polygon_join(
+            pts_1m, stars, "intersects", level=6, extent=EXTENT
+        ).select("doc_id", "poly_id")
+
+    def tile_assign_1m():
+        gx = F.when(
+            F.col("x") > 0, F.floor(F.col("x") / F.lit(_STRIDE_12))
+        ).otherwise(F.lit(0)).cast("long")
+        gy = F.when(
+            F.col("y") > 0, F.floor(F.col("y") / F.lit(_STRIDE_12))
+        ).otherwise(F.lit(0)).cast("long")
+        g = pts_1m.withColumn("gx", gx).withColumn("gy", gy)
+        out = with_hilbert_cell(g, "gx", "gy", 12, out="cell")
+        # aggregate so the scan + cell chain dominate, not row shipping
+        return out.groupBy((F.col("cell") % 1024).alias("b")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cell").alias("s")
+        )
+
+    def distance_join_1m():
+        return within_distance_join(
+            pts_1m, _centers(spark), 50.0, level=6, extent=EXTENT
+        ).select("doc_id", "poly_id")
+
+    def dedup_exact_sf():
+        from geos_spark.operators.dedup import exact_dedup_groups
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return exact_dedup_groups(docs)
+
+    def token_stats_sf():
+        from geos_spark.operators.text import with_quality
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return with_quality(docs).select(
+            "doc_id", "n_chars", "n_tokens", "stopword_hits"
+        )
+
+    return {
+        "pip_join_1m": (pip_join_1m, N_SYNTH),
+        "tile_assign_1m": (tile_assign_1m, N_SYNTH),
+        "distance_join_1m": (distance_join_1m, N_SYNTH),
+        "dedup_exact": (dedup_exact_sf, None),
+        "token_stats": (token_stats_sf, None),
+    }
+
+
+def run_suite(cores: int) -> dict:
+    from geos_spark.session import get_spark
+
+    spark = get_spark(f"bench_{cores}", cores=cores,
+                      shuffle_partitions=2 * cores)
+    # JVM warmup: trivial job so the first timed query isn't paying
+    # classloading/codegen costs
+    spark.range(1000).count()
+
+    qs = _bench_queries(spark)
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    input_rows: dict[str, int] = {}
+    for name, (fn, n_in) in qs.items():
+        t0 = time.perf_counter()
+        out = fn().count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = out
+        if n_in:
+            input_rows[name] = n_in
+    spark.stop()
+    return {"times": times, "rows": rows, "input_rows": input_rows}
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        res = {}
+        for cores in (8, 32):
+            env = dict(os.environ)
+            env["SPARK_GRAFT_CPUS"] = str(cores)
+            out = subprocess.run(
+                [sys.executable, __file__, "--single"],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            res[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+        report = {"metric": "scaling_efficiency_8_to_32", "sf": SF_DIR}
+        eff = {}
+        for q in res[8]["queries"]:
+            t8, t32 = res[8]["queries"][q], res[32]["queries"][q]
+            eff[q] = round((t8 / t32) / 4.0, 3)
+        report["queries_8"] = res[8]["queries"]
+        report["queries_32"] = res[32]["queries"]
+        report["efficiency"] = eff
+        print(json.dumps(report))
+        return
+
+    r = run_suite(CPUS)
+    total = round(sum(r["times"].values()), 3)
+    rps = {
+        q: (round(r["input_rows"][q] / r["times"][q]) if q in r["input_rows"] else None)
+        for q in r["times"]
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "spatial_join_tiling_webtext_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": r["times"],
+                "sf": SF_DIR,
+                "rows_out": r["rows"],
+                "input_rows_per_sec": rps,
+                "cores": CPUS,
+                "synth_rows": N_SYNTH,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -138,6 +138,46 @@ def with_hilbert_cell(
     return out_df.drop(*drop)
 
 
+def with_tile_cells_exploded(
+    df: DataFrame,
+    bbox_cols: tuple[str, str, str, str],
+    level: int,
+    extent: tuple[float, float, float, float],
+    out: str = "cell",
+    pad: float = 0.0,
+    keep_grid: bool = False,
+) -> DataFrame:
+    """Explode each row to every tile its (optionally padded) envelope
+    overlaps — fully native (sequence + explode + Hilbert chain), so it
+    is safe on join build sides and broadcast plans (a python UDF there
+    defeats codegen and costs seconds per stage).
+    """
+    minx, miny, maxx, maxy = extent
+    n = 1 << level
+    sx = (maxx - minx) / n
+    sy = (maxy - miny) / n
+    xmin, ymin, xmax, ymax = (F.col(c) for c in bbox_cols)
+    if pad:
+        xmin, ymin = xmin - F.lit(pad), ymin - F.lit(pad)
+        xmax, ymax = xmax + F.lit(pad), ymax + F.lit(pad)
+
+    def clamp(c: Column) -> Column:
+        return F.greatest(F.lit(0), F.least(F.lit(n - 1), c))
+
+    gx0 = clamp(F.floor((xmin - F.lit(minx)) / F.lit(sx)))
+    gx1 = clamp(F.floor((xmax - F.lit(minx)) / F.lit(sx)))
+    gy0 = clamp(F.floor((ymin - F.lit(miny)) / F.lit(sy)))
+    gy1 = clamp(F.floor((ymax - F.lit(miny)) / F.lit(sy)))
+    tmp = (
+        df.withColumn("__gx", F.explode(F.sequence(gx0, gx1)))
+        .withColumn("__gy", F.explode(F.sequence(gy0, gy1)))
+    )
+    res = with_hilbert_cell(tmp, "__gx", "__gy", level, out)
+    if keep_grid:
+        return res.withColumnsRenamed({"__gx": "gx", "__gy": "gy"})
+    return res.drop("__gx", "__gy")
+
+
 def with_tile_cell(
     df: DataFrame,
     x_col: str,

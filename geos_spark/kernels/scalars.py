@@ -74,63 +74,89 @@ def geom_length(g: G.Geom) -> float:
 
 
 def geom_centroid(g: G.Geom) -> tuple[float, float] | None:
-    areasum2 = 0.0
-    cg3 = np.zeros(2)
-    linelen = 0.0
-    linesum = np.zeros(2)
-    ptcount = 0
-    ptsum = np.zeros(2)
-    base: np.ndarray | None = None
+    """Exact replication of the reference Centroid state machine
+    (src/algorithm/Centroid.cpp): per-shell area base point, sign from
+    ring orientation (CW shell positive, CCW hole positive), rings also
+    feed the line-centroid fallback, and zero-length linework degrades
+    to a point-average of first coordinates. Same operation order ->
+    bit-identical results."""
+    state = {
+        "areasum2": 0.0, "cg3x": 0.0, "cg3y": 0.0,
+        "totlen": 0.0, "linex": 0.0, "liney": 0.0,
+        "ptcount": 0, "ptx": 0.0, "pty": 0.0,
+        "base": None,
+    }
 
-    def add_ring(ring: np.ndarray, sign: float) -> None:
-        nonlocal areasum2, cg3, base
-        if base is None and len(ring):
-            base = ring[0].copy()
+    def add_point(x: float, y: float) -> None:
+        state["ptcount"] += 1
+        state["ptx"] += x
+        state["pty"] += y
+
+    def add_line_segments(pts: np.ndarray) -> None:
+        linelen = 0.0
+        for i in range(len(pts) - 1):
+            seglen = float(
+                np.hypot(pts[i + 1, 0] - pts[i, 0], pts[i + 1, 1] - pts[i, 1])
+            )
+            if seglen == 0.0:
+                continue
+            linelen += seglen
+            state["linex"] += seglen * ((pts[i, 0] + pts[i + 1, 0]) / 2)
+            state["liney"] += seglen * ((pts[i, 1] + pts[i + 1, 1]) / 2)
+        state["totlen"] += linelen
+        if linelen == 0.0 and len(pts) > 0:
+            add_point(float(pts[0, 0]), float(pts[0, 1]))
+
+    def add_triangles(ring: np.ndarray, positive: bool) -> None:
+        sign = 1.0 if positive else -1.0
+        bx, by = state["base"]
         for i in range(len(ring) - 1):
-            p = ring[i] - base
-            q = ring[i + 1] - base
-            a2 = p[0] * q[1] - q[0] * p[1]
-            areasum2 += sign * a2
-            cg3 += sign * a2 * (p + q)
-
-    def add_line(coords: np.ndarray) -> None:
-        nonlocal linelen, linesum
-        d = np.diff(coords, axis=0)
-        seglen = np.hypot(d[:, 0], d[:, 1])
-        mids = (coords[:-1] + coords[1:]) / 2.0
-        linelen += float(seglen.sum())
-        linesum += (seglen[:, None] * mids).sum(axis=0)
+            p1x, p1y = ring[i]
+            p2x, p2y = ring[i + 1]
+            a2 = (p1x - bx) * (p2y - by) - (p2x - bx) * (p1y - by)
+            state["areasum2"] += sign * a2
+            state["cg3x"] += sign * a2 * (bx + p1x + p2x)
+            state["cg3y"] += sign * a2 * (by + p1y + p2y)
 
     def visit(g: G.Geom) -> None:
-        nonlocal ptcount, ptsum
         if g.is_empty:
             return
         if g.type_id == G.POINT:
-            ptcount += 1
-            ptsum += g.data[0]
+            add_point(float(g.data[0, 0]), float(g.data[0, 1]))
         elif g.type_id == G.LINESTRING:
-            add_line(g.data)
+            add_line_segments(g.data)
         elif g.type_id == G.POLYGON:
             shell = g.data[0]
-            shell_sign = 1.0 if ring_signed_area(shell) >= 0 else -1.0
-            add_ring(shell, shell_sign)
+            if len(shell):
+                state["base"] = (float(shell[0, 0]), float(shell[0, 1]))
+            # CW shell is positive (Centroid.cpp:120 "!isCCW")
+            add_triangles(shell, positive=ring_signed_area(shell) <= 0)
+            add_line_segments(shell)
             for hole in g.data[1:]:
-                hole_sign = 1.0 if ring_signed_area(hole) >= 0 else -1.0
-                add_ring(hole, -hole_sign)
+                if not len(hole):
+                    continue
+                add_triangles(hole, positive=ring_signed_area(hole) > 0)
+                add_line_segments(hole)
         else:
             for p in g.data:
                 visit(p)
 
     visit(g)
-    if abs(areasum2) > 0:
-        c = cg3 / 3.0 / areasum2
-        return float(c[0] + base[0]), float(c[1] + base[1])
-    if linelen > 0:
-        c = linesum / linelen
-        return float(c[0]), float(c[1])
-    if ptcount > 0:
-        c = ptsum / ptcount
-        return float(c[0]), float(c[1])
+    if abs(state["areasum2"]) > 0.0:
+        return (
+            state["cg3x"] / 3.0 / state["areasum2"],
+            state["cg3y"] / 3.0 / state["areasum2"],
+        )
+    if state["totlen"] > 0.0:
+        return (
+            state["linex"] / state["totlen"],
+            state["liney"] / state["totlen"],
+        )
+    if state["ptcount"] > 0:
+        return (
+            state["ptx"] / state["ptcount"],
+            state["pty"] / state["ptcount"],
+        )
     return None
 
 
@@ -179,51 +205,97 @@ def convex_hull(g: G.Geom) -> G.Geom:
 # ----------------------------------------------------------------------
 
 
-def _dp_mask(coords: np.ndarray, tol: float) -> np.ndarray:
+def _seg_dist(p0, p1, q) -> float:
+    """Point-to-segment distance (LineSegment::distance)."""
+    d2 = _seg_point_dist2(
+        np.array([p0[0]]), np.array([p0[1]]),
+        np.array([p1[0]]), np.array([p1[1]]),
+        np.array([q[0]]), np.array([q[1]]),
+    )
+    return float(np.sqrt(d2[0]))
+
+
+def _dp_simplify_coords(
+    coords: np.ndarray, tol: float, preserve_closed_endpoint: bool
+) -> np.ndarray:
+    """DouglasPeuckerLineSimplifier semantics
+    (src/simplify/DouglasPeuckerLineSimplifier.cpp): recursive
+    max-deviation section split with fixed endpoints, then the ring
+    endpoint-removal pass (when the sequence is a ring and the
+    endpoint need not be preserved): if coords[0] is within tolerance
+    of segment (out[-2], out[1]), drop it and re-close from out[1]."""
     n = len(coords)
-    keep = np.zeros(n, dtype=bool)
-    keep[0] = keep[n - 1] = True
+    if n == 0:
+        return coords
+    use = np.ones(n, dtype=bool)
     stack = [(0, n - 1)]
     while stack:
         i, j = stack.pop()
-        if j <= i + 1:
+        if i + 1 == j:
             continue
-        seg = coords[j] - coords[i]
-        seglen2 = seg @ seg
-        sub = coords[i + 1 : j]
-        if seglen2 == 0:
-            d = np.hypot(*(sub - coords[i]).T)
+        dmax = -1.0
+        kmax = i
+        for k in range(i + 1, j):
+            d = _seg_dist(coords[i], coords[j], coords[k])
+            if d > dmax:
+                dmax = d
+                kmax = k
+        if dmax <= tol:
+            use[i + 1 : j] = False
         else:
-            t = np.clip(((sub - coords[i]) @ seg) / seglen2, 0, 1)
-            proj = coords[i] + t[:, None] * seg
-            d = np.hypot(*(sub - proj).T)
-        kmax = int(np.argmax(d))
-        if d[kmax] > tol:
-            k = i + 1 + kmax
-            keep[k] = True
-            stack.append((i, k))
-            stack.append((k, j))
-    return keep
+            stack.append((i, kmax))
+            stack.append((kmax, j))
+    out = coords[use]
+    is_ring = n >= 4 and np.array_equal(coords[0], coords[-1])
+    MIN_RING = 3  # LinearRing::MINIMUM_VALID_SIZE
+    if not preserve_closed_endpoint and is_ring and len(out) > MIN_RING:
+        if _seg_dist(out[-2], out[1], out[0]) <= tol:
+            body = out[1:-1]
+            out = np.vstack([body, body[:1]])
+    return out
 
 
 def simplify_dp(g: G.Geom, tol: float) -> G.Geom:
+    """DouglasPeuckerSimplifier transformer semantics
+    (src/simplify/DouglasPeuckerSimplifier.cpp): degenerate rings are
+    removed from polygons (a removed shell empties the polygon), empty
+    parts are dropped from multis, and a single surviving part is
+    returned bare (GeometryTransformer::buildGeometry). The
+    createValidArea buffer(0) repair of self-intersecting results is
+    not implemented (overlay) — such inputs return the rough result.
+    """
+    if g.type_id == G.POINT:
+        return g
     if g.type_id == G.LINESTRING:
-        if len(g.data) < 3:
+        if g.is_empty:
             return g
-        return G.Geom(G.LINESTRING, g.data[_dp_mask(g.data, tol)])
+        return G.Geom(
+            G.LINESTRING, _dp_simplify_coords(g.data, tol, True)
+        )
     if g.type_id == G.POLYGON:
-        rings = []
-        for r in g.data:
-            s = r[_dp_mask(r, tol)]
+        if g.is_empty:
+            return g
+        shell = _dp_simplify_coords(g.data[0], tol, False)
+        if len(shell) < 4:
+            return G.Geom.empty(G.POLYGON)
+        rings = [shell]
+        for r in g.data[1:]:
+            s = _dp_simplify_coords(r, tol, False)
             if len(s) >= 4:
                 rings.append(s)
-        if not rings or not len(rings) or (g.data and len(rings) == 0):
-            return G.Geom.empty(G.POLYGON)
         return G.Geom(G.POLYGON, rings)
     if g.is_collection:
-        return G.Geom(
-            g.type_id, [simplify_dp(p, tol) for p in g.data]
-        )
+        parts = []
+        for p in g.data:
+            sp = simplify_dp(p, tol)
+            if sp.is_empty:
+                continue
+            parts.append(sp)
+        if len(parts) == 1:
+            return parts[0]
+        if not parts:
+            return G.Geom.empty(g.type_id)
+        return G.Geom(g.type_id, parts)
     return g
 
 
@@ -257,6 +329,67 @@ def _segments(g: G.Geom) -> np.ndarray:
     if not segs:
         return np.zeros((0, 4))
     return np.concatenate(segs)
+
+
+def geom_boundary(g: G.Geom) -> G.Geom:
+    """OGC boundary (BoundaryOp semantics, Mod-2 rule for lines)."""
+    from geos_spark.kernels.relate import _line_boundary_points, _line_parts
+
+    if g.type_id == G.POINT or g.type_id == G.MULTIPOINT:
+        return G.Geom.empty(G.GEOMETRYCOLLECTION)
+    if g.type_id in (G.LINESTRING, G.MULTILINESTRING):
+        bpts = _line_boundary_points(_line_parts(g))
+        if len(bpts) == 0:
+            return G.Geom.empty(G.MULTILINESTRING)
+        if len(bpts) == 1:
+            return G.Geom(G.POINT, bpts[:1])
+        return G.Geom(
+            G.MULTIPOINT, [G.Geom(G.POINT, bpts[i : i + 1]) for i in range(len(bpts))]
+        )
+    if g.type_id == G.POLYGON:
+        rings = [G.Geom(G.LINESTRING, r) for r in g.data]
+        if not rings:
+            return G.Geom.empty(G.MULTILINESTRING)
+        if len(rings) == 1:
+            return rings[0]
+        return G.Geom(G.MULTILINESTRING, rings)
+    if g.type_id == G.MULTIPOLYGON:
+        rings = [
+            G.Geom(G.LINESTRING, r) for p in g.data for r in p.data
+        ]
+        if len(rings) == 1:
+            return rings[0]
+        return G.Geom(G.MULTILINESTRING, rings)
+    parts = [geom_boundary(p) for p in g.data]
+    return G.Geom(G.GEOMETRYCOLLECTION, parts)
+
+
+def equals_exact(a: G.Geom, b: G.Geom, tol: float = 0.0) -> bool:
+    """Coordinate-wise structural equality within tolerance
+    (GEOSEqualsExact semantics: same structure, same order)."""
+    if a.type_id != b.type_id:
+        return False
+    if a.type_id in (G.POINT, G.LINESTRING):
+        if a.data.shape != b.data.shape:
+            return False
+        if tol == 0.0:
+            return bool(np.array_equal(a.data, b.data))
+        return bool((np.abs(a.data - b.data) <= tol).all())
+    if a.type_id == G.POLYGON:
+        if len(a.data) != len(b.data):
+            return False
+        for x, y in zip(a.data, b.data):
+            if x.shape != y.shape:
+                return False
+            if tol == 0.0:
+                if not np.array_equal(x, y):
+                    return False
+            elif not (np.abs(x - y) <= tol).all():
+                return False
+        return True
+    if len(a.data) != len(b.data):
+        return False
+    return all(equals_exact(x, y, tol) for x, y in zip(a.data, b.data))
 
 
 def geom_distance(a: G.Geom, b: G.Geom) -> float:

@@ -24,8 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from geos_spark.functions.hilbert_native import with_tile_cell
-from geos_spark.functions.st import DEFAULT_EXTENT, st_tile_cells
+from geos_spark.functions.hilbert_native import (
+    with_tile_cell,
+    with_tile_cells_exploded,
+)
+from geos_spark.functions.st import DEFAULT_EXTENT
 
 
 def within_distance_join(
@@ -43,17 +46,8 @@ def within_distance_join(
     px, py = probe_xy
     bx, by = build_xy
     p = with_tile_cell(probe, px, py, level, extent, out="__cell")
-    cells_udf = st_tile_cells(level, extent)
-    b = build.withColumn(
-        "__cell",
-        F.explode(
-            cells_udf(
-                F.col(bx) - F.lit(distance),
-                F.col(by) - F.lit(distance),
-                F.col(bx) + F.lit(distance),
-                F.col(by) + F.lit(distance),
-            )
-        ),
+    b = with_tile_cells_exploded(
+        build, (bx, by, bx, by), level, extent, out="__cell", pad=distance
     )
     d2 = (F.col(px) - F.col(bx)) ** 2 + (F.col(py) - F.col(by)) ** 2
     return p.join(b, "__cell").where(d2 <= F.lit(distance * distance)).drop(

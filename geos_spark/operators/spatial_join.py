@@ -34,8 +34,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from geos_spark.functions.hilbert_native import with_tile_cell
-from geos_spark.functions.st import DEFAULT_EXTENT, st_tile_cells
+from geos_spark.functions.hilbert_native import (
+    with_tile_cell,
+    with_tile_cells_exploded,
+)
+from geos_spark.functions.st import DEFAULT_EXTENT
 
 # Location codes (geom::Location)
 _INTERIOR, _BOUNDARY, _EXTERIOR = 0, 1, 2
@@ -86,6 +89,99 @@ def pip_refine(px: pd.Series, py: pd.Series, wkb: pd.Series) -> pd.Series:
     return pd.Series(out.astype("int32"))
 
 
+def relate_refine(predicate: str):
+    """Factory: pUDF evaluating a named DE-9IM predicate on WKB pairs.
+
+    Each distinct WKB decodes once per batch; the predicate runs on
+    the relate kernel (general path). ``predicate`` may also be a
+    9-char DE-9IM pattern.
+    """
+
+    @pandas_udf(T.BooleanType())
+    def _refine(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
+        from geos_spark.kernels import relate as R
+        from geos_spark.kernels.wkb import parse_wkb
+
+        ca, ua = pd.factorize(wkb_a.map(bytes))
+        cb, ub = pd.factorize(wkb_b.map(bytes))
+        ga = [parse_wkb(u) for u in ua]
+        gb = [parse_wkb(u) for u in ub]
+        if len(predicate) == 9:
+            fn = lambda a, b: R.relate_pattern(a, b, predicate)  # noqa: E731
+        else:
+            fn = getattr(R, "equals_topo" if predicate == "equalstopo" else predicate)
+        cache: dict[tuple[int, int], bool] = {}
+        out = []
+        for i, j in zip(ca, cb):
+            k = (int(i), int(j))
+            v = cache.get(k)
+            if v is None:
+                v = bool(fn(ga[i], gb[j]))
+                cache[k] = v
+            out.append(v)
+        return pd.Series(out, dtype=bool)
+
+    return _refine
+
+
+def polygon_join(
+    a: DataFrame,
+    b: DataFrame,
+    predicate: str = "intersects",
+    *,
+    a_bbox: tuple[str, str, str, str] = ("xmin", "ymin", "xmax", "ymax"),
+    b_bbox: tuple[str, str, str, str] = ("bxmin", "bymin", "bxmax", "bymax"),
+    a_wkb: str = "wkb",
+    b_wkb: str = "bwkb",
+    level: int = 6,
+    extent: tuple[float, float, float, float] = DEFAULT_EXTENT,
+) -> DataFrame:
+    """Generic geometry-geometry spatial join (both sides non-point).
+
+    Both sides explode to overlapping tiles; candidates pass the
+    envelope short-circuit, then the reference-point rule keeps each
+    pair only in the tile containing (max(xmin_a, xmin_b),
+    max(ymin_a, ymin_b)) — no duplicate pairs, no second distinct
+    shuffle (SURVEY §3.1 dedup). Refine = relate-kernel pUDF.
+    """
+    minx, miny, maxx, maxy = extent
+    n = 1 << level
+    sx = (maxx - minx) / n
+    sy = (maxy - miny) / n
+    axmin, aymin, axmax, aymax = a_bbox
+    bxmin, bymin, bxmax, bymax = b_bbox
+
+    ea = with_tile_cells_exploded(
+        a, a_bbox, level, extent, out="__cell", keep_grid=True
+    )
+    eb = with_tile_cells_exploded(b, b_bbox, level, extent, out="__cell")
+
+    cand = ea.join(eb, "__cell").where(
+        (F.col(axmin) <= F.col(bxmax))
+        & (F.col(bxmin) <= F.col(axmax))
+        & (F.col(aymin) <= F.col(bymax))
+        & (F.col(bymin) <= F.col(aymax))
+    )
+    # reference-point dedup (codegen'd, no shuffle)
+    rx = F.greatest(F.col(axmin), F.col(bxmin))
+    ry = F.greatest(F.col(aymin), F.col(bymin))
+    rgx = F.greatest(
+        F.lit(0), F.least(F.lit(n - 1), F.floor((rx - F.lit(minx)) / F.lit(sx)))
+    )
+    rgy = F.greatest(
+        F.lit(0), F.least(F.lit(n - 1), F.floor((ry - F.lit(miny)) / F.lit(sy)))
+    )
+    cand = cand.where((F.col("gx") == rgx) & (F.col("gy") == rgy))
+
+    refined = cand.withColumn(
+        "__ok", relate_refine(predicate)(F.col(a_wkb), F.col(b_wkb))
+    )
+    return (
+        refined.where(F.col("__ok"))
+        .drop("__ok", "__cell", "gx", "gy")
+    )
+
+
 def point_in_polygon_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -114,12 +210,8 @@ def point_in_polygon_join(
     xmin, ymin, xmax, ymax = bbox_cols
     pts = with_tile_cell(points, x_col, y_col, level, extent, out="__cell")
 
-    cells_udf = st_tile_cells(level, extent)
-    polys = polygons.withColumn(
-        "__cell",
-        F.explode(
-            cells_udf(F.col(xmin), F.col(ymin), F.col(xmax), F.col(ymax))
-        ),
+    polys = with_tile_cells_exploded(
+        polygons, bbox_cols, level, extent, out="__cell"
     )
 
     # global phase: cell equijoin + envelope short-circuit (codegen)
