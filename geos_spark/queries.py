@@ -470,6 +470,115 @@ SELECT q_id, CAST(rank AS INT) AS rank, vec_id FROM ranked WHERE rank <= 5
 
 
 # ----------------------------------------------------------------------
+# rectangle-rectangle join (rectangle fast path: pure native SQL)
+# ----------------------------------------------------------------------
+
+_HALF = 8.0  # doc square half-side
+
+
+def q_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _doc_points(spark, sf_dir)
+    sq = (
+        pts.withColumn("sxmin", F.col("x") - _HALF)
+        .withColumn("symin", F.col("y") - _HALF)
+        .withColumn("sxmax", F.col("x") + _HALF)
+        .withColumn("symax", F.col("y") + _HALF)
+    )
+    bb = star_polygons(spark).select("poly_id", "xmin", "ymin", "xmax", "ymax")
+    out = sq.join(
+        F.broadcast(bb),
+        (F.col("sxmin") <= F.col("xmax"))
+        & (F.col("xmin") <= F.col("sxmax"))
+        & (F.col("symin") <= F.col("ymax"))
+        & (F.col("ymin") <= F.col("symax")),
+    )
+    return out.select("doc_id", "poly_id")
+
+
+def q_rect_join_sql() -> str:
+    return f"""
+WITH {_POINTS_CTE},
+{star_params_sql()}
+SELECT p.doc_id, bb.poly_id
+FROM points p
+JOIN star_bbox bb
+  ON (p.px - {_HALF}) <= bb.xmax AND bb.xmin <= (p.px + {_HALF})
+ AND (p.py - {_HALF}) <= bb.ymax AND bb.ymin <= (p.py + {_HALF})
+"""
+
+
+# ----------------------------------------------------------------------
+# tile materialization: per-polygon fragment-area partition invariant
+# (sum of per-tile clipped areas == polygon area)
+# ----------------------------------------------------------------------
+
+
+def q_tile_area_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geos_spark.operators.tiling import tile_materialize
+
+    frags = tile_materialize(star_polygons(spark), level=6, extent=EXTENT)
+    return frags.groupBy("poly_id").agg(
+        F.round(F.sum("clipped_area"), 5).alias("area_r")
+    )
+
+
+def q_tile_area_sum_sql() -> str:
+    return f"""
+WITH {star_params_sql()}
+SELECT poly_id,
+       ROUND(ABS(SUM((x1 - first_x) * (y2) - (x2 - first_x) * (y1))) / 2.0, 5) AS area_r
+FROM (
+    SELECT e.*, FIRST_VALUE(x1) OVER (PARTITION BY poly_id ORDER BY j) AS first_x
+    FROM star_edges e
+)
+GROUP BY poly_id
+"""
+
+
+def q_tile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile fragments (rows-only driver check; the pytest suite
+    verifies fragment geometry against the local kernel exactly)."""
+    from geos_spark.operators.tiling import tile_materialize
+
+    frags = tile_materialize(star_polygons(spark), level=6, extent=EXTENT)
+    return frags.select(
+        "poly_id",
+        "cell",
+        F.round(F.col("clipped_area"), 5).alias("area_r"),
+        "covers_fully",
+    )
+
+
+def q_poly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-polygon intersects join, star set vs shifted star set
+    (rows-only driver check; pytest verifies against brute-force
+    relate)."""
+    import numpy as np
+
+    from geos_spark.kernels import geom as G
+    from geos_spark.kernels.wkb import write_wkb
+    from geos_spark.operators.spatial_join import polygon_join
+    from geos_spark.sources.pages import star_vertices
+
+    a = star_polygons(spark)
+    shifted = []
+    for p in range(256):
+        v = star_vertices(p) + np.array([150.0, 100.0])
+        shifted.append(
+            (p, bytearray(write_wkb(G.Geom(G.POLYGON, [v]))),
+             float(v[:, 0].min()), float(v[:, 1].min()),
+             float(v[:, 0].max()), float(v[:, 1].max()))
+        )
+    b = spark.createDataFrame(
+        shifted,
+        "b_poly_id long, bwkb binary, bxmin double, bymin double,"
+        " bxmax double, bymax double",
+    )
+    out = polygon_join(a, b, "intersects", level=5, extent=EXTENT)
+    return out.select("poly_id", "b_poly_id")
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -487,6 +596,10 @@ QUERIES = {
     "token_stats": q_token_stats,
     "lang_guess": q_lang_guess,
     "ann_topk": q_ann_topk,
+    "rect_join": q_rect_join,
+    "tile_area_sum": q_tile_area_sum,
+    "tile_clip": q_tile_clip,
+    "poly_join": q_poly_join,
 }
 
 ORACLES = {
@@ -503,4 +616,8 @@ ORACLES = {
     "token_stats": q_token_stats_sql(),
     "lang_guess": q_lang_guess_sql(),
     "ann_topk": q_ann_topk_sql(),
+    "rect_join": q_rect_join_sql(),
+    "tile_area_sum": q_tile_area_sum_sql(),
+    # tile_clip / poly_join: not SQL-expressible (geometry outputs);
+    # the driver records rows-only checks, pytest verifies exactly.
 }
