@@ -194,11 +194,20 @@ def point_in_polygon_join(
     level: int = 6,
     extent: tuple[float, float, float, float] = DEFAULT_EXTENT,
     keep_location: bool = False,
+    salt: int = 0,
 ) -> DataFrame:
     """Join points to polygons on a spatial predicate.
 
     Returns all columns of both inputs (plus ``location`` if
     requested). Inputs must not share column names.
+
+    ``salt > 0`` enables explicit hot-cell salting for shuffle joins
+    of two large sides: the probe side adds a deterministic salt in
+    [0, salt) and the build side replicates each cell row ``salt``
+    times, so one dense tile fans out over ``salt`` shuffle
+    partitions instead of pinning a single task. (With a broadcastable
+    build side salting is unnecessary — there is no shuffle — and AQE
+    skew-join remains on as the backstop.)
     """
     if predicate not in _POINT_PREDICATES:
         raise ValueError(
@@ -214,8 +223,21 @@ def point_in_polygon_join(
         polygons, bbox_cols, level, extent, out="__cell"
     )
 
+    join_keys = ["__cell"]
+    if salt > 0:
+        pts = pts.withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(F.col(x_col), F.col(y_col)), F.lit(salt)
+            ),
+        )
+        polys = polys.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        join_keys.append("__salt")
+
     # global phase: cell equijoin + envelope short-circuit (codegen)
-    cand = pts.join(polys, "__cell").where(
+    cand = pts.join(polys, join_keys).where(
         (F.col(x_col) >= F.col(xmin))
         & (F.col(x_col) <= F.col(xmax))
         & (F.col(y_col) >= F.col(ymin))
@@ -226,7 +248,7 @@ def point_in_polygon_join(
         "location", pip_refine(F.col(x_col), F.col(y_col), F.col(wkb_col))
     )
     cond: Column = F.col("location").isin(list(accepted))
-    out = refined.where(cond).drop("__cell")
+    out = refined.where(cond).drop("__cell", "__salt")
     if not keep_location:
         out = out.drop("location")
     return out
