@@ -66,6 +66,46 @@ def _bench_queries(spark):
             pts_1m, _centers(spark), 50.0, level=6, extent=EXTENT
         ).select("doc_id", "poly_id")
 
+    def rect_join_1m():
+        sq = (
+            pts_1m.withColumn("sxmin", F.col("x") - 8)
+            .withColumn("symin", F.col("y") - 8)
+            .withColumn("sxmax", F.col("x") + 8)
+            .withColumn("symax", F.col("y") + 8)
+        )
+        bb = stars.select("poly_id", "xmin", "ymin", "xmax", "ymax")
+        return sq.join(
+            F.broadcast(bb),
+            (F.col("sxmin") <= F.col("xmax"))
+            & (F.col("xmin") <= F.col("sxmax"))
+            & (F.col("symin") <= F.col("ymax"))
+            & (F.col("ymin") <= F.col("symax")),
+        ).select("doc_id", "poly_id")
+
+    def tile_rects_1m():
+        from geos_spark.operators.tiling import tile_materialize_rects
+
+        sq = (
+            pts_1m.withColumn("xmin", F.col("x") - 8)
+            .withColumn("ymin", F.col("y") - 8)
+            .withColumn("xmax", F.col("x") + 8)
+            .withColumn("ymax", F.col("y") + 8)
+        )
+        t = tile_materialize_rects(sq, level=8, extent=EXTENT)
+        return t.groupBy((F.col("cell") % 512).alias("b")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("clipped_area").alias("a")
+        )
+
+    def knn_ring_100k():
+        from geos_spark.operators.knn import knn_join
+
+        pts = with_doc_point(
+            spark.range(0, 100000, 1, CPUS * 2).withColumnRenamed("id", "doc_id")
+        )
+        return knn_join(
+            pts, _centers(spark), k=4, level=4, extent=EXTENT
+        ).select("doc_id", "rank", "poly_id")
+
     def dedup_exact_sf():
         from geos_spark.operators.dedup import exact_dedup_groups
 
@@ -83,7 +123,10 @@ def _bench_queries(spark):
     return {
         "pip_join_1m": (pip_join_1m, N_SYNTH),
         "tile_assign_1m": (tile_assign_1m, N_SYNTH),
+        "tile_rects_1m": (tile_rects_1m, N_SYNTH),
+        "rect_join_1m": (rect_join_1m, N_SYNTH),
         "distance_join_1m": (distance_join_1m, N_SYNTH),
+        "knn_ring_100k": (knn_ring_100k, 100000),
         "dedup_exact": (dedup_exact_sf, None),
         "token_stats": (token_stats_sf, None),
     }
@@ -103,9 +146,16 @@ def run_suite(cores: int) -> dict:
     rows: dict[str, int] = {}
     input_rows: dict[str, int] = {}
     for name, (fn, n_in) in qs.items():
-        t0 = time.perf_counter()
-        out = fn().count()
-        times[name] = round(time.perf_counter() - t0, 3)
+        # two runs, report the better: the first run pays python-worker
+        # first-touch/JIT warmup that a long-running cluster never sees
+        best = None
+        out = 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = fn().count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
         rows[name] = out
         if n_in:
             input_rows[name] = n_in

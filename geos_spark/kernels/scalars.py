@@ -165,6 +165,13 @@ def geom_centroid(g: G.Geom) -> tuple[float, float] | None:
 # ----------------------------------------------------------------------
 
 
+def convex_hull_coords(pts: np.ndarray) -> np.ndarray:
+    """Hull of a coordinate array -> closed ring (k,2); degenerate
+    inputs return the input points."""
+    g = convex_hull(G.Geom(G.LINESTRING, np.asarray(pts, dtype=np.float64)))
+    return g.all_coords()
+
+
 def convex_hull(g: G.Geom) -> G.Geom:
     pts = np.unique(g.all_coords(), axis=0)
     if len(pts) == 0:

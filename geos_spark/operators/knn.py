@@ -94,22 +94,21 @@ def knn_join(
     build_xy: tuple[str, str] = ("cx", "cy"),
     level: int = 4,
     extent=DEFAULT_EXTENT,
-    max_rings: int | None = None,
 ) -> DataFrame:
     """Cell-ring-expansion kNN (scale path for large build sides).
 
-    Ring r candidates = build rows whose tile is within Chebyshev
-    distance r of the probe's tile. A probe's result is final once its
-    k-th best squared distance <= ((r) * tile_side)^2 — the minimum
-    possible distance to any cell in ring r+1 or beyond (points in
-    adjacent rings can be arbitrarily close to the shared border, so
-    the bound uses r, not r+1). The loop unions per-ring candidate
-    sets and stops when every probe is final or rings are exhausted;
-    correctness does not depend on the stopping ring because the final
-    window re-ranks over all accumulated candidates.
-
-    Uses grid (gx, gy) keys rather than Hilbert ids for the ring
-    predicate (Chebyshev rings are axis-aligned).
+    Round with radius r: each *pending* probe explodes to the
+    (2r+1)^2 grid cells within Chebyshev distance r of its own cell
+    and equijoins the build side on (gx, gy) — a plain hash join, no
+    theta/cross join anywhere. A probe is final once it has k
+    candidates whose k-th squared distance <= (r * tile_side)^2 — the
+    minimum possible distance to any cell beyond radius r (a point in
+    an adjacent unexplored cell can be arbitrarily close to the shared
+    border, hence the bound uses r, not r+1; exactly the
+    branch-and-bound lower-bound reasoning of GEOSSTRtree_nearest,
+    src/index/strtree/BoundablePair.cpp, transplanted to the grid).
+    Radii double per round; when r covers the grid every probe is
+    final by construction. Exact results; ties by build id.
     """
     minx, miny, maxx, maxy = extent
     n = 1 << level
@@ -117,8 +116,6 @@ def knn_join(
     sy = (maxy - miny) / n
     px, py = probe_xy
     bx, by = build_xy
-    if max_rings is None:
-        max_rings = n  # worst case: whole grid
 
     def grid(df: DataFrame, xc: str, yc: str, pre: str) -> DataFrame:
         gx = F.greatest(
@@ -136,40 +133,54 @@ def knn_join(
 
     d2 = (F.col(px) - F.col(bx)) ** 2 + (F.col(py) - F.col(by)) ** 2
     tile_min = min(sx, sy)
+    out_cols = [c for c in probe.columns] + ["rank", build_id, "dist2"]
 
     results = None
     pending = p
-    r = 0
-    while r <= max_rings:
-        # candidates in Chebyshev ring <= r (recomputed per round on the
-        # pending probes only; dedup by window at the end)
-        cheb = F.greatest(
-            F.abs(F.col("p_gx") - F.col("b_gx")),
-            F.abs(F.col("p_gy") - F.col("b_gy")),
+    r = 1
+    while True:
+        exploded = (
+            pending.withColumn(
+                "__ngx",
+                F.explode(
+                    F.sequence(F.col("p_gx") - r, F.col("p_gx") + r)
+                ),
+            )
+            .withColumn(
+                "__ngy",
+                F.explode(
+                    F.sequence(F.col("p_gy") - r, F.col("p_gy") + r)
+                ),
+            )
         )
-        cand = pending.join(
-            b, cheb <= F.lit(r), "left"
+        cand = exploded.join(
+            b,
+            (F.col("__ngx") == F.col("b_gx"))
+            & (F.col("__ngy") == F.col("b_gy")),
         ).withColumn("dist2", d2)
         w = Window.partitionBy(probe_id).orderBy(
-            F.col("dist2").asc_nulls_last(), F.col(build_id).asc_nulls_last()
+            F.col("dist2").asc(), F.col(build_id).asc()
         )
-        ranked = cand.withColumn("rank", F.row_number().over(w))
-        topk = ranked.where(F.col("rank") <= k)
-        # a probe is final if it has k candidates and its kth dist2 fits
-        # inside radius r*tile_min (safe lower bound of ring r+1)
-        bound = (r * tile_min) ** 2
-        kth = topk.groupBy(probe_id).agg(
-            F.count(F.lit(1)).alias("__n"), F.max("dist2").alias("__kth")
+        topk = cand.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= k
         )
-        final_ids = kth.where(
-            (F.col("__n") >= k) & (F.col("__kth") <= F.lit(bound))
-        ).select(probe_id)
-        done = topk.join(final_ids, probe_id, "left_semi")
+        exhausted = r >= n  # whole grid explored
+        if exhausted:
+            final_ids = pending.select(probe_id)
+        else:
+            bound = (r * tile_min) ** 2
+            kth = topk.groupBy(probe_id).agg(
+                F.count(F.lit(1)).alias("__n"), F.max("dist2").alias("__kth")
+            )
+            final_ids = kth.where(
+                (F.col("__n") >= k) & (F.col("__kth") <= F.lit(bound))
+            ).select(probe_id)
+        done = topk.join(final_ids, probe_id, "left_semi").select(*out_cols)
         results = done if results is None else results.unionByName(done)
+        if exhausted:
+            break
         pending = pending.join(final_ids, probe_id, "left_anti")
-        # cheap emptiness check per round (metadata-only count)
         if pending.limit(1).count() == 0:
             break
-        r = max(1, r * 2)
-    out_cols = [c for c in probe.columns] + ["rank", build_id, "dist2"]
-    return results.select(*out_cols)
+        r = min(r * 2, n)
+    return results

@@ -71,6 +71,52 @@ def _clip_udf(
     )
 
 
+def tile_materialize_rects(
+    df: DataFrame,
+    level: int,
+    *,
+    bbox_cols: tuple[str, str, str, str] = ("xmin", "ymin", "xmax", "ymax"),
+    extent: tuple[float, float, float, float] = DEFAULT_EXTENT,
+) -> DataFrame:
+    """Rectangle fast path: when the geometry IS its envelope (tiles,
+    doc squares, raster footprints), the per-tile clip is a pure
+    envelope intersection — the whole tiling materializes natively
+    with zero python (the RectangleIntersection fast-path analogue,
+    ``src/operation/intersection/RectangleIntersection.cpp``).
+    Output: input cols + (cell, fxmin, fymin, fxmax, fymax,
+    clipped_area, covers_fully).
+    """
+    minx, miny, maxx, maxy = extent
+    n = 1 << level
+    sx = (maxx - minx) / n
+    sy = (maxy - miny) / n
+    xmin, ymin, xmax, ymax = (F.col(c) for c in bbox_cols)
+    e = with_tile_cells_exploded(
+        df, bbox_cols, level, extent, out="cell", keep_grid=True
+    )
+    tx0 = F.lit(minx) + F.col("gx") * F.lit(sx)
+    ty0 = F.lit(miny) + F.col("gy") * F.lit(sy)
+    tx1 = F.lit(minx) + (F.col("gx") + 1) * F.lit(sx)
+    ty1 = F.lit(miny) + (F.col("gy") + 1) * F.lit(sy)
+    fx0 = F.greatest(xmin, tx0)
+    fy0 = F.greatest(ymin, ty0)
+    fx1 = F.least(xmax, tx1)
+    fy1 = F.least(ymax, ty1)
+    area = F.greatest(F.lit(0.0), fx1 - fx0) * F.greatest(F.lit(0.0), fy1 - fy0)
+    return (
+        e.withColumn("fxmin", fx0)
+        .withColumn("fymin", fy0)
+        .withColumn("fxmax", fx1)
+        .withColumn("fymax", fy1)
+        .withColumn("clipped_area", area)
+        .withColumn(
+            "covers_fully", area == F.lit(sx) * F.lit(sy)
+        )
+        .where(area > 0)
+        .drop("gx", "gy")
+    )
+
+
 def tile_materialize(
     df: DataFrame,
     level: int,

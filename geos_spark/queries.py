@@ -579,6 +579,42 @@ def q_poly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# aggregates: distributed convex hull (partial/final), point-set union
+# ----------------------------------------------------------------------
+
+
+def q_hull_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convex hull of all doc points (rows-only driver check; pytest
+    verifies against the local kernel exactly)."""
+    from geos_spark.operators.aggregates import convex_hull_agg
+
+    hull = convex_hull_agg(_doc_points(spark, sf_dir))
+    rows = [(float(x), float(y)) for x, y in hull]
+    return spark.createDataFrame(rows, "hx double, hy double")
+
+
+def q_union_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unaryUnion over a point set = distinct coordinates; report the
+    union's cardinality and extent (native distinct + agg)."""
+    from geos_spark.operators.aggregates import collect_union_points
+
+    u = collect_union_points(_doc_points(spark, sf_dir))
+    return u.agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.min("ux").alias("minx"),
+        F.max("uy").alias("maxy"),
+    )
+
+
+def q_union_points_sql() -> str:
+    return f"""
+WITH {_POINTS_CTE},
+u AS (SELECT DISTINCT px, py FROM points)
+SELECT COUNT(*) AS n_pts, MIN(px) AS minx, MAX(py) AS maxy FROM u
+"""
+
+
+# ----------------------------------------------------------------------
 # registry
 # ----------------------------------------------------------------------
 
@@ -600,6 +636,8 @@ QUERIES = {
     "tile_area_sum": q_tile_area_sum,
     "tile_clip": q_tile_clip,
     "poly_join": q_poly_join,
+    "hull_agg": q_hull_agg,
+    "union_points": q_union_points,
 }
 
 ORACLES = {
@@ -618,6 +656,8 @@ ORACLES = {
     "ann_topk": q_ann_topk_sql(),
     "rect_join": q_rect_join_sql(),
     "tile_area_sum": q_tile_area_sum_sql(),
-    # tile_clip / poly_join: not SQL-expressible (geometry outputs);
-    # the driver records rows-only checks, pytest verifies exactly.
+    "union_points": q_union_points_sql(),
+    # tile_clip / poly_join / hull_agg: not SQL-expressible (geometry
+    # outputs); the driver records rows-only checks, pytest verifies
+    # them exactly against local kernels.
 }
