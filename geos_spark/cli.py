@@ -1,0 +1,96 @@
+"""geosop-style driver program (SURVEY §3.2).
+
+The reference ships ``geosop`` — read A/B geometry inputs, run a named
+op, print results + timings (``util/geosop/GeosOp.cpp``). This is the
+engine's distributed equivalent, runnable via spark-submit:
+
+    spark-submit --py-files geos_spark.zip -m geos_spark.cli \\
+        --op intersects --a a.parquet --b b.parquet --out out.parquet
+
+Ops: the spatial joins (intersects/contains/... between a point table
+and a polygon table), tile (tile materialization), knn, cell (tile
+assignment). Inputs are parquet tables with either (x, y) point
+columns or (wkb, xmin, ymin, xmax, ymax) geometry columns. Prints a
+one-line JSON timing summary per op (the geosop ``-t`` analogue).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser("geos-spark")
+    ap.add_argument("--op", required=True)
+    ap.add_argument("--a", required=True, help="probe table (parquet)")
+    ap.add_argument("--b", help="build table (parquet)")
+    ap.add_argument("--out", help="output parquet path")
+    ap.add_argument("--level", type=int, default=8)
+    ap.add_argument("--k", type=int, default=4)
+    ap.add_argument("--distance", type=float, default=50.0)
+    ap.add_argument(
+        "--extent", type=float, nargs=4, default=[0.0, 0.0, 4096.0, 4096.0]
+    )
+    ap.add_argument("--repeat", type=int, default=1, help="geosop -r analogue")
+    args = ap.parse_args(argv)
+
+    from geos_spark.session import get_spark
+
+    spark = get_spark(f"geosop_{args.op}")
+    extent = tuple(args.extent)
+    a = spark.read.parquet(args.a)
+    b = spark.read.parquet(args.b) if args.b else None
+
+    def run():
+        if args.op in (
+            "intersects", "contains", "within", "covers", "coveredby", "touches",
+        ):
+            from geos_spark.operators.spatial_join import point_in_polygon_join
+
+            return point_in_polygon_join(
+                a, b, args.op, level=args.level, extent=extent
+            )
+        if args.op == "cell":
+            from geos_spark.functions.hilbert_native import with_tile_cell
+
+            return with_tile_cell(a, "x", "y", args.level, extent)
+        if args.op == "tile":
+            from geos_spark.operators.tiling import tile_materialize
+
+            return tile_materialize(a, args.level, extent=extent)
+        if args.op == "knn":
+            from geos_spark.operators.knn import knn_join
+
+            return knn_join(
+                a, b, args.k, level=max(args.level - 4, 2), extent=extent
+            )
+        if args.op == "withindistance":
+            from geos_spark.operators.knn import within_distance_join
+
+            return within_distance_join(
+                a, b, args.distance, level=args.level, extent=extent
+            )
+        raise SystemExit(f"unknown op {args.op!r}")
+
+    rows = 0
+    times = []
+    for _ in range(args.repeat):
+        t0 = time.perf_counter()
+        df = run()
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            rows = spark.read.parquet(args.out).count()
+        else:
+            rows = df.count()
+        times.append(round(time.perf_counter() - t0, 3))
+    print(
+        json.dumps(
+            {"op": args.op, "rows": rows, "sec": min(times), "runs": times}
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
