@@ -132,16 +132,71 @@ def _bench_queries(spark):
     }
 
 
-def run_suite(cores: int) -> dict:
+def _scaling_queries(spark, cores: int):
+    """Heavy, compute-bound jobs for the N vs 4N scaling evidence.
+    Sized so fixed costs (session, scheduling, python-worker spin-up)
+    are <5% of runtime at the smaller parallelism."""
+    from pyspark.sql import functions as F
+
+    from geos_spark.functions.hilbert_native import with_hilbert_cell
+    from geos_spark.operators.spatial_join import point_in_polygon_join
+    from geos_spark.operators.text import with_quality
+    from geos_spark.sources.pages import (
+        EXTENT,
+        star_polygons,
+        synth_pages,
+        with_doc_point,
+    )
+
+    parts = 64  # FIXED partition count at both parallelism levels
+
+    def pip_join_4m():
+        pts = with_doc_point(
+            spark.range(0, 4_000_000, 1, parts).withColumnRenamed("id", "doc_id")
+        )
+        return point_in_polygon_join(
+            pts, star_polygons(spark), "intersects", level=6, extent=EXTENT
+        ).select("doc_id", "poly_id")
+
+    def tile_assign_32m():
+        pts = with_doc_point(
+            spark.range(0, 32_000_000, 1, parts).withColumnRenamed("id", "doc_id")
+        )
+        g = pts.withColumn(
+            "gx", F.floor(F.col("x")).cast("long")
+        ).withColumn("gy", F.floor(F.col("y")).cast("long"))
+        out = with_hilbert_cell(g, "gx", "gy", 12)
+        return out.groupBy((F.col("cell") % 1024).alias("b")).agg(
+            F.sum("cell").alias("s")
+        )
+
+    def token_stats_2m():
+        pages = synth_pages(spark, 2_000_000, partitions=parts)
+        q = with_quality(pages)
+        return q.groupBy("lang").agg(
+            F.sum("n_tokens").alias("t"), F.sum("stopword_hits").alias("s")
+        )
+
+    return {
+        "pip_join_4m": (pip_join_4m, 4_000_000),
+        "tile_assign_32m": (tile_assign_32m, 32_000_000),
+        "token_stats_2m": (token_stats_2m, 2_000_000),
+    }
+
+
+def run_suite(cores: int, scaling: bool = False) -> dict:
     from geos_spark.session import get_spark
 
-    spark = get_spark(f"bench_{cores}", cores=cores,
-                      shuffle_partitions=2 * cores)
+    spark = get_spark(
+        f"bench_{cores}",
+        cores=cores,
+        shuffle_partitions=64 if scaling else 2 * cores,
+    )
     # JVM warmup: trivial job so the first timed query isn't paying
     # classloading/codegen costs
     spark.range(1000).count()
 
-    qs = _bench_queries(spark)
+    qs = _scaling_queries(spark, cores) if scaling else _bench_queries(spark)
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     input_rows: dict[str, int] = {}
@@ -165,24 +220,51 @@ def run_suite(cores: int) -> dict:
 
 def main() -> None:
     if "--scaling" in sys.argv:
+        # N vs 4N parallelism on identical inputs/partitioning.
+        # Default N=2 (this sandbox's 32 "CPUs" sustain ~8-way
+        # parallelism cleanly; beyond that the host throttles — see
+        # BASELINE.md). Override with SPARK_GRAFT_SCALE_N.
+        n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+        levels = (n, 4 * n)
         res = {}
-        for cores in (8, 32):
+        for cores in levels:
             env = dict(os.environ)
             env["SPARK_GRAFT_CPUS"] = str(cores)
             out = subprocess.run(
-                [sys.executable, __file__, "--single"],
+                [sys.executable, __file__, "--scaling-single"],
                 env=env, capture_output=True, text=True, check=True,
             )
             res[cores] = json.loads(out.stdout.strip().splitlines()[-1])
-        report = {"metric": "scaling_efficiency_8_to_32", "sf": SF_DIR}
+        lo, hi = levels
         eff = {}
-        for q in res[8]["queries"]:
-            t8, t32 = res[8]["queries"][q], res[32]["queries"][q]
-            eff[q] = round((t8 / t32) / 4.0, 3)
-        report["queries_8"] = res[8]["queries"]
-        report["queries_32"] = res[32]["queries"]
-        report["efficiency"] = eff
-        print(json.dumps(report))
+        for q in res[lo]["queries"]:
+            eff[q] = round((res[lo]["queries"][q] / res[hi]["queries"][q]) / 4.0, 3)
+        print(
+            json.dumps(
+                {
+                    "metric": f"scaling_efficiency_{lo}_to_{hi}",
+                    "sf": SF_DIR,
+                    f"queries_{lo}": res[lo]["queries"],
+                    f"queries_{hi}": res[hi]["queries"],
+                    f"rows_per_sec_{lo}": res[lo]["input_rows_per_sec"],
+                    f"rows_per_sec_{hi}": res[hi]["input_rows_per_sec"],
+                    "efficiency": eff,
+                }
+            )
+        )
+        return
+
+    if "--scaling-single" in sys.argv:
+        r = run_suite(CPUS, scaling=True)
+        rps = {
+            q: round(r["input_rows"][q] / r["times"][q])
+            for q in r["times"]
+        }
+        print(
+            json.dumps(
+                {"queries": r["times"], "input_rows_per_sec": rps, "cores": CPUS}
+            )
+        )
         return
 
     r = run_suite(CPUS)

@@ -43,12 +43,15 @@ class Geom:
       MULTI*/GC       -> list of child Geom
     """
 
-    __slots__ = ("type_id", "data", "srid")
+    __slots__ = ("type_id", "data", "srid", "is_ring")
 
-    def __init__(self, type_id: int, data, srid: int = 0):
+    def __init__(self, type_id: int, data, srid: int = 0, is_ring: bool = False):
         self.type_id = type_id
         self.data = data
         self.srid = srid
+        # LINEARRING in WKT parses as LINESTRING + is_ring (validity
+        # semantics differ: rings must be closed and simple)
+        self.is_ring = is_ring
 
     # -- constructors -------------------------------------------------
     @staticmethod
@@ -87,7 +90,7 @@ class Geom:
         if self.type_id in (POINT, LINESTRING):
             return len(self.data) == 0
         if self.type_id == POLYGON:
-            return len(self.data) == 0
+            return len(self.data) == 0 or len(self.data[0]) == 0
         return all(g.is_empty for g in self.data) if self.data else True
 
     @property

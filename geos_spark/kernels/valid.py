@@ -1,0 +1,393 @@
+"""isSimple / isValid (OGC validity, IsSimpleOp / IsValidOp semantics).
+
+- ``is_simple``: element-boundary contact rule — intersections between
+  non-adjacent segments are allowed only at points that are terminal
+  vertices of both elements involved (closed elements treat their
+  first/last segments as adjacent). Mirrors
+  ``src/operation/valid/IsSimpleOp.cpp``.
+- ``is_valid``: polygon validity checks from IsValidOp
+  (``src/operation/valid/IsValidOp.cpp``): ring size/closure, ring
+  self-intersection, ring-ring crossing or collinear overlap, holes
+  inside shell, holes not nested, multipolygon shells not nested or
+  overlapping. The interior-connectivity check (holes chaining to
+  split the interior) is NOT implemented; such inputs may be
+  reported valid.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geos_spark.kernels import geom as G
+from geos_spark.kernels.pip import EXTERIOR, INTERIOR, PolygonPack, locate_points
+from geos_spark.kernels.segments import (
+    COLLINEAR_INTERSECTION,
+    POINT_INTERSECTION,
+    intersect_pairs,
+)
+
+
+def _elem_segments(g: G.Geom):
+    """Flat segment list with (elem_id, seg_pos, n_segs_of_elem,
+    is_closed, term_pts) metadata for lineal simplicity checks."""
+    segs = []
+    meta = []
+    elems = [
+        p for p in g.geoms() if p.type_id == G.LINESTRING and len(p.data) > 1
+    ]
+    terminals = {}
+    for ei, e in enumerate(elems):
+        c = e.data
+        closed = bool(np.array_equal(c[0], c[-1])) and len(c) > 3
+        # positions index only EMITTED (non-degenerate) segments, so
+        # repeated vertices don't break adjacency bookkeeping
+        pos = 0
+        first_of_elem = len(meta)
+        for i in range(len(c) - 1):
+            if np.array_equal(c[i], c[i + 1]):
+                continue
+            segs.append([c[i, 0], c[i, 1], c[i + 1, 0], c[i + 1, 1]])
+            meta.append([ei, pos, 0, closed])
+            pos += 1
+        for m in meta[first_of_elem:]:
+            m[2] = pos  # emitted count for this element
+        # a closed element has EMPTY (Mod-2) boundary: its endpoint is
+        # an *interior* point, so contacts there are non-simple
+        terminals[ei] = (
+            set() if closed else {tuple(c[0]), tuple(c[-1])}
+        )
+    return (
+        np.asarray(segs, dtype=np.float64).reshape(-1, 4),
+        [tuple(m) for m in meta],
+        terminals,
+    )
+
+
+def is_simple(g: G.Geom) -> bool:
+    if g.is_empty:
+        return True
+    d = g.dimension()
+    if d == 0:
+        pts = [tuple(p) for p in g.all_coords()]
+        return len(pts) == len(set(pts))
+    if d == 2:
+        # polygonal geometry: simple iff every ring is simple as a
+        # closed line (IsSimpleOp polygonal path)
+        for p in g.geoms():
+            if p.type_id != G.POLYGON:
+                continue
+            for r in p.data:
+                if len(r) and _ring_self_intersects(r):
+                    return False
+                if len(r) and len(r) < 4:
+                    return False
+        return True
+    segs, meta, terminals = _elem_segments(g)
+    n = len(segs)
+    if n < 2:
+        return True
+    ia, ib = np.triu_indices(n, k=1)
+    cls = intersect_pairs(segs[ia], segs[ib])
+    hits = np.flatnonzero(cls != 0)
+    for k in hits:
+        i, j = int(ia[k]), int(ib[k])
+        (ei, pi, ni, ci) = meta[i]
+        (ej, pj, nj, cj) = meta[j]
+        adjacent = ei == ej and (
+            abs(pi - pj) == 1
+            or (ci and {pi, pj} == {0, ni - 1})
+        )
+        if adjacent:
+            # consecutive segments share one vertex; a collinear
+            # overlap between them (backtrack) is non-simple
+            if cls[k] == COLLINEAR_INTERSECTION:
+                return False
+            continue
+        if cls[k] == COLLINEAR_INTERSECTION:
+            return False
+        # point intersection: must be a shared endpoint that is a
+        # terminal vertex of both elements
+        p = _contact_point(segs[i], segs[j])
+        if p is None:
+            return False  # proper crossing
+        if ei == ej:
+            return False  # same element, non-adjacent touch
+        if p not in terminals[ei] or p not in terminals[ej]:
+            return False
+    return True
+
+
+def _contact_point(a: np.ndarray, b: np.ndarray):
+    """Shared endpoint of two segments, or None (proper crossing)."""
+    a_pts = {(a[0], a[1]), (a[2], a[3])}
+    b_pts = {(b[0], b[1]), (b[2], b[3])}
+    shared = a_pts & b_pts
+    if not shared:
+        return None
+    # shared endpoint exists; but the pair may ALSO overlap elsewhere —
+    # callers already excluded collinear class; a point-class
+    # intersection with a shared endpoint is exactly that endpoint
+    return next(iter(shared))
+
+
+# ----------------------------------------------------------------------
+# validity
+# ----------------------------------------------------------------------
+
+
+def _ring_segs(r: np.ndarray) -> np.ndarray:
+    s = np.hstack([r[:-1], r[1:]])
+    keep = ~((s[:, 0] == s[:, 2]) & (s[:, 1] == s[:, 3]))
+    return s[keep]
+
+
+def _ring_self_intersects(r: np.ndarray) -> bool:
+    segs = _ring_segs(r)
+    n = len(segs)
+    if n < 3:
+        return True
+    ia, ib = np.triu_indices(n, k=1)
+    cls = intersect_pairs(segs[ia], segs[ib])
+    for k in np.flatnonzero(cls != 0):
+        i, j = int(ia[k]), int(ib[k])
+        adjacent = (j - i == 1) or (i == 0 and j == n - 1)
+        if adjacent:
+            if cls[k] == COLLINEAR_INTERSECTION:
+                return True
+            continue
+        return True  # any non-adjacent contact is a self-intersection
+    return False
+
+
+def _on_seg_interior(p, s) -> bool:
+    """p lies on segment s strictly between its endpoints (collinear
+    assumed checked by caller via orientation)."""
+    from geos_spark.kernels.orientation import orientation_index
+
+    if orientation_index(s[0], s[1], s[2], s[3], p[0], p[1]) != 0:
+        return False
+    if (p[0], p[1]) in ((s[0], s[1]), (s[2], s[3])):
+        return False
+    return (
+        min(s[0], s[2]) <= p[0] <= max(s[0], s[2])
+        and min(s[1], s[3]) <= p[1] <= max(s[1], s[3])
+    )
+
+
+def _vertex_neighbors(ring: np.ndarray, p) -> tuple | None:
+    """The two ring vertices adjacent to vertex p (ring closed)."""
+    body = ring[:-1]
+    for i in range(len(body)):
+        if body[i, 0] == p[0] and body[i, 1] == p[1]:
+            return tuple(body[i - 1]), tuple(body[(i + 1) % len(body)])
+    return None
+
+
+def _sides(a1, a2, pts) -> list[int]:
+    from geos_spark.kernels.orientation import orientation_index
+
+    return [
+        int(orientation_index(a1[0], a1[1], a2[0], a2[1], q[0], q[1]))
+        for q in pts
+    ]
+
+
+def _ring_pair_contacts(ra: np.ndarray, rb: np.ndarray):
+    """Classify the interaction of two rings.
+
+    Returns (crosses, touch_points): crosses=True for a proper edge
+    crossing, a collinear shared piece, or a vertex-on-edge contact
+    where the other ring's adjacent vertices lie on strictly opposite
+    sides (i.e. the boundary passes through). touch_points are the
+    point contacts (for the interior-connectivity touch graph).
+    """
+    sa, sb = _ring_segs(ra), _ring_segs(rb)
+    na, nb = len(sa), len(sb)
+    if na == 0 or nb == 0:
+        return False, []
+    ia = np.repeat(np.arange(na), nb)
+    ib = np.tile(np.arange(nb), na)
+    cls = intersect_pairs(sa[ia], sb[ib])
+    if (cls == COLLINEAR_INTERSECTION).any():
+        return True, []
+    touches: set[tuple] = set()
+    for k in np.flatnonzero(cls == POINT_INTERSECTION):
+        i, j = int(ia[k]), int(ib[k])
+        A, B = sa[i], sb[j]
+        shared = _contact_point(A, B)
+        if shared is not None:
+            # vertex-vertex contact: check side configuration of B's
+            # neighbors around the shared vertex w.r.t. A's rings is
+            # deferred to the touch graph (point touch)
+            touches.add(shared)
+            continue
+        # one endpoint on the other's interior, or proper crossing
+        handled = False
+        for p in ((A[0], A[1]), (A[2], A[3])):
+            if _on_seg_interior(p, B):
+                nbrs = _vertex_neighbors(ra, p)
+                if nbrs is None:
+                    continue
+                s = [x for x in _sides((B[0], B[1]), (B[2], B[3]), nbrs) if x != 0]
+                if len(s) == 2 and s[0] * s[1] < 0:
+                    return True, []  # ring a passes through edge of b
+                touches.add(p)
+                handled = True
+        for p in ((B[0], B[1]), (B[2], B[3])):
+            if _on_seg_interior(p, A):
+                nbrs = _vertex_neighbors(rb, p)
+                if nbrs is None:
+                    continue
+                s = [x for x in _sides((A[0], A[1]), (A[2], A[3]), nbrs) if x != 0]
+                if len(s) == 2 and s[0] * s[1] < 0:
+                    return True, []
+                touches.add(p)
+                handled = True
+        if not handled:
+            return True, []  # proper interior-interior crossing
+    return False, sorted(touches)
+
+
+def _point_in_ring(p, ring: np.ndarray) -> int:
+    pack = PolygonPack.from_rings([[ring]])
+    return int(
+        locate_points(
+            np.asarray([p], dtype=np.float64), pack,
+            np.array([0]), np.array([0]),
+        )[0]
+    )
+
+
+def _locate_in_polygon(p, poly: G.Geom) -> int:
+    """Locate a point in a polygon WITH holes."""
+    pack = PolygonPack.from_rings([poly.data])
+    return int(
+        locate_points(
+            np.asarray([p], dtype=np.float64), pack,
+            np.array([0]), np.array([0]),
+        )[0]
+    )
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent: dict = {}
+
+    def find(self, x):
+        self.parent.setdefault(x, x)
+        while self.parent[x] != x:
+            self.parent[x] = self.parent[self.parent[x]]
+            x = self.parent[x]
+        return x
+
+    def union(self, a, b) -> bool:
+        """Union; returns False if already connected (cycle)."""
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return False
+        self.parent[ra] = rb
+        return True
+
+
+def _poly_valid(p: G.Geom) -> bool:
+    rings = [r for r in p.data if len(r) > 0]
+    if not rings:
+        return True  # empty polygon is valid
+    for r in rings:
+        if len(r) < 4 or not np.array_equal(r[0], r[-1]):
+            return False
+        if not np.isfinite(r).all():
+            return False
+        if _ring_self_intersects(r):
+            return False
+    shell = rings[0]
+    holes = rings[1:]
+    uf = _UnionFind()
+    for hi, h in enumerate(holes):
+        crosses, touches = _ring_pair_contacts(shell, h)
+        if crosses:
+            return False
+        # a shell-hole pair touching at >1 point (or any cycle in the
+        # touch graph) disconnects the interior — ConnectedInteriorTester
+        for t in touches:
+            if not uf.union(("s",), ("h", hi)):
+                return False
+        # hole inside shell: no vertex outside, some point strictly in
+        locs = [_point_in_ring(v, shell) for v in h[:-1]]
+        if any(loc == EXTERIOR for loc in locs):
+            return False
+        if all(loc != INTERIOR for loc in locs):
+            return False  # hole collapsed onto the shell boundary
+    for i in range(len(holes)):
+        for j in range(i + 1, len(holes)):
+            crosses, touches = _ring_pair_contacts(holes[i], holes[j])
+            if crosses:
+                return False
+            for t in touches:
+                if not uf.union(("h", i), ("h", j)):
+                    return False
+            li = [_point_in_ring(v, holes[j]) for v in holes[i][:-1]]
+            lj = [_point_in_ring(v, holes[i]) for v in holes[j][:-1]]
+            if any(loc == INTERIOR for loc in li) or any(
+                loc == INTERIOR for loc in lj
+            ):
+                return False  # nested holes
+    return True
+
+
+def is_valid(g: G.Geom) -> bool:
+    if g.is_empty:
+        return True
+    if not np.isfinite(g.all_coords()).all():
+        return False
+    if g.type_id in (G.POINT, G.MULTIPOINT):
+        return True
+    if g.type_id in (G.LINESTRING, G.MULTILINESTRING):
+        for p in g.geoms():
+            if p.type_id != G.LINESTRING or p.is_empty:
+                continue
+            if len(np.unique(p.data, axis=0)) < 2:
+                return False  # zero-length line
+            if p.is_ring:
+                if (
+                    len(p.data) < 4
+                    or not np.array_equal(p.data[0], p.data[-1])
+                    or _ring_self_intersects(p.data)
+                ):
+                    return False
+        return True
+    if g.type_id == G.POLYGON:
+        return _poly_valid(g)
+    if g.type_id == G.MULTIPOLYGON:
+        polys = [
+            p for p in g.geoms() if p.type_id == G.POLYGON and not p.is_empty
+        ]
+        if not all(_poly_valid(p) for p in polys):
+            return False
+        # element polygons: boundaries must not cross or share edges;
+        # interiors must not nest or overlap (contain-in-hole is fine)
+        for i in range(len(polys)):
+            for j in range(i + 1, len(polys)):
+                ei = polys[i].envelope()
+                ej = polys[j].envelope()
+                if (
+                    ei[2] < ej[0] or ej[2] < ei[0]
+                    or ei[3] < ej[1] or ej[3] < ei[1]
+                ):
+                    continue
+                for ri in polys[i].data:
+                    for rj in polys[j].data:
+                        crosses, _ = _ring_pair_contacts(ri, rj)
+                        if crosses:
+                            return False
+                if any(
+                    _locate_in_polygon(tuple(v), polys[j]) == INTERIOR
+                    for v in polys[i].data[0][:-1]
+                ) or any(
+                    _locate_in_polygon(tuple(v), polys[i]) == INTERIOR
+                    for v in polys[j].data[0][:-1]
+                ):
+                    return False
+        return True
+    # collection: all parts valid
+    return all(is_valid(p) for p in g.data)

@@ -72,7 +72,11 @@ def _parse_geom(lex: _Lexer) -> G.Geom:
         coords = _parse_coord_list(lex, ndim)
         return G.Geom(G.POINT, coords[:1])
     if tid == G.LINESTRING:
-        return G.Geom(G.LINESTRING, _parse_coord_list(lex, ndim))
+        return G.Geom(
+            G.LINESTRING,
+            _parse_coord_list(lex, ndim),
+            is_ring=(tag == "LINEARRING"),
+        )
     if tid == G.POLYGON:
         return G.Geom(G.POLYGON, _parse_ring_list(lex, ndim))
     if tid == G.MULTIPOINT:
@@ -170,7 +174,11 @@ def _parse_ring_list(lex: _Lexer, ndim: int) -> list[np.ndarray]:
         lex.next()
         return rings
     while True:
-        rings.append(_parse_coord_list(lex, ndim))
+        if lex.peek() and lex.peek().upper() == "EMPTY":
+            lex.next()
+            rings.append(np.zeros((0, 2), dtype=np.float64))
+        else:
+            rings.append(_parse_coord_list(lex, ndim))
         if lex.next() == ")":
             break
     return rings

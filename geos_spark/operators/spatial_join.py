@@ -195,6 +195,7 @@ def point_in_polygon_join(
     extent: tuple[float, float, float, float] = DEFAULT_EXTENT,
     keep_location: bool = False,
     salt: int = 0,
+    broadcast_build: bool = True,
 ) -> DataFrame:
     """Join points to polygons on a spatial predicate.
 
@@ -222,6 +223,14 @@ def point_in_polygon_join(
     polys = with_tile_cells_exploded(
         polygons, bbox_cols, level, extent, out="__cell"
     )
+
+    # the exploded build side defeats Catalyst's size estimation (an
+    # explode's output size is unknown), which silently degrades the
+    # plan to a sort-merge join that shuffles the full probe side.
+    # Broadcast explicitly when the build side is dimension-sized; for
+    # large-large joins pass broadcast_build=False (+ salt for skew).
+    if broadcast_build and salt == 0:
+        polys = F.broadcast(polys)
 
     join_keys = ["__cell"]
     if salt > 0:
