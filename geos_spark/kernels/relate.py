@@ -177,10 +177,14 @@ def _point_on_any_segment(
     if eps > 0.0:
         from geos_spark.kernels.scalars import _seg_point_dist2
 
+        # tolerance scaled to the POINT's own magnitude (ulp-scale of
+        # the arrangement arithmetic) — a global-extent scale would
+        # swallow slivers thinner than the largest coordinate * 1e-9
+        eps_local = eps * max(1.0, abs(x), abs(y))
         d2 = _seg_point_dist2(
             segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3], x, y
         )
-        return bool((d2 <= eps * eps).any())
+        return bool((d2 <= eps_local * eps_local).any())
     inx = (np.minimum(segs[:, 0], segs[:, 2]) <= x) & (
         x <= np.maximum(segs[:, 0], segs[:, 2])
     )
@@ -198,13 +202,12 @@ def _point_on_any_segment(
 
 
 def _arr_eps(*seg_arrays) -> float:
-    """Snap tolerance for arrangement-derived points: relative to the
-    coordinate magnitude of the inputs."""
-    scale = 1.0
-    for s in seg_arrays:
-        if len(s):
-            scale = max(scale, float(np.abs(s).max()))
-    return 1e-9 * scale
+    """Relative snap tolerance for arrangement-derived points (scaled
+    per-point inside _point_on_any_segment). Intersection points carry
+    only a few ulp of error (~1e-16 relative), so 1e-13 keeps true
+    on-boundary midpoints snapping while leaving even extreme slivers
+    (TestRelateAA-big) distinct."""
+    return 1e-13
 
 
 # ----------------------------------------------------------------------
@@ -215,12 +218,17 @@ def _arr_eps(*seg_arrays) -> float:
 
 def _split_params(segs_a: np.ndarray, segs_b: np.ndarray):
     """For each segment of a: sorted split parameters t in (0,1) from
-    intersections with segs_b. Also returns the shared node set."""
+    intersections with segs_b. Returns (params, nodes, coverage):
+    coverage[i] is the list of (t0, t1) param intervals of a-seg i
+    covered by collinear overlap with some b-segment — the *structural*
+    on-boundary tag (no distance snapping, robust at any coordinate
+    magnitude)."""
     na, nb = len(segs_a), len(segs_b)
     params: list[list[float]] = [[] for _ in range(na)]
+    coverage: list[list[tuple[float, float]]] = [[] for _ in range(na)]
     nodes: list[tuple[float, float]] = []
     if na == 0 or nb == 0:
-        return params, nodes
+        return params, nodes, coverage
     ia = np.repeat(np.arange(na), nb)
     ib = np.tile(np.arange(nb), na)
     cls = intersect_pairs(segs_a[ia], segs_b[ib])
@@ -238,17 +246,23 @@ def _split_params(segs_a: np.ndarray, segs_b: np.ndarray):
                 nodes.append((pt[0], pt[1]))
         elif cls[k] == COLLINEAR_INTERSECTION:
             # project b endpoints onto a
+            ts = []
             for q in (Bs[:2], Bs[2:]):
                 t = _param_on_seg(A, q)
+                ts.append(t)
                 if 0.0 < t < 1.0:
                     params[i].append(t)
                 if 0.0 <= t <= 1.0:
                     nodes.append((float(q[0]), float(q[1])))
+            t0, t1 = sorted(ts)
+            lo, hi = max(t0, 0.0), min(t1, 1.0)
+            if hi > lo:
+                coverage[i].append((lo, hi))
             for q in (A[:2], A[2:]):
                 tb = _param_on_seg(Bs, q)
                 if 0.0 <= tb <= 1.0:
                     nodes.append((float(q[0]), float(q[1])))
-    return params, nodes
+    return params, nodes, coverage
 
 
 def _seg_seg_point(A: np.ndarray, B: np.ndarray):
@@ -324,8 +338,25 @@ class IM:
 I, B, E = 0, 1, 2
 
 
+def _collapse_degenerate_lines(g: G.Geom) -> G.Geom:
+    """Zero-length linestrings relate as points (their interior is the
+    single coordinate, their Mod-2 boundary is empty) — matches the
+    reference for e.g. LINESTRING(p, p)."""
+    if g.type_id == G.LINESTRING and len(g.data) >= 2:
+        if (g.data == g.data[0]).all():
+            return G.Geom(G.POINT, g.data[:1])
+        return g
+    if g.is_collection:
+        return G.Geom(
+            g.type_id, [_collapse_degenerate_lines(p) for p in g.data]
+        )
+    return g
+
+
 def relate(a: G.Geom, b: G.Geom) -> str:
     """Full DE-9IM matrix string for (a, b)."""
+    a = _collapse_degenerate_lines(a)
+    b = _collapse_degenerate_lines(b)
     im = IM()
     dim_a = a.dimension()
     dim_b = b.dimension()
@@ -444,30 +475,19 @@ def _relate_ll(im: IM, a: G.Geom, b: G.Geom) -> None:
     lb = _line_parts(b)
     sa, _ = _segments_of_lines(la)
     sb, _ = _segments_of_lines(lb)
-    params_a, nodes = _split_params(sa, sb)
-    params_b, _ = _split_params(sb, sa)
-    pieces_a = _pieces(sa, params_a)
-    pieces_b = _pieces(sb, params_b)
+    params_a, nodes, cov_a = _split_params(sa, sb)
+    params_b, _, cov_b = _split_params(sb, sa)
+    pieces_a, own_a, tr_a = _pieces_with_owner(sa, params_a)
+    pieces_b, own_b, tr_b = _pieces_with_owner(sb, params_b)
     ba = _line_boundary_points(la)
     bb = _line_boundary_points(lb)
     ba_keys = {_key(x, y) for x, y in ba}
     bb_keys = {_key(x, y) for x, y in bb}
 
-    # piece midpoints of A vs B: on-B (collinear) or off. Midpoints are
-    # arrangement-derived -> tolerant test.
-    eps = _arr_eps(sa, sb)
-    mids_a = _midpoints(pieces_a)
-    mids_b = _midpoints(pieces_b)
-    on_b = (
-        np.array([_point_on_any_segment(m, sb, eps) for m in mids_a])
-        if len(mids_a)
-        else np.zeros(0, dtype=bool)
-    )
-    on_a = (
-        np.array([_point_on_any_segment(m, sa, eps) for m in mids_b])
-        if len(mids_b)
-        else np.zeros(0, dtype=bool)
-    )
+    # pieces on the other line = structurally covered by collinear
+    # overlap (exact at any coordinate magnitude)
+    on_b = _piece_covered(own_a, tr_a, cov_a)
+    on_a = _piece_covered(own_b, tr_b, cov_b)
     if on_b.any():
         im.set(I, I, 1)  # collinear overlap
     if (~on_b).any():
@@ -475,21 +495,12 @@ def _relate_ll(im: IM, a: G.Geom, b: G.Geom) -> None:
     if (~on_a).any():
         im.set(E, I, 1)
 
-    # node classification for 0-dim entries (nodes are arrangement-
-    # derived -> tolerant on-test)
+    # node classification for 0-dim entries: every node lies on both
+    # geometries by construction, so location is boundary-vs-interior
     for nx, ny in nodes:
         k = _key(nx, ny)
-        p = np.array([nx, ny])
-        loc_a = (
-            BOUNDARY
-            if k in ba_keys
-            else (INTERIOR if _point_on_any_segment(p, sa, eps) else EXTERIOR)
-        )
-        loc_b = (
-            BOUNDARY
-            if k in bb_keys
-            else (INTERIOR if _point_on_any_segment(p, sb, eps) else EXTERIOR)
-        )
+        loc_a = BOUNDARY if k in ba_keys else INTERIOR
+        loc_b = BOUNDARY if k in bb_keys else INTERIOR
         if loc_a == INTERIOR and loc_b == INTERIOR:
             im.set(I, I, 0)
         if loc_a == INTERIOR and loc_b == BOUNDARY:
@@ -523,16 +534,13 @@ def _relate_la(im: IM, line_g: G.Geom, poly_g: G.Geom, t: bool) -> None:
     sa, _ = _segments_of_lines(lines)
     rings = _rings_of_polys(polys)
     sb, _ = _segments_of_rings(rings)
-    params_a, nodes = _split_params(sa, sb)
-    pieces_a = _pieces(sa, params_a)
+    params_a, nodes, cov_a = _split_params(sa, sb)
+    pieces_a, own_a, tr_a = _pieces_with_owner(sa, params_a)
     mids_a = _midpoints(pieces_a)
-    eps = _arr_eps(sa, sb)
     loc_mid = _locate_in_polys(mids_a, polys)
-    # snap arrangement-derived midpoints onto the ring where they are
-    # within eps of it (their true location is exactly-on)
-    for i, m in enumerate(mids_a):
-        if loc_mid[i] != BOUNDARY and _point_on_any_segment(m, sb, eps):
-            loc_mid[i] = BOUNDARY
+    # pieces collinear-covered by the boundary are ON it (structural)
+    covered_a = _piece_covered(own_a, tr_a, cov_a)
+    loc_mid[covered_a] = BOUNDARY
 
     if (loc_mid == INTERIOR).any():
         _set_transposed(im, I, I, 1, t)
@@ -560,14 +568,9 @@ def _relate_la(im: IM, line_g: G.Geom, poly_g: G.Geom, t: bool) -> None:
     # exterior of the line vs the area
     _set_transposed(im, E, I, 2, t)
     # is the full polygon boundary covered by the line? (rare)
-    params_b, _ = _split_params(sb, sa)
-    pieces_b = _pieces(sb, params_b)
-    mids_b = _midpoints(pieces_b)
-    covered = (
-        np.array([_point_on_any_segment(m, sa) for m in mids_b])
-        if len(mids_b)
-        else np.zeros(0, dtype=bool)
-    )
+    params_b, _, cov_b = _split_params(sb, sa)
+    pieces_b, own_b, tr_b = _pieces_with_owner(sb, params_b)
+    covered = _piece_covered(own_b, tr_b, cov_b)
     if (~covered).any():
         _set_transposed(im, E, B, 1, t)
 
@@ -587,22 +590,18 @@ def _relate_aa(im: IM, a: G.Geom, b: G.Geom) -> None:
     sa, ring_of_a = _segments_of_rings(rings_a)
     sb, ring_of_b = _segments_of_rings(rings_b)
 
-    params_a, nodes = _split_params(sa, sb)
-    params_b, _ = _split_params(sb, sa)
+    params_a, nodes, cov_a = _split_params(sa, sb)
+    params_b, _, cov_b = _split_params(sb, sa)
     # piece -> owning segment (to recover ring metadata)
-    pieces_a, own_a = _pieces_with_owner(sa, params_a)
-    pieces_b, own_b = _pieces_with_owner(sb, params_b)
+    pieces_a, own_a, tr_a = _pieces_with_owner(sa, params_a)
+    pieces_b, own_b, tr_b = _pieces_with_owner(sb, params_b)
     mids_a = _midpoints(pieces_a)
     mids_b = _midpoints(pieces_b)
-    eps = _arr_eps(sa, sb)
     loc_a = _locate_in_polys(mids_a, pb)  # A-boundary pieces in B
     loc_b = _locate_in_polys(mids_b, pa)  # B-boundary pieces in A
-    for i, m in enumerate(mids_a):
-        if loc_a[i] != BOUNDARY and _point_on_any_segment(m, sb, eps):
-            loc_a[i] = BOUNDARY
-    for j, m in enumerate(mids_b):
-        if loc_b[j] != BOUNDARY and _point_on_any_segment(m, sa, eps):
-            loc_b[j] = BOUNDARY
+    # structural on-boundary tags from collinear coverage (exact)
+    loc_a[_piece_covered(own_a, tr_a, cov_a)] = BOUNDARY
+    loc_b[_piece_covered(own_b, tr_b, cov_b)] = BOUNDARY
 
     a_int = (loc_a == INTERIOR).any()
     a_bnd = (loc_a == BOUNDARY).any()
@@ -626,30 +625,38 @@ def _relate_aa(im: IM, a: G.Geom, b: G.Geom) -> None:
         # isolated boundary-boundary contact points
         im.set(B, B, 0)
 
-    # interior-interior
-    if a_int or b_int:
-        im.set(I, I, 2)
-    elif a_bnd:
-        # shared boundary pieces: same-side test via ring orientation
-        if _shared_side_same(
+    # interior-interior + boundary-only side analysis: for each shared
+    # (collinear) boundary piece, interiors on the same side -> II=2
+    # near it; opposite sides -> int(A) meets ext(B) (and vice versa)
+    any_same = any_opp = False
+    if a_bnd:
+        any_same, any_opp = _shared_piece_sides(
             pieces_a, own_a, ring_of_a, rings_a,
             pieces_b, own_b, ring_of_b, rings_b,
             loc_a, loc_b,
-        ):
-            im.set(I, I, 2)
+        )
+    if a_int or b_int or any_same:
+        im.set(I, I, 2)
 
     # int(A) vs ext(B) and vice versa
-    if a_ext or b_int:
+    if a_ext or b_int or any_opp:
         im.set(I, E, 2)
-    if b_ext or a_int:
+    if b_ext or a_int or any_opp:
         im.set(E, I, 2)
 
 
 def _pieces_with_owner(segs: np.ndarray, params: list[list[float]]):
+    """Split segments at params -> (pieces (m,4), owner (m,),
+    tranges (m,2))."""
     if len(segs) == 0:
-        return np.zeros((0, 4)), np.zeros(0, dtype=int)
+        return (
+            np.zeros((0, 4)),
+            np.zeros(0, dtype=int),
+            np.zeros((0, 2)),
+        )
     out = []
     owner = []
+    tranges = []
     for i, seg in enumerate(segs):
         ts = sorted({0.0, 1.0, *params[i]})
         p0 = np.array([seg[0], seg[1]])
@@ -660,19 +667,41 @@ def _pieces_with_owner(segs: np.ndarray, params: list[list[float]]):
             if not np.array_equal(pa_, pb_):
                 out.append([pa_[0], pa_[1], pb_[0], pb_[1]])
                 owner.append(i)
+                tranges.append((t0, t1))
     return (
         np.asarray(out, dtype=np.float64).reshape(-1, 4),
         np.asarray(owner, dtype=int),
+        np.asarray(tranges, dtype=np.float64).reshape(-1, 2),
     )
 
 
-def _shared_side_same(
+_COV_TOL = 1e-12
+
+
+def _piece_covered(owner, tranges, coverage) -> np.ndarray:
+    """Boolean per piece: its param interval lies inside a collinear-
+    coverage interval of its segment (=> the piece is ON the other
+    geometry's linework, decided structurally)."""
+    n = len(owner)
+    out = np.zeros(n, dtype=bool)
+    for k in range(n):
+        t0, t1 = tranges[k]
+        for c0, c1 in coverage[owner[k]]:
+            if t0 >= c0 - _COV_TOL and t1 <= c1 + _COV_TOL:
+                out[k] = True
+                break
+    return out
+
+
+def _shared_piece_sides(
     pieces_a, own_a, ring_of_a, rings_a,
     pieces_b, own_b, ring_of_b, rings_b,
     loc_a, loc_b,
-) -> bool:
-    """For collinear shared boundary pieces: do the two interiors lie on
-    the same side anywhere? (decides II for boundary-only contact)."""
+) -> tuple[bool, bool]:
+    """For collinear shared boundary pieces: (any_same_side,
+    any_opposite_side) of the two interiors (decides II and IE/EI for
+    boundary-only contact, e.g. polygon == other's hole)."""
+    any_same = any_opp = False
     # index B's boundary-located pieces by midpoint key
     b_by_mid: dict[tuple, list[int]] = {}
     for j in np.flatnonzero(loc_b == BOUNDARY):
@@ -703,8 +732,10 @@ def _shared_side_same(
             same_dir = (da[0] * db[0] + da[1] * db[1]) > 0
             eff_b = side_b if same_dir else -side_b
             if side_a == eff_b:
-                return True
-    return False
+                any_same = True
+            else:
+                any_opp = True
+    return any_same, any_opp
 
 
 # ----------------------------------------------------------------------

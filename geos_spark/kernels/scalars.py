@@ -338,6 +338,115 @@ def _segments(g: G.Geom) -> np.ndarray:
     return np.concatenate(segs)
 
 
+def interior_point(g: G.Geom) -> tuple[float, float] | None:
+    """Guaranteed-interior representative point.
+
+    Exact reference semantics by dimension:
+    - area: scan-line at the bisector Y (ScanLineYOrdinateFinder),
+      even/odd crossing pairs, midpoint of the widest interior section
+      (src/algorithm/InteriorPointArea.cpp)
+    - line: interior vertex closest to the centroid, endpoints as
+      fallback (InteriorPointLine.cpp)
+    - point: point closest to the centroid (InteriorPointPoint.cpp)
+    """
+    if g.is_empty:
+        return None
+    d = g.dimension()
+    if d == 2:
+        best = None
+        best_w = -1.0
+        for p in g.geoms():
+            if p.type_id != G.POLYGON or p.is_empty:
+                continue
+            r = _interior_point_polygon(p)
+            if r is not None and r[1] > best_w:
+                best, best_w = r[0], r[1]
+        return best
+    cen = geom_centroid(g)
+    if cen is None:
+        return None
+    cx, cy = cen
+    if d == 1:
+        cands = []
+        for p in g.geoms():
+            if p.type_id == G.LINESTRING and len(p.data) > 2:
+                cands.extend(tuple(v) for v in p.data[1:-1])
+        if not cands:
+            for p in g.geoms():
+                if p.type_id == G.LINESTRING and len(p.data):
+                    cands.append(tuple(p.data[0]))
+                    cands.append(tuple(p.data[-1]))
+    else:
+        cands = [
+            tuple(p.data[0])
+            for p in g.geoms()
+            if p.type_id == G.POINT and not p.is_empty
+        ]
+    if not cands:
+        return None
+    best = None
+    best_d = np.inf
+    for x, y in cands:
+        dd = float(np.hypot(x - cx, y - cy))
+        if dd < best_d:
+            best_d = dd
+            best = (float(x), float(y))
+    return best
+
+
+def _interior_point_polygon(p: G.Geom):
+    rings = [r for r in p.data if len(r)]
+    if not rings:
+        return None
+    all_y = np.concatenate([r[:, 1] for r in rings])
+    lo_y = float(all_y.min())
+    hi_y = float(all_y.max())
+    centre_y = (lo_y + hi_y) / 2.0
+    lo, hi = lo_y, hi_y
+    for y in all_y:
+        if y <= centre_y:
+            if y > lo:
+                lo = float(y)
+        elif y < hi:
+            hi = float(y)
+    scan_y = (hi + lo) / 2.0
+
+    crossings: list[float] = []
+    for r in rings:
+        if scan_y < r[:, 1].min() or scan_y > r[:, 1].max():
+            continue
+        for i in range(1, len(r)):
+            x0, y0 = r[i - 1]
+            x1, y1 = r[i]
+            if (y0 > scan_y and y1 > scan_y) or (y0 < scan_y and y1 < scan_y):
+                continue
+            if y0 == y1:
+                continue  # horizontal
+            if y0 == scan_y and y1 < scan_y:
+                continue  # downward excludes start
+            if y1 == scan_y and y0 < scan_y:
+                continue  # upward excludes end
+            if x0 == x1:
+                crossings.append(float(x0))
+            else:
+                m = (y1 - y0) / (x1 - x0)
+                crossings.append(float(x0 + (scan_y - y0) / m))
+    if not crossings:
+        # zero-area: default to first coordinate
+        return (float(rings[0][0, 0]), float(rings[0][0, 1])), 0.0
+    crossings.sort()
+    best = None
+    width = 0.0
+    it = iter(range(0, len(crossings) - 1, 2))
+    for i in it:
+        x1, x2 = crossings[i], crossings[i + 1]
+        if x2 - x1 >= width:
+            if x2 - x1 > width or best is None:
+                width = x2 - x1
+                best = ((x1 + x2) / 2.0, scan_y)
+    return best, width
+
+
 def geom_boundary(g: G.Geom) -> G.Geom:
     """OGC boundary (BoundaryOp semantics, Mod-2 rule for lines)."""
     from geos_spark.kernels.relate import _line_boundary_points, _line_parts

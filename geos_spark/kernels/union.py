@@ -18,8 +18,6 @@ from __future__ import annotations
 import numpy as np
 
 from geos_spark.kernels import geom as G
-from geos_spark.kernels.relate import _pieces, _split_params
-from geos_spark.kernels.segments import intersect_pairs  # noqa: F401 (doc)
 
 
 def _key(x: float, y: float) -> tuple:

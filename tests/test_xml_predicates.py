@@ -135,6 +135,21 @@ def test_simplify_case(case):
     )
 
 
+@pytest.mark.parametrize(
+    "case", list(_cases("TestInteriorPoint.xml", {"getinteriorpoint"}))
+)
+def test_interior_point_case(case):
+    a = parse_wkt(case.wkt_a)
+    exp = parse_wkt(case.expected)
+    got = S.interior_point(a)
+    if got is None:
+        assert exp.is_empty, case.case_id
+        return
+    ex, ey = exp.data[0]
+    assert got[0] == pytest.approx(ex, rel=0, abs=1e-9), case.case_id
+    assert got[1] == pytest.approx(ey, rel=0, abs=1e-9), case.case_id
+
+
 @pytest.mark.parametrize("case", list(_cases("TestBoundary.xml", {"getboundary"})))
 def test_boundary_case(case):
     a = parse_wkt(case.wkt_a)
