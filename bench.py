@@ -150,17 +150,17 @@ def _scaling_queries(spark, cores: int):
 
     parts = 64  # FIXED partition count at both parallelism levels
 
-    def pip_join_4m():
+    def pip_join_2m():
         pts = with_doc_point(
-            spark.range(0, 4_000_000, 1, parts).withColumnRenamed("id", "doc_id")
+            spark.range(0, 2_000_000, 1, parts).withColumnRenamed("id", "doc_id")
         )
         return point_in_polygon_join(
             pts, star_polygons(spark), "intersects", level=6, extent=EXTENT
         ).select("doc_id", "poly_id")
 
-    def tile_assign_32m():
+    def tile_assign_16m():
         pts = with_doc_point(
-            spark.range(0, 32_000_000, 1, parts).withColumnRenamed("id", "doc_id")
+            spark.range(0, 16_000_000, 1, parts).withColumnRenamed("id", "doc_id")
         )
         g = pts.withColumn(
             "gx", F.floor(F.col("x")).cast("long")
@@ -170,17 +170,17 @@ def _scaling_queries(spark, cores: int):
             F.sum("cell").alias("s")
         )
 
-    def token_stats_2m():
-        pages = synth_pages(spark, 2_000_000, partitions=parts)
+    def token_stats_1m():
+        pages = synth_pages(spark, 1_000_000, partitions=parts)
         q = with_quality(pages)
         return q.groupBy("lang").agg(
             F.sum("n_tokens").alias("t"), F.sum("stopword_hits").alias("s")
         )
 
     return {
-        "pip_join_4m": (pip_join_4m, 4_000_000),
-        "tile_assign_32m": (tile_assign_32m, 32_000_000),
-        "token_stats_2m": (token_stats_2m, 2_000_000),
+        "pip_join_2m": (pip_join_2m, 2_000_000),
+        "tile_assign_16m": (tile_assign_16m, 16_000_000),
+        "token_stats_1m": (token_stats_1m, 1_000_000),
     }
 
 
