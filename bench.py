@@ -148,39 +148,55 @@ def _scaling_queries(spark, cores: int):
         with_doc_point,
     )
 
-    parts = 64  # FIXED partition count at both parallelism levels
+    parts = 128  # FIXED partition count at both parallelism levels
 
-    def pip_join_2m():
+    def pip_join_4m():
         pts = with_doc_point(
-            spark.range(0, 2_000_000, 1, parts).withColumnRenamed("id", "doc_id")
+            spark.range(0, 4_000_000, 1, parts).withColumnRenamed("id", "doc_id")
         )
         return point_in_polygon_join(
             pts, star_polygons(spark), "intersects", level=6, extent=EXTENT
         ).select("doc_id", "poly_id")
 
-    def tile_assign_16m():
+    def tile_pipeline_8m():
+        # realistic tiling pipeline: derive geometry, level-12 cell
+        # assignment, explode doc squares to level-8 tiles with
+        # fragment areas (rect fast path), aggregate per tile
+        from geos_spark.operators.tiling import tile_materialize_rects
+
         pts = with_doc_point(
-            spark.range(0, 16_000_000, 1, parts).withColumnRenamed("id", "doc_id")
+            spark.range(0, 8_000_000, 1, parts).withColumnRenamed("id", "doc_id")
         )
         g = pts.withColumn(
-            "gx", F.floor(F.col("x")).cast("long")
-        ).withColumn("gy", F.floor(F.col("y")).cast("long"))
-        out = with_hilbert_cell(g, "gx", "gy", 12)
-        return out.groupBy((F.col("cell") % 1024).alias("b")).agg(
-            F.sum("cell").alias("s")
+            "g12x", F.floor(F.col("x")).cast("long")
+        ).withColumn("g12y", F.floor(F.col("y")).cast("long"))
+        g = with_hilbert_cell(g, "g12x", "g12y", 12, out="cell12").drop(
+            "g12x", "g12y"
+        )
+        sq = (
+            g.withColumn("xmin", F.col("x") - 8)
+            .withColumn("ymin", F.col("y") - 8)
+            .withColumn("xmax", F.col("x") + 8)
+            .withColumn("ymax", F.col("y") + 8)
+        )
+        t = tile_materialize_rects(sq, level=8, extent=EXTENT)
+        return t.groupBy((F.col("cell") % 4096).alias("b")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("clipped_area").alias("a"),
+            F.sum("cell12").alias("s12"),
         )
 
-    def token_stats_1m():
-        pages = synth_pages(spark, 1_000_000, partitions=parts)
+    def token_stats_500k():
+        pages = synth_pages(spark, 500_000, partitions=parts)
         q = with_quality(pages)
         return q.groupBy("lang").agg(
             F.sum("n_tokens").alias("t"), F.sum("stopword_hits").alias("s")
         )
 
     return {
-        "pip_join_2m": (pip_join_2m, 2_000_000),
-        "tile_assign_16m": (tile_assign_16m, 16_000_000),
-        "token_stats_1m": (token_stats_1m, 1_000_000),
+        "pip_join_4m": (pip_join_4m, 4_000_000),
+        "tile_pipeline_8m": (tile_pipeline_8m, 8_000_000),
+        "token_stats_500k": (token_stats_500k, 500_000),
     }
 
 
@@ -195,6 +211,24 @@ def run_suite(cores: int, scaling: bool = False) -> dict:
     # JVM warmup: trivial job so the first timed query isn't paying
     # classloading/codegen costs
     spark.range(1000).count()
+    # python-worker warmup: touch every worker slot with a pandas UDF
+    # so numpy/kernel imports and first-touch page faults are paid
+    # before timing (a long-running cluster amortizes these to zero)
+    from pyspark.sql import functions as F
+
+    from geos_spark.operators.spatial_join import pip_refine
+
+    warm = spark.range(0, 20000 * cores, 1, 4 * cores).select(
+        F.col("id").cast("double").alias("px"),
+        F.col("id").cast("double").alias("py"),
+    )
+    from geos_spark.kernels import geom as G
+    from geos_spark.kernels.wkb import write_wkb
+
+    wkb = write_wkb(G.Geom.polygon([[(0, 0), (1, 0), (1, 1), (0, 0)]]))
+    warm.withColumn(
+        "loc", pip_refine(F.col("px"), F.col("py"), F.lit(bytearray(wkb)))
+    ).write.format("noop").mode("overwrite").save()
 
     qs = _scaling_queries(spark, cores) if scaling else _bench_queries(spark)
     times: dict[str, float] = {}
@@ -206,8 +240,13 @@ def run_suite(cores: int, scaling: bool = False) -> dict:
         # Materialize via the noop sink — count() would let Catalyst
         # prune aggregate expressions / unused columns and time a
         # hollowed-out job.
+        runs = 1 if scaling else 2
+        # scaling mode: one explicit warmup on a 1-partition slice,
+        # then a single timed run (saves half the wall time)
+        if scaling:
+            fn().limit(1000).write.format("noop").mode("overwrite").save()
         best = None
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.perf_counter()
             fn().write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
@@ -232,9 +271,18 @@ def main() -> None:
         for cores in levels:
             env = dict(os.environ)
             env["SPARK_GRAFT_CPUS"] = str(cores)
+            # pin OS-level CPU affinity: local[N] only caps task slots,
+            # while JVM GC/shuffle/Arrow threads would otherwise use
+            # every host core and inflate the small-N baseline. With
+            # taskset, "N cores" means N cores — the same contract as
+            # N executor cores on a real cluster.
+            cmd = [sys.executable, __file__, "--scaling-single"]
+            import shutil
+
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
             out = subprocess.run(
-                [sys.executable, __file__, "--scaling-single"],
-                env=env, capture_output=True, text=True, check=True,
+                cmd, env=env, capture_output=True, text=True, check=True
             )
             res[cores] = json.loads(out.stdout.strip().splitlines()[-1])
         lo, hi = levels

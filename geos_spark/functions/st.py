@@ -126,6 +126,109 @@ def st_hilbert_envelope(level: int, extent=DEFAULT_EXTENT):
     return _cell
 
 
+@pandas_udf(T.BooleanType())
+def st_issimple(wkb: pd.Series) -> pd.Series:
+    from geos_spark.kernels.valid import is_simple
+
+    return wkb.map(lambda b: None if b is None else is_simple(parse_wkb(b)))
+
+
+@pandas_udf(T.BooleanType())
+def st_isvalid(wkb: pd.Series) -> pd.Series:
+    from geos_spark.kernels.valid import is_valid
+
+    return wkb.map(lambda b: None if b is None else is_valid(parse_wkb(b)))
+
+
+@pandas_udf(T.BinaryType())
+def st_boundary(wkb: pd.Series) -> pd.Series:
+    return wkb.map(
+        lambda b: None if b is None else write_wkb(S.geom_boundary(parse_wkb(b)))
+    )
+
+
+@pandas_udf(T.BinaryType())
+def st_convexhull(wkb: pd.Series) -> pd.Series:
+    return wkb.map(
+        lambda b: None if b is None else write_wkb(S.convex_hull(parse_wkb(b)))
+    )
+
+
+def st_simplify(tolerance: float):
+    @pandas_udf(T.BinaryType())
+    def _simplify(wkb: pd.Series) -> pd.Series:
+        return wkb.map(
+            lambda b: None
+            if b is None
+            else write_wkb(S.simplify_dp(parse_wkb(b), tolerance))
+        )
+
+    return _simplify
+
+
+def st_densify(tolerance: float):
+    from geos_spark.kernels.linear import densify
+
+    @pandas_udf(T.BinaryType())
+    def _densify(wkb: pd.Series) -> pd.Series:
+        return wkb.map(
+            lambda b: None
+            if b is None
+            else write_wkb(densify(parse_wkb(b), tolerance))
+        )
+
+    return _densify
+
+
+@pandas_udf(T.StringType())
+def st_relate(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
+    """Full DE-9IM matrix string per pair (per-batch decode cache)."""
+    from geos_spark.kernels.relate import relate
+
+    ca, ua = pd.factorize(wkb_a.map(bytes))
+    cb, ub = pd.factorize(wkb_b.map(bytes))
+    ga = [parse_wkb(u) for u in ua]
+    gb = [parse_wkb(u) for u in ub]
+    cache: dict = {}
+    out = []
+    for i, j in zip(ca, cb):
+        k = (int(i), int(j))
+        v = cache.get(k)
+        if v is None:
+            v = relate(ga[i], gb[j])
+            cache[k] = v
+        out.append(v)
+    return pd.Series(out)
+
+
+@pandas_udf(T.DoubleType())
+def st_distance(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            S.geom_distance(parse_wkb(a), parse_wkb(b))
+            if a is not None and b is not None
+            else None
+            for a, b in zip(wkb_a, wkb_b)
+        ]
+    )
+
+
+@pandas_udf(T.StringType())
+def st_asgeojson(wkb: pd.Series) -> pd.Series:
+    from geos_spark.kernels.geojson import geom_to_geojson
+
+    return wkb.map(
+        lambda b: None if b is None else geom_to_geojson(parse_wkb(b))
+    )
+
+
+@pandas_udf(T.BinaryType())
+def st_geomfromgeojson(s: pd.Series) -> pd.Series:
+    from geos_spark.kernels.geojson import geojson_to_geom
+
+    return s.map(lambda v: None if v is None else write_wkb(geojson_to_geom(v)))
+
+
 def st_point(x_col, y_col):
     """Native-ish point WKB construction (vectorized batch encoder)."""
     from geos_spark.kernels.wkb import encode_points

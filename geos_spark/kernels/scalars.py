@@ -338,6 +338,74 @@ def _segments(g: G.Geom) -> np.ndarray:
     return np.concatenate(segs)
 
 
+def set_precision(g: G.Geom, scale: float) -> G.Geom:
+    """Round coordinates to a fixed-precision grid:
+    x' = round(x * scale) / scale (PrecisionModel FIXED semantics,
+    include/geos/geom/PrecisionModel.h:63-80). Collapsed consecutive
+    duplicates are removed; degenerate rings are dropped."""
+
+    def snap(c: np.ndarray) -> np.ndarray:
+        out = np.round(c * scale) / scale
+        if len(out) > 1:
+            keep = np.ones(len(out), dtype=bool)
+            keep[1:] = (np.diff(out, axis=0) != 0).any(axis=1)
+            out = out[keep]
+        return out
+
+    if g.type_id == G.POINT:
+        return G.Geom(G.POINT, snap(g.data)) if not g.is_empty else g
+    if g.type_id == G.LINESTRING:
+        return G.Geom(G.LINESTRING, snap(g.data), is_ring=g.is_ring)
+    if g.type_id == G.POLYGON:
+        rings = []
+        for r in g.data:
+            s = snap(r)
+            if len(s) and not np.array_equal(s[0], s[-1]):
+                s = np.vstack([s, s[:1]])
+            if len(s) >= 4:
+                rings.append(s)
+        return G.Geom(G.POLYGON, rings)
+    if g.is_collection:
+        return G.Geom(g.type_id, [set_precision(p, scale) for p in g.data])
+    return g
+
+
+def reverse_geom(g: G.Geom) -> G.Geom:
+    """Reverse coordinate order of linework (GEOSReverse)."""
+    if g.type_id == G.POINT:
+        return g
+    if g.type_id == G.LINESTRING:
+        return G.Geom(G.LINESTRING, g.data[::-1].copy(), is_ring=g.is_ring)
+    if g.type_id == G.POLYGON:
+        return G.Geom(G.POLYGON, [r[::-1].copy() for r in g.data])
+    return G.Geom(g.type_id, [reverse_geom(p) for p in g.data])
+
+
+def transform_xy(g: G.Geom, fn) -> G.Geom:
+    """Apply a coordinate transform (GEOSGeom_transformXY). fn maps
+    (x_array, y_array) -> (x', y') vectorized."""
+
+    def t(c: np.ndarray) -> np.ndarray:
+        if len(c) == 0:
+            return c
+        x, y = fn(c[:, 0], c[:, 1])
+        return np.column_stack([x, y]).astype(np.float64)
+
+    if g.type_id in (G.POINT, G.LINESTRING):
+        return G.Geom(g.type_id, t(g.data), is_ring=g.is_ring)
+    if g.type_id == G.POLYGON:
+        return G.Geom(G.POLYGON, [t(r) for r in g.data])
+    return G.Geom(g.type_id, [transform_xy(p, fn) for p in g.data])
+
+
+def normalize_geom(g: G.Geom) -> G.Geom:
+    """Canonical form (see geom.canonical — used for normalized
+    comparison, the role of Geometry::normalize)."""
+    from geos_spark.kernels.geom import canonical
+
+    return canonical(g)
+
+
 def interior_point(g: G.Geom) -> tuple[float, float] | None:
     """Guaranteed-interior representative point.
 

@@ -253,11 +253,13 @@ def point_in_polygon_join(
         & (F.col(y_col) <= F.col(ymax))
     )
 
-    refined = cand.withColumn(
-        "location", pip_refine(F.col(x_col), F.col(y_col), F.col(wkb_col))
-    )
-    cond: Column = F.col("location").isin(list(accepted))
-    out = refined.where(cond).drop("__cell", "__salt")
-    if not keep_location:
-        out = out.drop("location")
-    return out
+    loc_expr = pip_refine(F.col(x_col), F.col(y_col), F.col(wkb_col))
+    if keep_location:
+        refined = cand.withColumn("location", loc_expr)
+        out = refined.where(F.col("location").isin(list(accepted)))
+    else:
+        # filter directly on the pUDF: withColumn + where would make
+        # Catalyst evaluate the python UDF twice (once in the filter,
+        # once in the projection that is then dropped)
+        out = cand.where(loc_expr.isin(list(accepted)))
+    return out.drop("__cell", "__salt")

@@ -579,6 +579,60 @@ def q_poly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# simhash fingerprints (md5-derived, fully SQL-reproducible)
+# ----------------------------------------------------------------------
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geos_spark.operators.dedup import simhash64
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", simhash64(F.col("text"), shingle_k=2).alias("simhash")
+    )
+
+
+def q_simhash_sql() -> str:
+    votes = []
+    for b in range(64):
+        src = "lo" if b < 32 else "hi"
+        k = b % 32
+        votes.append(
+            f"SUM(CASE WHEN (({src} >> {k}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        )
+    terms = []
+    for b in range(63):
+        terms.append(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)")
+    terms.append(
+        "(CASE WHEN b63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END)"
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(
+               list_transform(
+                   range(1, greatest(len(t) - 1, 1) + 1),
+                   i -> concat_ws(' ', t[i], t[i + 1])
+               )
+           ) AS shingles
+    FROM toks
+),
+e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+h AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(s), 1, 8))::BIGINT AS lo,
+           ('0x' || substr(md5(s), 9, 8))::BIGINT AS hi
+    FROM e
+),
+v AS (SELECT doc_id, {', '.join(votes)} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({' + '.join(terms)} AS BIGINT) AS simhash FROM v
+"""
+
+
+# ----------------------------------------------------------------------
 # aggregates: distributed convex hull (partial/final), point-set union
 # ----------------------------------------------------------------------
 
@@ -638,6 +692,7 @@ QUERIES = {
     "poly_join": q_poly_join,
     "hull_agg": q_hull_agg,
     "union_points": q_union_points,
+    "simhash": q_simhash,
 }
 
 ORACLES = {
@@ -657,6 +712,7 @@ ORACLES = {
     "rect_join": q_rect_join_sql(),
     "tile_area_sum": q_tile_area_sum_sql(),
     "union_points": q_union_points_sql(),
+    "simhash": q_simhash_sql(),
     # tile_clip / poly_join / hull_agg: not SQL-expressible (geometry
     # outputs); the driver records rows-only checks, pytest verifies
     # them exactly against local kernels.
