@@ -240,3 +240,49 @@ def st_point(x_col, y_col):
         )
 
     return _pt(F.col(x_col), F.col(y_col))
+
+
+# ----------------------------------------------------------------------
+# overlay (OverlayNG semantics — kernels/overlay.py)
+# ----------------------------------------------------------------------
+
+
+def _overlay_pair_udf(op_code: int):
+    @pandas_udf(T.BinaryType())
+    def _f(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
+        from geos_spark.kernels import overlay as OV
+
+        out = []
+        for a, b in zip(wkb_a, wkb_b):
+            if a is None or b is None:
+                out.append(None)
+                continue
+            try:
+                out.append(
+                    write_wkb(OV.overlay(parse_wkb(a), parse_wkb(b), op_code))
+                )
+            except (ValueError, NotImplementedError):
+                # per-row null-out, the GEOS C-API convention: an
+                # exception returns NULL to the caller instead of
+                # aborting the batch (capi/geos_ts_c.cpp:436-463)
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    return _f
+
+
+#: binary overlay column functions (capi geos_c.h.in:3751-3834)
+st_intersection = _overlay_pair_udf(1)
+st_union = _overlay_pair_udf(2)
+st_difference = _overlay_pair_udf(3)
+st_symdifference = _overlay_pair_udf(4)
+
+
+@pandas_udf(T.BinaryType())
+def st_unaryunion(wkb: pd.Series) -> pd.Series:
+    """GEOSUnaryUnion (capi geos_c.h.in:3884) per value."""
+    from geos_spark.kernels.union import unary_union
+
+    return wkb.map(
+        lambda b: None if b is None else write_wkb(unary_union(parse_wkb(b)))
+    )

@@ -171,7 +171,14 @@ def canonical(g: Geom) -> Geom:
         rev = [tuple(p) for p in c[::-1]]
         return Geom(LINESTRING, np.array(min(fwd, rev)))
     if g.type_id == POLYGON:
-        return Geom(POLYGON, [_canon_ring(r) for r in g.data])
+        if not g.data:
+            return g
+        shell = _canon_ring(g.data[0])
+        holes = sorted(
+            (_canon_ring(r) for r in g.data[1:]),
+            key=lambda r: [tuple(p) for p in r],
+        )
+        return Geom(POLYGON, [shell] + holes)
     parts = [canonical(p) for p in g.data]
     from geos_spark.kernels.wkb import write_wkb
 

@@ -1,0 +1,877 @@
+"""Overlay (intersection / union / difference / symDifference) kernel.
+
+Reimplements the reference's OverlayNG pipeline
+(``src/operation/overlayng/OverlayNG.cpp:207-280``) over a flat
+noded-segment arrangement instead of the OverlayGraph half-edge
+machinery; the *semantics* follow the reference with citations:
+
+- op truth table over locations      ``OverlayNG.cpp:72-91``
+  (BOUNDARY counts as INTERIOR)
+- result dimension per op            ``OverlayUtil.cpp:200-224``
+- empty-operand short-circuits       ``OverlayUtil.cpp:116-137``
+- empty result typing                ``OverlayUtil.cpp:176-196``
+- line-edge inclusion rules          ``LineBuilder.cpp:67-150``
+- boundary-touch lines in result     ``OverlayLabel.h:229-233``
+- collapse handling                  ``OverlayLabel.cpp:128-141``,
+  ``OverlayLabel.h:312-320``
+- intersection-node result points    ``IntersectionPointBuilder.cpp:44-88``
+- point-operand overlays             ``OverlayPoints.cpp``,
+  ``OverlayMixedPoints.cpp:109-250``
+- result assembly, A/L/P order,
+  most-specific type                 ``OverlayUtil.cpp:281-302``
+- noded intersection coordinates     DD homogeneous form +
+  nearest-endpoint fallback (see ``kernels/dd.py``) — this is what
+  makes output vertices bit-identical to the reference
+
+Float (FLOATING) precision model only; the snap-rounding ladder
+(``OverlayNGRobust.cpp:100-295``) is not implemented — robust-corpus
+cases that need it are tracked as known misses.
+
+Scalar kernel over ``Geom`` values: in the engine this runs inside a
+pandas-UDF batch loop per Arrow batch (one overlay per row pair); the
+distributed tiling fast path (clip-by-rect) stays in ``clip.py``.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import numpy as np
+
+from geos_spark.kernels import geom as G
+from geos_spark.kernels.dd import segment_intersection_point
+from geos_spark.kernels.orientation import orientation_index
+from geos_spark.kernels.pip import BOUNDARY, EXTERIOR, INTERIOR
+from geos_spark.kernels.relate import (
+    _line_parts,
+    _locate_in_polys,
+    _locate_on_lines,
+    _point_parts,
+    _poly_parts,
+)
+from geos_spark.kernels.scalars import ring_signed_area
+from geos_spark.kernels.segments import (
+    COLLINEAR_INTERSECTION,
+    POINT_INTERSECTION,
+    intersect_pairs,
+)
+
+INTERSECTION = 1
+UNION = 2
+DIFFERENCE = 3
+SYMDIFFERENCE = 4
+
+# label kinds per input (OverlayLabel dims)
+_NOT_PART = 0
+_BOUNDARY = 1
+_COLLAPSE = 2
+_LINE = 3
+
+_INT = int(INTERIOR)
+_BND = int(BOUNDARY)
+_EXT = int(EXTERIOR)
+
+
+def _is_result_of_op(op: int, loc0: int, loc1: int) -> bool:
+    """OverlayNG::isResultOfOp (OverlayNG.cpp:72-91)."""
+    if loc0 == _BND:
+        loc0 = _INT
+    if loc1 == _BND:
+        loc1 = _INT
+    if op == INTERSECTION:
+        return loc0 == _INT and loc1 == _INT
+    if op == UNION:
+        return loc0 == _INT or loc1 == _INT
+    if op == DIFFERENCE:
+        return loc0 == _INT and loc1 != _INT
+    if op == SYMDIFFERENCE:
+        return (loc0 == _INT) != (loc1 == _INT)
+    return False
+
+
+def _result_dimension(op: int, dim0: int, dim1: int) -> int:
+    """OverlayUtil::resultDimension (OverlayUtil.cpp:200-224)."""
+    if op == INTERSECTION:
+        return min(dim0, dim1)
+    if op == UNION:
+        return max(dim0, dim1)
+    if op == DIFFERENCE:
+        return dim0
+    return max(dim0, dim1)  # SYMDIFFERENCE
+
+
+def _empty_result(dim: int) -> G.Geom:
+    """OverlayUtil::createEmptyResult (OverlayUtil.cpp:176-196)."""
+    if dim == 0:
+        return G.Geom.empty(G.POINT)
+    if dim == 1:
+        return G.Geom.empty(G.LINESTRING)
+    if dim == 2:
+        return G.Geom(G.POLYGON, [])
+    return G.Geom(G.GEOMETRYCOLLECTION, [])
+
+
+def _env_disjoint(a: G.Geom, b: G.Geom) -> bool:
+    ax0, ay0, ax1, ay1 = a.envelope()
+    bx0, by0, bx1, by1 = b.envelope()
+    return ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0
+
+
+def _build_result(polys, lines, points, rdim) -> G.Geom:
+    """OverlayUtil::createResultGeometry: order A,L,P; most-specific
+    type via GeometryFactory::buildGeometry conventions."""
+    items: list[G.Geom] = []
+    items.extend(polys)
+    items.extend(lines)
+    items.extend(points)
+    if not items:
+        return _empty_result(rdim)
+    if len(items) == 1:
+        return items[0]
+    tids = {g.type_id for g in items}
+    if tids == {G.POLYGON}:
+        return G.Geom.collection(G.MULTIPOLYGON, items)
+    if tids == {G.LINESTRING}:
+        return G.Geom.collection(G.MULTILINESTRING, items)
+    if tids == {G.POINT}:
+        return G.Geom.collection(G.MULTIPOINT, items)
+    return G.Geom.collection(G.GEOMETRYCOLLECTION, items)
+
+
+# ----------------------------------------------------------------------
+# point-operand overlays
+# ----------------------------------------------------------------------
+
+
+def _unique_pts(arr: np.ndarray) -> list[tuple[float, float]]:
+    seen: set = set()
+    out = []
+    for x, y in arr:
+        k = (float(x), float(y))
+        if k not in seen:
+            seen.add(k)
+            out.append(k)
+    return out
+
+
+def _overlay_points(a: G.Geom, b: G.Geom, op: int) -> G.Geom:
+    """OverlayPoints: P/P overlay by exact coordinate equality
+    (floating precision model => no rounding)."""
+    pa = _unique_pts(_point_parts(a))
+    pb = _unique_pts(_point_parts(b))
+    sb = set(pb)
+    sa = set(pa)
+    if op == INTERSECTION:
+        keep = [p for p in pa if p in sb]
+    elif op == UNION:
+        keep = pa + [p for p in pb if p not in sa]
+    elif op == DIFFERENCE:
+        keep = [p for p in pa if p not in sb]
+    else:
+        keep = [p for p in pa if p not in sb] + [p for p in pb if p not in sa]
+    pts = [G.Geom.point(x, y) for x, y in sorted(keep)]
+    return _build_result([], [], pts, 0)
+
+
+def _covered_mask(coords: list, other: G.Geom, other_dim: int) -> list[bool]:
+    pts = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+    if other_dim == 2:
+        loc = _locate_in_polys(pts, _poly_parts(other))
+    else:
+        loc = _locate_on_lines(pts, _line_parts(other))
+    return [int(v) != _EXT for v in loc]
+
+
+def _self_union(g: G.Geom) -> G.Geom:
+    """OverlayNG::geomunion on a single edge geometry: node + merge
+    (used by OverlayMixedPoints::prepareNonPoint)."""
+    return overlay(g, G.Geom.empty(G.LINESTRING), UNION)
+
+
+def _overlay_mixed_points(a: G.Geom, b: G.Geom, op: int, rdim: int) -> G.Geom:
+    """OverlayMixedPoints (OverlayMixedPoints.cpp:109-250)."""
+    point_is_a = a.dimension() == 0
+    pt_geom, other = (a, b) if point_is_a else (b, a)
+    if rdim != 0:
+        # node the non-point operand for output (prepareNonPoint,
+        # OverlayMixedPoints.cpp:153-163)
+        other = _self_union(other)
+    other_dim = other.dimension()
+    coords = _unique_pts(_point_parts(pt_geom))
+    covered = (
+        _covered_mask(coords, other, other_dim) if coords else []
+    )
+
+    def pt_result(keep: list) -> G.Geom:
+        pts = [G.Geom.point(x, y) for x, y in sorted(keep)]
+        if not pts:
+            return _empty_result(0)
+        return _build_result([], [], pts, 0)
+
+    if op == INTERSECTION:
+        return pt_result([c for c, cv in zip(coords, covered) if cv])
+    if op == DIFFERENCE:
+        if not point_is_a:  # A - P = A unchanged
+            return other
+        return pt_result([c for c, cv in zip(coords, covered) if not cv])
+    # UNION / SYMDIFFERENCE: non-point geometry + uncovered points
+    free = [c for c, cv in zip(coords, covered) if not cv]
+    pts = [G.Geom.point(x, y) for x, y in sorted(free)]
+    polys = [g for g in other.geoms() if g.type_id == G.POLYGON and g.data]
+    lines = [
+        g for g in other.geoms() if g.type_id == G.LINESTRING and len(g.data)
+    ]
+    return _build_result(polys, lines, pts, rdim)
+
+
+# ----------------------------------------------------------------------
+# edge overlay: noding
+# ----------------------------------------------------------------------
+
+
+class _SrcSeg:
+    __slots__ = ("p", "q", "inp", "is_ring", "int_left", "splits",
+                 "sid", "idx")
+
+    def __init__(self, p, q, inp, is_ring, int_left, sid, idx):
+        self.p = p
+        self.q = q
+        self.inp = inp
+        self.is_ring = is_ring
+        self.int_left = int_left  # interior of parent area left of p->q
+        self.sid = sid  # source segment-string (ring / line part)
+        self.idx = idx  # position within the string
+        self.splits: list[tuple[float, tuple[float, float]]] = []
+
+
+def _collect_segments(g: G.Geom, inp: int, sid0: int):
+    """Segments tagged with their source segment-string, mirroring
+    EdgeNodingBuilder's one-SegmentString-per-ring/line model."""
+    out: list[_SrcSeg] = []
+    sizes: dict[int, int] = {}
+    ringflag: dict[int, bool] = {}
+    sid = sid0
+    for poly in _poly_parts(g):
+        for ri, r in enumerate(poly.data):
+            if len(r) < 4:
+                continue
+            ccw = ring_signed_area(r) > 0
+            is_hole = ri > 0
+            int_left = ccw != is_hole
+            k = 0
+            for i in range(len(r) - 1):
+                p = (float(r[i, 0]), float(r[i, 1]))
+                q = (float(r[i + 1, 0]), float(r[i + 1, 1]))
+                if p != q:
+                    out.append(_SrcSeg(p, q, inp, True, int_left, sid, k))
+                    k += 1
+            if k:
+                sizes[sid] = k
+                ringflag[sid] = True
+                sid += 1
+    for line in _line_parts(g):
+        k = 0
+        for i in range(len(line) - 1):
+            p = (float(line[i, 0]), float(line[i, 1]))
+            q = (float(line[i + 1, 0]), float(line[i + 1, 1]))
+            if p != q:
+                out.append(_SrcSeg(p, q, inp, False, False, sid, k))
+                k += 1
+        if k:
+            sizes[sid] = k
+            ringflag[sid] = False
+            sid += 1
+    return out, sizes, ringflag, sid
+
+
+def _param_of(p, q, pt) -> float:
+    dx = q[0] - p[0]
+    dy = q[1] - p[1]
+    if abs(dx) >= abs(dy):
+        return (pt[0] - p[0]) / dx if dx != 0.0 else 0.0
+    return (pt[1] - p[1]) / dy
+
+
+def _add_split(seg: _SrcSeg, pt) -> None:
+    if pt == seg.p or pt == seg.q:
+        return
+    t = _param_of(seg.p, seg.q, pt)
+    seg.splits.append((t, pt))
+
+
+def _node_segments(segs: list[_SrcSeg], sizes: dict, ringflag: dict) -> set:
+    """Split every segment at its intersections with every other
+    segment (both inputs together — the reference nodes all edges in
+    one pass, EdgeNodingBuilder).  O(n^2) pair generation with a
+    vectorized envelope prefilter; exact split coordinates.
+
+    Returns the set of node points — where noded chains (GEOS Edges)
+    break.  Trivial intersections (adjacent segments of one string
+    touching at their shared vertex, IntersectionAdder semantics) add
+    no node."""
+    nodes: set = set()
+    n = len(segs)
+    if n < 2:
+        return nodes
+    arr = np.array(
+        [[s.p[0], s.p[1], s.q[0], s.q[1]] for s in segs], dtype=np.float64
+    )
+    x0 = np.minimum(arr[:, 0], arr[:, 2])
+    x1 = np.maximum(arr[:, 0], arr[:, 2])
+    y0 = np.minimum(arr[:, 1], arr[:, 3])
+    y1 = np.maximum(arr[:, 1], arr[:, 3])
+    ii, jj = np.triu_indices(n, k=1)
+    ov = (
+        (x0[ii] <= x1[jj])
+        & (x0[jj] <= x1[ii])
+        & (y0[ii] <= y1[jj])
+        & (y0[jj] <= y1[ii])
+    )
+    ii, jj = ii[ov], jj[ov]
+    if len(ii) == 0:
+        return nodes
+    cls = intersect_pairs(arr[ii], arr[jj])
+    hit = np.flatnonzero(cls)
+    if len(hit) == 0:
+        return nodes
+    A = arr[ii[hit]]
+    B = arr[jj[hit]]
+    o1 = orientation_index(A[:, 0], A[:, 1], A[:, 2], A[:, 3], B[:, 0], B[:, 1])
+    o2 = orientation_index(A[:, 0], A[:, 1], A[:, 2], A[:, 3], B[:, 2], B[:, 3])
+    o3 = orientation_index(B[:, 0], B[:, 1], B[:, 2], B[:, 3], A[:, 0], A[:, 1])
+    o4 = orientation_index(B[:, 0], B[:, 1], B[:, 2], B[:, 3], A[:, 2], A[:, 3])
+    for k, h in enumerate(hit):
+        si = segs[int(ii[h])]
+        sj = segs[int(jj[h])]
+        if cls[h] == POINT_INTERSECTION:
+            same = si.sid == sj.sid
+            adjacent = same and (
+                abs(si.idx - sj.idx) == 1
+                or (
+                    ringflag.get(si.sid, False)
+                    and {si.idx, sj.idx} == {0, sizes[si.sid] - 1}
+                )
+            )
+            pt = segment_intersection_point(
+                si.p, si.q, sj.p, sj.q,
+                int(o1[k]), int(o2[k]), int(o3[k]), int(o4[k]),
+            )
+            if not adjacent:
+                nodes.add(pt)
+            _add_split(si, pt)
+            _add_split(sj, pt)
+        elif cls[h] == COLLINEAR_INTERSECTION:
+            # collinear overlap: node each at the other's endpoints
+            for ep in (sj.p, sj.q):
+                t = _param_of(si.p, si.q, ep)
+                if 0.0 <= t <= 1.0:
+                    nodes.add(ep)
+                if 0.0 < t < 1.0:
+                    _add_split(si, ep)
+            for ep in (si.p, si.q):
+                t = _param_of(sj.p, sj.q, ep)
+                if 0.0 <= t <= 1.0:
+                    nodes.add(ep)
+                if 0.0 < t < 1.0:
+                    _add_split(sj, ep)
+    return nodes
+
+
+# ----------------------------------------------------------------------
+# edge overlay: labelled arrangement
+# ----------------------------------------------------------------------
+
+
+class _Edge:
+    __slots__ = (
+        "p", "q", "area_cnt", "net_side", "is_line",
+        "kind", "int_left", "line_loc", "in_area_result", "in_line_result",
+    )
+
+    def __init__(self, p, q):
+        self.p = p  # canonical: p < q
+        self.q = q
+        self.area_cnt = [0, 0]
+        self.net_side = [0, 0]  # +1 per piece w/ interior left (canonical)
+        self.is_line = [False, False]
+        self.kind = [_NOT_PART, _NOT_PART]
+        self.int_left = [False, False]
+        self.line_loc = [_EXT, _EXT]
+        self.in_area_result = False
+        self.in_line_result = False
+
+    @property
+    def mid(self) -> tuple[float, float]:
+        return ((self.p[0] + self.q[0]) / 2.0, (self.p[1] + self.q[1]) / 2.0)
+
+
+def _build_edges(segs: list[_SrcSeg]):
+    """Build the merged labelled edge map plus, per source string, the
+    ordered piece walk (used to re-emit result lines with the
+    reference's noded-chain granularity)."""
+    edges: dict[tuple, _Edge] = {}
+    walks: dict[int, list] = defaultdict(list)  # sid -> [(a, b, edge)]
+    for s in segs:
+        pts = [s.p]
+        if s.splits:
+            seen = {s.p, s.q}
+            for _t, pt in sorted(s.splits, key=lambda e: e[0]):
+                if pt not in seen:
+                    pts.append(pt)
+                    seen.add(pt)
+        pts.append(s.q)
+        for a, b in zip(pts[:-1], pts[1:]):
+            if a == b:
+                continue
+            lo, hi = (a, b) if a < b else (b, a)
+            e = edges.get((lo, hi))
+            if e is None:
+                e = edges[(lo, hi)] = _Edge(lo, hi)
+            if s.is_ring:
+                e.area_cnt[s.inp] += 1
+                int_left = s.int_left if a == lo else not s.int_left
+                e.net_side[s.inp] += 1 if int_left else -1
+            else:
+                e.is_line[s.inp] = True
+            walks[s.sid].append((a, b, e))
+    return edges, walks
+
+
+def _parity_locate(pt, rings_segs: np.ndarray) -> int:
+    """Mod-2 ray-crossing location ignoring segments that contain the
+    point — resolves the region *surrounding* a collapsed edge (the
+    role of the labeller's collapse propagation)."""
+    px, py = pt
+    if len(rings_segs) == 0:
+        return _EXT
+    x1, y1, x2, y2 = (
+        rings_segs[:, 0], rings_segs[:, 1], rings_segs[:, 2], rings_segs[:, 3]
+    )
+    straddle = (y1 > py) != (y2 > py)
+    idx = np.flatnonzero(straddle)
+    cnt = 0
+    for i in idx:
+        xi = x1[i] + (py - y1[i]) * (x2[i] - x1[i]) / (y2[i] - y1[i])
+        if xi > px:
+            cnt += 1
+    return _INT if cnt % 2 == 1 else _EXT
+
+
+def _resolve_labels(edges: dict, inputs: list[G.Geom], dims: list[int]) -> None:
+    polys = [_poly_parts(g) if dims[i] == 2 else [] for i, g in enumerate(inputs)]
+    ring_segs = []
+    for i in range(2):
+        segs = []
+        for p in polys[i]:
+            for r in p.data:
+                s = np.hstack([r[:-1], r[1:]])
+                segs.append(s)
+        ring_segs.append(
+            np.concatenate(segs) if segs else np.zeros((0, 4))
+        )
+
+    # batch the off-edge locates per input
+    need_loc: list[list[_Edge]] = [[], []]
+    for e in edges.values():
+        for i in range(2):
+            if e.area_cnt[i] % 2 == 1:
+                e.kind[i] = _BOUNDARY
+                e.int_left[i] = e.net_side[i] > 0
+                e.line_loc[i] = _INT  # OverlayLabel::initBoundary
+            elif e.area_cnt[i] > 0:
+                e.kind[i] = _COLLAPSE
+                e.line_loc[i] = _parity_locate(e.mid, ring_segs[i])
+            elif e.is_line[i]:
+                e.kind[i] = _LINE
+                e.line_loc[i] = _INT
+            else:
+                e.kind[i] = _NOT_PART
+                if dims[i] == 2:
+                    need_loc[i].append(e)
+                else:
+                    e.line_loc[i] = _EXT
+    for i in range(2):
+        if not need_loc[i]:
+            continue
+        pts = np.array([e.mid for e in need_loc[i]], dtype=np.float64)
+        loc = _locate_in_polys(pts, polys[i])
+        for e, lv in zip(need_loc[i], loc):
+            # post-noding a NOT_PART midpoint is never truly on the
+            # boundary; a BOUNDARY readback is rounding -> INTERIOR
+            e.line_loc[i] = _INT if int(lv) != _EXT else _EXT
+
+
+def _side_area_loc(e: _Edge, i: int, left: bool, dims: list[int]) -> int:
+    if e.kind[i] == _BOUNDARY:
+        return _INT if (left == e.int_left[i]) else _EXT
+    if dims[i] == 2:
+        return e.line_loc[i]  # NOT_PART / COLLAPSE: same both sides
+    return _EXT  # lineal input has no 2-D interior
+
+
+# ----------------------------------------------------------------------
+# edge overlay: polygon extraction
+# ----------------------------------------------------------------------
+
+
+def _trace_rings(directed: list[tuple]) -> list[np.ndarray]:
+    """Assemble rings from directed result edges (interior on the
+    left): walk maximal rings with the DCEL rule (at each node take
+    the first outgoing edge clockwise from the reversed incoming
+    direction), then split self-touching maximal rings into minimal
+    rings at repeated vertices — the role of OverlayNG's
+    MaximalEdgeRing::buildMinimalRings."""
+    out_at: dict = defaultdict(list)
+    for k, (a, b) in enumerate(directed):
+        ang = math.atan2(b[1] - a[1], b[0] - a[0])
+        out_at[a].append((ang, k))
+    for lst in out_at.values():
+        lst.sort()
+    used = [False] * len(directed)
+    rings = []
+    for start in range(len(directed)):
+        if used[start]:
+            continue
+        ring = [directed[start][0]]
+        cur = start
+        closed = False
+        while True:
+            used[cur] = True
+            a, b = directed[cur]
+            ring.append(b)
+            rev = math.atan2(a[1] - b[1], a[0] - b[0])
+            cands = out_at.get(b)
+            if not cands:
+                break  # dangling (degenerate input) — drop
+            # first clockwise from rev: largest angle strictly < rev,
+            # wrapping to the overall largest
+            nxt = None
+            for ang, k in reversed(cands):
+                if ang < rev:
+                    nxt = k
+                    break
+            if nxt is None:
+                nxt = cands[-1][1]
+            if nxt == start:
+                closed = True
+                break
+            if used[nxt]:
+                break  # safety: malformed graph
+            cur = nxt
+        if closed and ring[0] == ring[-1] and len(ring) >= 4:
+            rings.extend(_split_minimal(ring))
+    return rings
+
+
+def _split_minimal(ring: list) -> list[np.ndarray]:
+    """Split a closed vertex path at repeated vertices into simple
+    minimal rings."""
+    path: list = []
+    at: dict = {}
+    out = []
+    for v in ring[:-1]:
+        if v in at:
+            i = at[v]
+            cyc = path[i:] + [v]
+            if len(cyc) >= 4:
+                out.append(np.asarray(cyc, dtype=np.float64))
+            for w in path[i + 1:]:
+                at.pop(w, None)
+            del path[i + 1:]
+        else:
+            at[v] = len(path)
+            path.append(v)
+    path.append(ring[0])
+    if len(path) >= 4:
+        out.append(np.asarray(path, dtype=np.float64))
+    return out
+
+
+def _point_in_ring_parity(pt, ring: np.ndarray) -> bool:
+    segs = np.hstack([ring[:-1], ring[1:]])
+    return _parity_locate(pt, segs) == _INT
+
+
+def _assemble_polygons(rings: list[np.ndarray]) -> list[G.Geom]:
+    shells = []
+    holes = []
+    for r in rings:
+        a = ring_signed_area(r)
+        if a > 0:
+            shells.append(r)
+        elif a < 0:
+            holes.append(r)
+    if not shells:
+        return []
+    shell_area = [abs(ring_signed_area(s)) for s in shells]
+    assigned: list[list[np.ndarray]] = [[] for _ in shells]
+    for h in holes:
+        pt = ((h[0, 0] + h[1, 0]) / 2.0, (h[0, 1] + h[1, 1]) / 2.0)
+        best = -1
+        best_area = math.inf
+        for si, s in enumerate(shells):
+            if shell_area[si] < best_area and _point_in_ring_parity(pt, s):
+                best = si
+                best_area = shell_area[si]
+        if best >= 0:
+            assigned[best].append(h)
+    return [
+        G.Geom(G.POLYGON, [s] + assigned[i]) for i, s in enumerate(shells)
+    ]
+
+
+# ----------------------------------------------------------------------
+# edge overlay: line + point extraction
+# ----------------------------------------------------------------------
+
+
+def _is_result_line(e: _Edge, op: int, dims: list[int],
+                    has_result_area: bool, area_idx: int) -> bool:
+    """LineBuilder::isResultLine (LineBuilder.cpp:67-136), with the
+    default flags isAllowCollapseLines = isAllowMixedResult = True
+    (STRICT_MODE_DEFAULT = false, OverlayNG.h:173)."""
+    kA, kB = e.kind
+    # boundary of a single geometry only -> area edge, not a line
+    if (kA == _BOUNDARY and kB == _NOT_PART) or (
+        kB == _BOUNDARY and kA == _NOT_PART
+    ):
+        return False
+    # collapse interior to its own parent area
+    if (kA == _COLLAPSE and e.line_loc[0] == _INT) or (
+        kB == _COLLAPSE and e.line_loc[1] == _INT
+    ):
+        return False
+    if op != INTERSECTION:
+        # boundary edges only ever appear in results as area
+        # boundaries outside INTERSECTION (corpus-verified: union of
+        # edge-adjacent polygons has no line for the shared edge)
+        if kA == _BOUNDARY or kB == _BOUNDARY:
+            return False
+        # collapse located in the other geometry's interior
+        if (kA == _COLLAPSE and kB == _NOT_PART and e.line_loc[1] == _INT) or (
+            kB == _COLLAPSE and kA == _NOT_PART and e.line_loc[0] == _INT
+        ):
+            return False
+        # line edge inside the (single) input area
+        if has_result_area and area_idx >= 0:
+            li = 1 - area_idx
+            if e.kind[li] == _LINE and e.line_loc[area_idx] == _INT:
+                return False
+    if op == INTERSECTION and kA == _BOUNDARY and kB == _BOUNDARY:
+        # boundary touch: areas meet along the edge from opposite sides
+        if e.int_left[0] != e.int_left[1]:
+            return True
+    # effective locations (LineBuilder::effectiveLocation)
+    eff = []
+    for i in range(2):
+        if e.kind[i] in (_COLLAPSE, _LINE):
+            eff.append(_INT)
+        else:
+            eff.append(e.line_loc[i])
+    return _is_result_of_op(op, eff[0], eff[1])
+
+
+def _emit_result_lines(walks: dict, nodes: set) -> list[G.Geom]:
+    """Emit one LineString per noded chain (GEOS Edge) marked as a
+    result line — the reference's LineBuilder::addResultLines output
+    granularity: chains break at node points and string ends, keep
+    original interior vertices, and each merged edge is emitted once."""
+    emitted: set = set()
+    lines = []
+    for sid in sorted(walks):
+        chain: list = []
+        for a, b, e in walks[sid]:
+            if not e.in_line_result or id(e) in emitted:
+                if len(chain) >= 2:
+                    lines.append(chain)
+                chain = []
+                continue
+            if chain and chain[-1] != a:
+                if len(chain) >= 2:
+                    lines.append(chain)
+                chain = []
+            if not chain:
+                chain = [a]
+            chain.append(b)
+            emitted.add(id(e))
+            if b in nodes:
+                lines.append(chain)
+                chain = []
+        if len(chain) >= 2:
+            lines.append(chain)
+    return [G.Geom.linestring(np.asarray(c, dtype=np.float64)) for c in lines]
+
+
+def _result_points(edges: dict, op: int) -> list[G.Geom]:
+    """IntersectionPointBuilder (IntersectionPointBuilder.cpp:44-88):
+    nodes where both inputs have boundary/line edges and no incident
+    edge is already in the result."""
+    if op != INTERSECTION:
+        return []
+    at_node: dict = defaultdict(list)
+    for e in edges.values():
+        at_node[e.p].append(e)
+        at_node[e.q].append(e)
+    pts = []
+    for node, elist in at_node.items():
+        in_a = in_b = False
+        blocked = False
+        for e in elist:
+            if e.in_area_result or e.in_line_result:
+                blocked = True
+                break
+            if e.kind[0] in (_BOUNDARY, _LINE):
+                in_a = True
+            if e.kind[1] in (_BOUNDARY, _LINE):
+                in_b = True
+        if not blocked and in_a and in_b:
+            pts.append(node)
+    return [G.Geom.point(x, y) for x, y in sorted(pts)]
+
+
+# ----------------------------------------------------------------------
+# public entry
+# ----------------------------------------------------------------------
+
+
+def _geom_dim(g: G.Geom) -> int:
+    """Typed dimension (Geometry::getDimension): empty POINT is still
+    dim 0, empty GEOMETRYCOLLECTION is -1."""
+    t = g.type_id
+    if t in (G.POINT, G.MULTIPOINT):
+        return 0
+    if t in (G.LINESTRING, G.MULTILINESTRING):
+        return 1
+    if t in (G.POLYGON, G.MULTIPOLYGON):
+        return 2
+    if not g.data:
+        return -1
+    return max(_geom_dim(p) for p in g.data)
+
+
+def _flatten_operand(g: G.Geom) -> G.Geom:
+    """Reduce a GeometryCollection operand to its effective content:
+    strip empty components, flatten nesting, rebuild as the most
+    specific homogeneous type (matches the reference's handling of GC
+    operands whose non-empty parts share one dimension — the corpus's
+    only GC-operand shape)."""
+    if g.type_id != G.GEOMETRYCOLLECTION:
+        return g
+    parts: list[G.Geom] = []
+
+    def rec(x: G.Geom) -> None:
+        if x.type_id == G.GEOMETRYCOLLECTION:
+            for p in x.data:
+                rec(p)
+        elif not x.is_empty:
+            if x.is_collection:
+                parts.extend(x.data)
+            else:
+                parts.append(x)
+
+    rec(g)
+    if not parts:
+        return g
+    dims = {_geom_dim(p) for p in parts}
+    if len(dims) > 1:
+        raise ValueError("mixed-dimension GeometryCollection operand")
+    if len(parts) == 1:
+        return parts[0]
+    tid = {0: G.MULTIPOINT, 1: G.MULTILINESTRING, 2: G.MULTIPOLYGON}[
+        dims.pop()
+    ]
+    return G.Geom.collection(tid, parts)
+
+
+def overlay(a: G.Geom, b: G.Geom, op: int) -> G.Geom:
+    """OverlayNG::overlay with a FLOATING precision model."""
+    a = _flatten_operand(a)
+    b = _flatten_operand(b)
+    dim_a = _geom_dim(a)
+    dim_b = _geom_dim(b)
+    rdim = _result_dimension(op, dim_a, dim_b)
+
+    # empty short-circuits (OverlayUtil::isEmptyResult)
+    if op == INTERSECTION and (
+        a.is_empty or b.is_empty or _env_disjoint(a, b)
+    ):
+        return _empty_result(rdim)
+    if op == DIFFERENCE and a.is_empty:
+        return _empty_result(rdim)
+    if op in (UNION, SYMDIFFERENCE) and a.is_empty and b.is_empty:
+        return _empty_result(rdim)
+
+    if dim_a == 0 and dim_b == 0:
+        return _overlay_points(a, b, op)
+    if dim_a == 0 or dim_b == 0:
+        return _overlay_mixed_points(a, b, op, rdim)
+
+    inputs = [a, b]
+    dims = [dim_a, dim_b]
+    segs_a, sz_a, rf_a, sid = _collect_segments(a, 0, 0)
+    segs_b, sz_b, rf_b, _ = _collect_segments(b, 1, sid)
+    segs = segs_a + segs_b
+    sizes = {**sz_a, **sz_b}
+    ringflag = {**rf_a, **rf_b}
+    nodes = _node_segments(segs, sizes, ringflag)
+    edges, walks = _build_edges(segs)
+    _resolve_labels(edges, inputs, dims)
+
+    # --- area stage ---------------------------------------------------
+    directed = []
+    d_edges = []
+    for e in edges.values():
+        lA = _side_area_loc(e, 0, True, dims)
+        lB = _side_area_loc(e, 1, True, dims)
+        rA = _side_area_loc(e, 0, False, dims)
+        rB = _side_area_loc(e, 1, False, dims)
+        reg_left = _is_result_of_op(op, lA, lB)
+        reg_right = _is_result_of_op(op, rA, rB)
+        if reg_left != reg_right:
+            e.in_area_result = True
+            if reg_left:
+                directed.append((e.p, e.q))
+            else:
+                directed.append((e.q, e.p))
+            d_edges.append(e)
+    polys = _assemble_polygons(_trace_rings(directed)) if directed else []
+    has_result_area = bool(polys)
+
+    # index of the (single) areal input for the line-in-area rule
+    area_idx = -1
+    if dims[0] == 2 and dims[1] != 2:
+        area_idx = 0
+    elif dims[1] == 2 and dims[0] != 2:
+        area_idx = 1
+
+    # --- line stage ---------------------------------------------------
+    any_line = False
+    for e in edges.values():
+        if e.in_area_result:
+            continue
+        if _is_result_line(e, op, dims, has_result_area, area_idx):
+            e.in_line_result = True
+            any_line = True
+    lines = _emit_result_lines(walks, nodes) if any_line else []
+
+    # --- point stage --------------------------------------------------
+    points = _result_points(edges, op)
+
+    return _build_result(polys, lines, points, rdim)
+
+
+def intersection(a: G.Geom, b: G.Geom) -> G.Geom:
+    return overlay(a, b, INTERSECTION)
+
+
+def union(a: G.Geom, b: G.Geom) -> G.Geom:
+    return overlay(a, b, UNION)
+
+
+def difference(a: G.Geom, b: G.Geom) -> G.Geom:
+    return overlay(a, b, DIFFERENCE)
+
+
+def sym_difference(a: G.Geom, b: G.Geom) -> G.Geom:
+    return overlay(a, b, SYMDIFFERENCE)

@@ -148,16 +148,61 @@ def union_lines(g: G.Geom) -> G.Geom:
     return G.Geom(G.MULTILINESTRING, parts)
 
 
+def cascaded_polygon_union(polys: list[G.Geom]) -> G.Geom:
+    """Balanced binary union merge tree
+    (CascadedPolygonUnion::binaryUnion,
+    src/operation/union/CascadedPolygonUnion.cpp:89-122) — the same
+    partial/final associative-merge shape the distributed aggregate
+    uses per cell."""
+    from geos_spark.kernels import overlay as OV
+
+    def area_only(g: G.Geom) -> G.Geom:
+        # strict-mode union semantics (OverlayNG::geomunion sets
+        # strict mode): keep polygonal components only
+        parts = [p for p in g.geoms() if p.type_id == G.POLYGON and p.data]
+        if not parts:
+            return G.Geom(G.POLYGON, [])
+        if len(parts) == 1:
+            return parts[0]
+        return G.Geom.collection(G.MULTIPOLYGON, parts)
+
+    def merge(lo: int, hi: int) -> G.Geom:
+        if hi - lo == 1:
+            return polys[lo]
+        mid = (lo + hi) // 2
+        return area_only(OV.union(merge(lo, mid), merge(mid, hi)))
+
+    if not polys:
+        return G.Geom(G.POLYGON, [])
+    return merge(0, len(polys))
+
+
 def unary_union(g: G.Geom) -> G.Geom:
-    d = g.dimension()
-    if d <= 0:
-        return union_points(g)
-    if d == 1:
-        has_pts = any(p.type_id == G.POINT for p in g.geoms())
-        lines = union_lines(g)
-        if not has_pts:
-            return lines
-        raise NotImplementedError("mixed point/line union not implemented")
-    raise NotImplementedError(
-        "polygonal union requires the overlay engine (deferred)"
-    )
+    """UnaryUnionOp::Union (src/operation/union/UnaryUnionOp.cpp:67-119):
+    per-dimension unions (points dedupe, lines noding-union, polygons
+    cascaded), then lines+polys via overlay union, then uncovered
+    points merged in."""
+    from geos_spark.kernels import overlay as OV
+
+    pts = [p for p in g.geoms() if p.type_id == G.POINT and len(p.data)]
+    lns = [
+        p for p in g.geoms() if p.type_id == G.LINESTRING and len(p.data)
+    ]
+    pls = [p for p in g.geoms() if p.type_id == G.POLYGON and p.data]
+
+    u_pts = union_points(G.Geom(G.MULTIPOINT, pts)) if pts else None
+    u_lns = union_lines(G.Geom(G.MULTILINESTRING, lns)) if lns else None
+    u_pls = cascaded_polygon_union(pls) if pls else None
+
+    parts = [x for x in (u_lns, u_pls) if x is not None]
+    if not parts:
+        la = None
+    elif len(parts) == 1:
+        la = parts[0]
+    else:
+        la = OV.union(parts[0], parts[1])
+    if u_pts is None:
+        return la if la is not None else G.Geom.empty(G.GEOMETRYCOLLECTION)
+    if la is None:
+        return u_pts
+    return OV.union(u_pts, la)

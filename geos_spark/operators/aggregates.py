@@ -73,3 +73,56 @@ def collect_union_points(
     return df.select(
         F.col(x_col).alias("ux"), F.col(y_col).alias("uy")
     ).distinct()
+
+
+def unary_union_agg(
+    df: DataFrame,
+    wkb_col: str = "wkb",
+    group_cols: list[str] | None = None,
+    out_col: str = "union_wkb",
+) -> DataFrame:
+    """Distributed unaryUnion aggregate — the reference's
+    CascadedPolygonUnion merge tree (CascadedPolygonUnion.cpp:89-122)
+    mapped onto Spark's partial/final aggregation:
+
+    stage 1 (partial): union within each (group, input-partition) via
+    applyInPandas — map-side combine, bounds the data shipped to the
+    final stage to one geometry per group per partition;
+    stage 2 (final): union of the partials per group.
+
+    Union is associative, so the two-level tree computes the same
+    result as a single cascade (float merge order can differ only in
+    snap-fallback robustness cases, as in the reference's own tree).
+    """
+    from geos_spark.kernels import geom as G
+    from geos_spark.kernels.union import unary_union
+    from geos_spark.kernels.wkb import parse_wkb, write_wkb
+
+    group_cols = list(group_cols or [])
+
+    def union_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+        geoms = [
+            parse_wkb(b) for b in pdf[wkb_col].to_numpy() if b is not None
+        ]
+        parts = []
+        for g in geoms:
+            parts.extend(g.geoms() if g.is_collection else [g])
+        u = unary_union(G.Geom.collection(G.GEOMETRYCOLLECTION, parts))
+        row = {c: [pdf[c].iloc[0]] for c in group_cols}
+        row[wkb_col] = [write_wkb(u)]
+        return pd.DataFrame(row)
+
+    fields = [df.schema[c] for c in group_cols] + [
+        T.StructField(wkb_col, T.BinaryType())
+    ]
+    schema = T.StructType(fields)
+
+    partial = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy(*(group_cols + ["_pid"]))
+        .applyInPandas(
+            lambda pdf: union_pdf(pdf.drop(columns=["_pid"])), schema
+        )
+    )
+    final = partial.groupBy(*group_cols).applyInPandas(union_pdf, schema)
+    return final.withColumnRenamed(wkb_col, out_col)

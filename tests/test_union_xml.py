@@ -1,6 +1,9 @@
-"""unaryUnion (puntal + lineal noding union) vs the xmltester corpus.
-Polygonal union cases are skipped — they need the overlay engine
-(documented deferral, SURVEY §7.3)."""
+"""unaryUnion vs the xmltester corpus — all dimensions (puntal,
+lineal noding union, polygonal cascaded union, mixed collections).
+
+The one known miss is the TestUnaryUnionFloating sliver case that the
+reference only solves through the OverlayNGRobust snapping ladder
+(``OverlayNGRobust.cpp:100-295``) — deferred, SURVEY §7.3."""
 
 import pytest
 
@@ -11,19 +14,24 @@ from geos_spark.kernels.xmltester import load_cases
 
 BASE = "/root/reference/tests/xmltester/tests/general"
 
+KNOWN_ROBUSTNESS = {"TestUnaryUnionFloating.xml:0:0"}
+
 
 def _cases():
-    for c in load_cases(f"{BASE}/TestUnaryUnion.xml"):
-        if c.op == "union":
-            yield pytest.param(c, id=c.case_id)
+    for f in ("TestUnaryUnion.xml", "TestUnaryUnionFloating.xml"):
+        for c in load_cases(f"{BASE}/{f}"):
+            if c.op == "union" and not c.wkt_b:
+                marks = (
+                    [pytest.mark.xfail(reason="needs snapping noder")]
+                    if c.case_id in KNOWN_ROBUSTNESS
+                    else []
+                )
+                yield pytest.param(c, id=c.case_id, marks=marks)
 
 
 @pytest.mark.parametrize("case", list(_cases()))
 def test_unary_union(case):
     a = parse_wkt(case.wkt_a)
-    try:
-        got = unary_union(a)
-    except NotImplementedError:
-        pytest.skip("polygonal / mixed union requires overlay (deferred)")
+    got = unary_union(a)
     exp = parse_wkt(case.expected)
-    assert geoms_equal_normalized(got, exp, tol=1e-9), case.case_id
+    assert geoms_equal_normalized(got, exp), case.case_id
