@@ -286,3 +286,25 @@ def st_unaryunion(wkb: pd.Series) -> pd.Series:
     return wkb.map(
         lambda b: None if b is None else write_wkb(unary_union(parse_wkb(b)))
     )
+
+
+def st_make_box(xmin_col, ymin_col, xmax_col, ymax_col):
+    """Axis-aligned rectangle polygon WKB from four double columns
+    (GEOSGeom_createRectangle, capi geos_c.h.in:2842)."""
+    from geos_spark.kernels import geom as G
+
+    @pandas_udf(T.BinaryType())
+    def _box(
+        x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series
+    ) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for a, b, c, d in zip(x0, y0, x1, y1):
+            ring = np.array(
+                [[a, b], [c, b], [c, d], [a, d], [a, b]], dtype=np.float64
+            )
+            out.append(write_wkb(G.Geom(G.POLYGON, [ring])))
+        return pd.Series(out, dtype=object)
+
+    return _box(F.col(xmin_col), F.col(ymin_col), F.col(xmax_col), F.col(ymax_col))

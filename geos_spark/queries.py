@@ -672,6 +672,235 @@ SELECT COUNT(*) AS n_pts, MIN(px) AS minx, MAX(py) AS maxy FROM u
 # registry
 # ----------------------------------------------------------------------
 
+
+
+# ----------------------------------------------------------------------
+# training-pipeline tier: quality / fingerprint / minhash / jaccard
+# ----------------------------------------------------------------------
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geos_spark.operators.text import with_quality
+
+    out = with_quality(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("punct_hits").cast("long").alias("punct_hits"),
+        F.round(F.col("stopword_ratio"), 6).alias("stop_ratio_r"),
+    )
+
+
+def q_quality_sql() -> str:
+    words = ["the", "and", "of", "to", "in", "is", "was", "for"]
+    hits = " + ".join(
+        f"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+        for w in words
+    )
+    return f"""
+SELECT doc_id,
+       CAST((length(text) - length(replace(text, '.', ''))) AS BIGINT) AS punct_hits,
+       ROUND(CAST({hits} AS DOUBLE)
+             / GREATEST(CAST(length(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 1.0),
+             6) AS stop_ratio_r
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geos_spark.operators.text import with_fingerprint
+
+    return with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+def q_fingerprint_sql() -> str:
+    return "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+_MH_N = 8
+_MH_A = 1103515245
+_MH_P = 2147483647
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geos_spark.operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(
+        _docs(spark, sf_dir), num_hashes=_MH_N, shingle_k=3
+    )
+    cols = [F.col("id").alias("doc_id")] + [
+        F.element_at(F.col("sig"), j + 1).alias(f"s{j}") for j in range(_MH_N)
+    ]
+    return sigs.select(*cols)
+
+
+def q_minhash_sql() -> str:
+    sig_cols = ",\n       ".join(
+        f"list_min(list_transform(h, v -> (v * {_MH_A * (j + 1) % _MH_P} + {j * 12345 + 1}) % {_MH_P})) AS s{j}"
+        for j in range(_MH_N)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+    FROM documents
+),
+shingles AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, GREATEST(len(t) - 2, 1) + 1),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2])
+           )) AS sh
+    FROM toks
+),
+hashes AS (
+    SELECT doc_id,
+           list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS h
+    FROM shingles
+)
+SELECT doc_id,
+       {sig_cols}
+FROM hashes
+"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-inverted-index candidate join + exact n-gram Jaccard
+    verify — the exact-dedup complement of minhash-LSH (same shape as
+    the LSH bucket join, with the full shingle set as the index)."""
+    from geos_spark.operators.dedup import ngram_jaccard_pairs, word_shingles
+
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        word_shingles(F.col("text"), 3).alias("sh"),
+    )
+    inv = sh.select("id", F.explode("sh").alias("g"))
+    cand = (
+        inv.alias("a")
+        .join(inv.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    out = ngram_jaccard_pairs(docs, cand, shingle_k=3, threshold=0.2)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jacc_r"))
+
+
+def q_jaccard_pairs_sql() -> str:
+    return """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+    FROM documents
+),
+shingles AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, GREATEST(len(t) - 2, 1) + 1),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2])
+           )) AS sh
+    FROM toks
+),
+inv AS (
+    SELECT doc_id, unnest(sh) AS g FROM shingles
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+j AS (
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jac
+    FROM cand c
+    JOIN shingles sa ON sa.doc_id = c.id_a
+    JOIN shingles sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, ROUND(jac, 6) AS jacc_r
+FROM j
+WHERE jac >= 0.2
+"""
+
+
+# ----------------------------------------------------------------------
+# overlay tier: rectangle overlay with arithmetic oracle; union agg
+# ----------------------------------------------------------------------
+
+
+def q_rect_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc squares clipped against star bounding boxes through the
+    REAL overlay kernel (st_intersection -> st_area); the oracle is
+    closed-form rectangle-intersection arithmetic, so this checks the
+    noding + face extraction end-to-end on every overlapping pair."""
+    from geos_spark.functions import st
+
+    pts = _doc_points(spark, sf_dir)
+    sq = (
+        pts.withColumn("sxmin", F.col("x") - _HALF)
+        .withColumn("symin", F.col("y") - _HALF)
+        .withColumn("sxmax", F.col("x") + _HALF)
+        .withColumn("symax", F.col("y") + _HALF)
+    )
+    bb = star_polygons(spark).select("poly_id", "xmin", "ymin", "xmax", "ymax")
+    pairs = sq.join(
+        F.broadcast(bb),
+        (F.col("sxmin") < F.col("xmax"))
+        & (F.col("xmin") < F.col("sxmax"))
+        & (F.col("symin") < F.col("ymax"))
+        & (F.col("ymin") < F.col("symax")),
+    )
+    ga = st.st_make_box("sxmin", "symin", "sxmax", "symax")
+    gb = st.st_make_box("xmin", "ymin", "xmax", "ymax")
+    out = pairs.withColumn("inter", st.st_intersection(ga, gb))
+    return out.select(
+        "doc_id",
+        "poly_id",
+        F.round(st.st_area(F.col("inter")), 6).alias("ia_r"),
+    )
+
+
+def q_rect_overlay_sql() -> str:
+    return f"""
+WITH {_POINTS_CTE},
+{star_params_sql()}
+SELECT p.doc_id, bb.poly_id,
+       ROUND((LEAST(p.px + {_HALF}, bb.xmax) - GREATEST(p.px - {_HALF}, bb.xmin))
+           * (LEAST(p.py + {_HALF}, bb.ymax) - GREATEST(p.py - {_HALF}, bb.ymin)), 6) AS ia_r
+FROM points p
+JOIN star_bbox bb
+  ON (p.px - {_HALF}) < bb.xmax AND bb.xmin < (p.px + {_HALF})
+ AND (p.py - {_HALF}) < bb.ymax AND bb.ymin < (p.py + {_HALF})
+"""
+
+
+def q_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed cascaded polygon union (unaryUnion aggregate) of
+    the star polygons grouped into 4 overlapping bands; rows-only
+    driver check (union geometry is not ANSI-SQL-expressible), the
+    pytest suite verifies the kernel against the xmltester corpus."""
+    from geos_spark.functions import st
+    from geos_spark.operators.aggregates import unary_union_agg
+
+    stars = star_polygons(spark).withColumn(
+        "grp", (F.col("poly_id") % 4).cast("long")
+    )
+    u = unary_union_agg(stars, wkb_col="wkb", group_cols=["grp"])
+    return u.select(
+        "grp", F.round(st.st_area(F.col("union_wkb")), 5).alias("uarea_r")
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column -> mapInPandas
+    feature extraction (deterministic fake decoder; rows-only check —
+    the schema/batch shape is the contract, SURVEY §2.1)."""
+    from geos_spark.operators.multimodal import extract_features
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return extract_features(media, deterministic_fake=True)
+
+
 QUERIES = {
     "tile_assign": q_tile_assign,
     "pip_join": q_pip_join,
@@ -693,6 +922,13 @@ QUERIES = {
     "hull_agg": q_hull_agg,
     "union_points": q_union_points,
     "simhash": q_simhash,
+    "quality": q_quality,
+    "fingerprint": q_fingerprint,
+    "minhash": q_minhash,
+    "jaccard_pairs": q_jaccard_pairs,
+    "rect_overlay": q_rect_overlay,
+    "union_area": q_union_area,
+    "media_features": q_media_features,
 }
 
 ORACLES = {
@@ -713,7 +949,13 @@ ORACLES = {
     "tile_area_sum": q_tile_area_sum_sql(),
     "union_points": q_union_points_sql(),
     "simhash": q_simhash_sql(),
-    # tile_clip / poly_join / hull_agg: not SQL-expressible (geometry
-    # outputs); the driver records rows-only checks, pytest verifies
-    # them exactly against local kernels.
+    "quality": q_quality_sql(),
+    "fingerprint": q_fingerprint_sql(),
+    "minhash": q_minhash_sql(),
+    "jaccard_pairs": q_jaccard_pairs_sql(),
+    "rect_overlay": q_rect_overlay_sql(),
+    # tile_clip / poly_join / hull_agg / union_area / media_features:
+    # not SQL-expressible (geometry outputs / binary feature plumbing);
+    # the driver records rows-only checks, pytest verifies them exactly
+    # against local kernels.
 }
