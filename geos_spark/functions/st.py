@@ -308,3 +308,13 @@ def st_make_box(xmin_col, ymin_col, xmax_col, ymax_col):
         return pd.Series(out, dtype=object)
 
     return _box(F.col(xmin_col), F.col(ymin_col), F.col(xmax_col), F.col(ymax_col))
+
+
+@pandas_udf(T.DoubleType())
+def st_minclearance(wkb: pd.Series) -> pd.Series:
+    """GEOSMinimumClearance (capi geos_c.h.in:3446)."""
+    from geos_spark.kernels.clearance import min_clearance
+
+    return wkb.map(
+        lambda b: None if b is None else min_clearance(parse_wkb(b))[0]
+    )
