@@ -318,3 +318,34 @@ def st_minclearance(wkb: pd.Series) -> pd.Series:
     return wkb.map(
         lambda b: None if b is None else min_clearance(parse_wkb(b))[0]
     )
+
+
+def st_overlay(op: str, scale: float | None = None):
+    """Factory: overlay column function with optional fixed-precision
+    scale (snap-rounding, GEOSIntersectionPrec etc.,
+    capi geos_c.h.in:3751-3834). op in
+    {intersection, union, difference, symdifference}."""
+    codes = {"intersection": 1, "union": 2, "difference": 3,
+             "symdifference": 4}
+    op_code = codes[op]
+
+    @pandas_udf(T.BinaryType())
+    def _f(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
+        from geos_spark.kernels import overlay as OV
+
+        out = []
+        for a, b in zip(wkb_a, wkb_b):
+            if a is None or b is None:
+                out.append(None)
+                continue
+            try:
+                out.append(
+                    write_wkb(
+                        OV.overlay(parse_wkb(a), parse_wkb(b), op_code, scale)
+                    )
+                )
+            except (ValueError, NotImplementedError):
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    return _f

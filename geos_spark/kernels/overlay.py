@@ -112,9 +112,17 @@ def _empty_result(dim: int) -> G.Geom:
     return G.Geom(G.GEOMETRYCOLLECTION, [])
 
 
-def _env_disjoint(a: G.Geom, b: G.Geom) -> bool:
+def _env_disjoint(a: G.Geom, b: G.Geom, scale: float | None = None) -> bool:
+    """OverlayUtil::isEnvDisjoint — with a FIXED precision model the
+    envelopes are rounded first (OverlayUtil.cpp:146-166)."""
     ax0, ay0, ax1, ay1 = a.envelope()
     bx0, by0, bx1, by1 = b.envelope()
+    if scale is not None:
+        from geos_spark.kernels.snapround import PrecisionGrid
+
+        mp = PrecisionGrid(scale).make_precise
+        ax0, ay0, ax1, ay1 = mp(ax0), mp(ay0), mp(ax1), mp(ay1)
+        bx0, by0, bx1, by1 = mp(bx0), mp(by0), mp(bx1), mp(by1)
     return ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0
 
 
@@ -155,11 +163,29 @@ def _unique_pts(arr: np.ndarray) -> list[tuple[float, float]]:
     return out
 
 
-def _overlay_points(a: G.Geom, b: G.Geom, op: int) -> G.Geom:
-    """OverlayPoints: P/P overlay by exact coordinate equality
-    (floating precision model => no rounding)."""
-    pa = _unique_pts(_point_parts(a))
-    pb = _unique_pts(_point_parts(b))
+def _round_pts(pts: list, scale: float | None) -> list:
+    if scale is None:
+        return pts
+    from geos_spark.kernels.snapround import PrecisionGrid
+
+    grid = PrecisionGrid(scale)
+    out = []
+    seen = set()
+    for p in pts:
+        rp = grid.round_pt(p)
+        if rp not in seen:
+            seen.add(rp)
+            out.append(rp)
+    return out
+
+
+def _overlay_points(
+    a: G.Geom, b: G.Geom, op: int, scale: float | None = None
+) -> G.Geom:
+    """OverlayPoints: P/P overlay by coordinate equality after
+    precision-model rounding (no-op for FLOATING)."""
+    pa = _round_pts(_unique_pts(_point_parts(a)), scale)
+    pb = _round_pts(_unique_pts(_point_parts(b)), scale)
     sb = set(pb)
     sa = set(pa)
     if op == INTERSECTION:
@@ -183,22 +209,24 @@ def _covered_mask(coords: list, other: G.Geom, other_dim: int) -> list[bool]:
     return [int(v) != _EXT for v in loc]
 
 
-def _self_union(g: G.Geom) -> G.Geom:
+def _self_union(g: G.Geom, scale: float | None = None) -> G.Geom:
     """OverlayNG::geomunion on a single edge geometry: node + merge
     (used by OverlayMixedPoints::prepareNonPoint)."""
-    return overlay(g, G.Geom.empty(G.LINESTRING), UNION)
+    return overlay(g, G.Geom.empty(G.LINESTRING), UNION, scale)
 
 
-def _overlay_mixed_points(a: G.Geom, b: G.Geom, op: int, rdim: int) -> G.Geom:
+def _overlay_mixed_points(
+    a: G.Geom, b: G.Geom, op: int, rdim: int, scale: float | None = None
+) -> G.Geom:
     """OverlayMixedPoints (OverlayMixedPoints.cpp:109-250)."""
     point_is_a = a.dimension() == 0
     pt_geom, other = (a, b) if point_is_a else (b, a)
     if rdim != 0:
         # node the non-point operand for output (prepareNonPoint,
         # OverlayMixedPoints.cpp:153-163)
-        other = _self_union(other)
+        other = _self_union(other, scale)
     other_dim = other.dimension()
-    coords = _unique_pts(_point_parts(pt_geom))
+    coords = _round_pts(_unique_pts(_point_parts(pt_geom)), scale)
     covered = (
         _covered_mask(coords, other, other_dim) if coords else []
     )
@@ -784,8 +812,100 @@ def _flatten_operand(g: G.Geom) -> G.Geom:
     return G.Geom.collection(tid, parts)
 
 
-def overlay(a: G.Geom, b: G.Geom, op: int) -> G.Geom:
-    """OverlayNG::overlay with a FLOATING precision model."""
+def _collect_strings(g: G.Geom, inp: int):
+    """Per-ring / per-line vertex chains with labelling metadata
+    (the EdgeNodingBuilder SegmentString granularity)."""
+    out = []
+    for poly in _poly_parts(g):
+        for ri, r in enumerate(poly.data):
+            if len(r) < 4:
+                continue
+            ccw = ring_signed_area(r) > 0
+            int_left = ccw != (ri > 0)
+            pts = [(float(x), float(y)) for x, y in r]
+            out.append((pts, inp, True, int_left))
+    for line in _line_parts(g):
+        pts = [(float(x), float(y)) for x, y in line]
+        out.append((pts, inp, False, False))
+    return out
+
+
+def _edges_from_chains(chains, metas):
+    """Accumulate labelled edges + per-string walks from final noded
+    chains (shared by the snap-rounding path)."""
+    edges: dict[tuple, _Edge] = {}
+    walks: dict[int, list] = defaultdict(list)
+    ring_pieces: list[list] = [[], []]
+    for sid, (chain, (inp, is_ring, int_left)) in enumerate(
+        zip(chains, metas)
+    ):
+        for a, b in zip(chain[:-1], chain[1:]):
+            if a == b:
+                continue
+            lo, hi = (a, b) if a < b else (b, a)
+            e = edges.get((lo, hi))
+            if e is None:
+                e = edges[(lo, hi)] = _Edge(lo, hi)
+            if is_ring:
+                e.area_cnt[inp] += 1
+                il = int_left if a == lo else not int_left
+                e.net_side[inp] += 1 if il else -1
+                ring_pieces[inp].append([a[0], a[1], b[0], b[1]])
+            else:
+                e.is_line[inp] = True
+            walks[sid].append((a, b, e))
+    return edges, walks, ring_pieces
+
+
+def _parity_locate_vec(pt, segs: np.ndarray) -> int:
+    """Mod-2 crossing parity of the snapped arrangement, skipping
+    segments that contain the query point (collapsed copies cancel)."""
+    if len(segs) == 0:
+        return _EXT
+    px, py = pt
+    x1, y1, x2, y2 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    straddle = (y1 > py) != (y2 > py)
+    if not straddle.any():
+        return _EXT
+    i = np.flatnonzero(straddle)
+    xi = x1[i] + (py - y1[i]) * (x2[i] - x1[i]) / (y2[i] - y1[i])
+    cnt = int(np.count_nonzero(xi > px))
+    return _INT if cnt % 2 == 1 else _EXT
+
+
+def _resolve_labels_arrangement(edges: dict, ring_pieces, dims) -> None:
+    """Label resolution against the *snapped* arrangement (fixed
+    precision): off-edge and collapse locations use mod-2 parity over
+    the noded ring pieces — the role of OverlayLabeller propagation on
+    the snapped graph."""
+    segs = [
+        np.asarray(ring_pieces[i], dtype=np.float64).reshape(-1, 4)
+        for i in range(2)
+    ]
+    for e in edges.values():
+        for i in range(2):
+            if e.area_cnt[i] % 2 == 1:
+                e.kind[i] = _BOUNDARY
+                e.int_left[i] = e.net_side[i] > 0
+                e.line_loc[i] = _INT
+            elif e.area_cnt[i] > 0:
+                e.kind[i] = _COLLAPSE
+                e.line_loc[i] = _parity_locate_vec(e.mid, segs[i])
+            elif e.is_line[i]:
+                e.kind[i] = _LINE
+                e.line_loc[i] = _INT
+            else:
+                e.kind[i] = _NOT_PART
+                e.line_loc[i] = (
+                    _parity_locate_vec(e.mid, segs[i])
+                    if dims[i] == 2
+                    else _EXT
+                )
+
+
+def overlay(a: G.Geom, b: G.Geom, op: int, scale: float | None = None) -> G.Geom:
+    """OverlayNG::overlay; FLOATING precision by default, or a FIXED
+    PrecisionModel(scale) using the snap-rounding noder."""
     a = _flatten_operand(a)
     b = _flatten_operand(b)
     dim_a = _geom_dim(a)
@@ -794,7 +914,7 @@ def overlay(a: G.Geom, b: G.Geom, op: int) -> G.Geom:
 
     # empty short-circuits (OverlayUtil::isEmptyResult)
     if op == INTERSECTION and (
-        a.is_empty or b.is_empty or _env_disjoint(a, b)
+        a.is_empty or b.is_empty or _env_disjoint(a, b, scale)
     ):
         return _empty_result(rdim)
     if op == DIFFERENCE and a.is_empty:
@@ -803,20 +923,30 @@ def overlay(a: G.Geom, b: G.Geom, op: int) -> G.Geom:
         return _empty_result(rdim)
 
     if dim_a == 0 and dim_b == 0:
-        return _overlay_points(a, b, op)
+        return _overlay_points(a, b, op, scale)
     if dim_a == 0 or dim_b == 0:
-        return _overlay_mixed_points(a, b, op, rdim)
+        return _overlay_mixed_points(a, b, op, rdim, scale)
 
     inputs = [a, b]
     dims = [dim_a, dim_b]
-    segs_a, sz_a, rf_a, sid = _collect_segments(a, 0, 0)
-    segs_b, sz_b, rf_b, _ = _collect_segments(b, 1, sid)
-    segs = segs_a + segs_b
-    sizes = {**sz_a, **sz_b}
-    ringflag = {**rf_a, **rf_b}
-    nodes = _node_segments(segs, sizes, ringflag)
-    edges, walks = _build_edges(segs)
-    _resolve_labels(edges, inputs, dims)
+    if scale is not None:
+        from geos_spark.kernels.snapround import snap_round_strings
+
+        strs = _collect_strings(a, 0) + _collect_strings(b, 1)
+        chains, nodes = snap_round_strings([s[0] for s in strs], scale)
+        edges, walks, ring_pieces = _edges_from_chains(
+            chains, [s[1:] for s in strs]
+        )
+        _resolve_labels_arrangement(edges, ring_pieces, dims)
+    else:
+        segs_a, sz_a, rf_a, sid = _collect_segments(a, 0, 0)
+        segs_b, sz_b, rf_b, _ = _collect_segments(b, 1, sid)
+        segs = segs_a + segs_b
+        sizes = {**sz_a, **sz_b}
+        ringflag = {**rf_a, **rf_b}
+        nodes = _node_segments(segs, sizes, ringflag)
+        edges, walks = _build_edges(segs)
+        _resolve_labels(edges, inputs, dims)
 
     # --- area stage ---------------------------------------------------
     directed = []

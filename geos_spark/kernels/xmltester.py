@@ -21,6 +21,7 @@ class OracleCase:
     op: str
     args: list[str]
     expected: str
+    pm_scale: float | None = None  # run-level <precisionModel scale=.../>
 
 
 def load_cases(path: str) -> list[OracleCase]:
@@ -30,6 +31,10 @@ def load_cases(path: str) -> list[OracleCase]:
     root = ET.fromstring(txt)
     out: list[OracleCase] = []
     fname = path.rsplit("/", 1)[-1]
+    pm_scale = None
+    pm = root.find("precisionModel")
+    if pm is not None and pm.attrib.get("scale"):
+        pm_scale = float(pm.attrib["scale"])
     for ci, case in enumerate(root.iter("case")):
         a = case.find("a")
         b = case.find("b")
@@ -53,6 +58,7 @@ def load_cases(path: str) -> list[OracleCase]:
                     op=name,
                     args=args,
                     expected=expected,
+                    pm_scale=pm_scale,
                 )
             )
     return out
