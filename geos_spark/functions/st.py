@@ -349,3 +349,33 @@ def st_overlay(op: str, scale: float | None = None):
         return pd.Series(out, dtype=object)
 
     return _f
+
+
+def st_buffer(distance: float, quad_segs: int = 8, cap: str = "round",
+              join: str = "round", mitre_limit: float = 5.0):
+    """Factory: buffer column function (GEOSBufferWithStyle,
+    capi geos_c.h.in:4095-4209)."""
+
+    @pandas_udf(T.BinaryType())
+    def _buf(wkb: pd.Series) -> pd.Series:
+        from geos_spark.kernels.buffer import buffer_geom
+
+        out = []
+        for b in wkb:
+            if b is None:
+                out.append(None)
+                continue
+            try:
+                out.append(
+                    write_wkb(
+                        buffer_geom(
+                            parse_wkb(b), distance, quad_segs=quad_segs,
+                            cap=cap, join=join, mitre_limit=mitre_limit,
+                        )
+                    )
+                )
+            except (ValueError, NotImplementedError, ZeroDivisionError):
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    return _buf
