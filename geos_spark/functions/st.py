@@ -379,3 +379,77 @@ def st_buffer(distance: float, quad_segs: int = 8, cap: str = "round",
         return pd.Series(out, dtype=object)
 
     return _buf
+
+
+@pandas_udf(T.BinaryType())
+def st_makevalid(wkb: pd.Series) -> pd.Series:
+    """GEOSMakeValid (capi geos_c.h.in:3362)."""
+    from geos_spark.kernels.polygonize import make_valid
+
+    def f(b):
+        if b is None:
+            return None
+        try:
+            return write_wkb(make_valid(parse_wkb(b)))
+        except (ValueError, NotImplementedError):
+            return None
+
+    return wkb.map(f)
+
+
+@pandas_udf(T.BinaryType())
+def st_buildarea(wkb: pd.Series) -> pd.Series:
+    """GEOSBuildArea (capi geos_c.h.in:5014)."""
+    from geos_spark.kernels.polygonize import build_area
+
+    def f(b):
+        if b is None:
+            return None
+        try:
+            return write_wkb(build_area(parse_wkb(b)))
+        except (ValueError, NotImplementedError):
+            return None
+
+    return wkb.map(f)
+
+
+@pandas_udf(T.BinaryType())
+def st_polygonize(wkb: pd.Series) -> pd.Series:
+    """GEOSPolygonize (capi geos_c.h.in:4912) — faces of noded
+    linework as a collection."""
+    from geos_spark.kernels import geom as GG
+    from geos_spark.kernels.polygonize import polygonize
+
+    def f(b):
+        if b is None:
+            return None
+        try:
+            polys = polygonize(parse_wkb(b))
+            return write_wkb(
+                GG.Geom.collection(GG.GEOMETRYCOLLECTION, polys)
+            )
+        except (ValueError, NotImplementedError):
+            return None
+
+    return wkb.map(f)
+
+
+def st_setprecision(scale: float):
+    """Factory: GEOSGeom_setPrecision (capi geos_c.h.in:5275) —
+    snap-rounding precision reduction via fixed-precision self-union."""
+
+    @pandas_udf(T.BinaryType())
+    def _sp(wkb: pd.Series) -> pd.Series:
+        from geos_spark.kernels.overlay import _self_union
+
+        def f(b):
+            if b is None:
+                return None
+            try:
+                return write_wkb(_self_union(parse_wkb(b), scale))
+            except (ValueError, NotImplementedError):
+                return None
+
+        return wkb.map(f)
+
+    return _sp
