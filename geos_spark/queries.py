@@ -901,6 +901,106 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, deterministic_fake=True)
 
 
+
+
+# ----------------------------------------------------------------------
+# clustering (SURVEY §2.6): connected components / DBSCAN
+# ----------------------------------------------------------------------
+
+_EPS_CC = 120.0
+_DBSCAN_MINPTS = 3
+
+
+def q_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-distance clustering: components of the eps-neighbour
+    graph via iterative min-label propagation (union-find over the
+    cell-join pair table, GEOSClusterGeometryDistance semantics)."""
+    from geos_spark.operators.cluster import cluster_within_distance
+
+    pts = _doc_points(spark, sf_dir).withColumnRenamed("doc_id", "id")
+    out = cluster_within_distance(pts, _EPS_CC, level=5, extent=EXTENT)
+    return out.select(F.col("id").alias("doc_id"), F.col("cluster"))
+
+
+def q_cluster_cc_sql() -> str:
+    return f"""
+WITH RECURSIVE {_POINTS_CTE},
+edges AS (
+    SELECT a.doc_id AS src, b.doc_id AS dst
+    FROM points a JOIN points b ON a.doc_id <> b.doc_id
+     AND (a.px-b.px)*(a.px-b.px) + (a.py-b.py)*(a.py-b.py) <= {_EPS_CC * _EPS_CC}
+),
+cc AS (
+    SELECT doc_id AS id, doc_id AS lbl FROM points
+    UNION
+    SELECT e.dst AS id, cc.lbl
+    FROM cc JOIN edges e ON e.src = cc.id
+    WHERE cc.lbl < e.dst
+)
+SELECT id AS doc_id, MIN(lbl) AS cluster
+FROM cc GROUP BY id
+"""
+
+
+def q_cluster_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN (GEOSClusterDBSCAN): core if >= min_pts neighbours
+    within eps (self included); clusters = components of the
+    core-core graph, borders adopt min neighbouring core cluster,
+    noise NULL."""
+    from geos_spark.operators.cluster import cluster_dbscan
+
+    pts = _doc_points(spark, sf_dir).withColumnRenamed("doc_id", "id")
+    out = cluster_dbscan(
+        pts, _EPS_CC, _DBSCAN_MINPTS, level=5, extent=EXTENT
+    )
+    return out.select(F.col("id").alias("doc_id"), F.col("cluster"))
+
+
+def q_cluster_dbscan_sql() -> str:
+    eps2 = _EPS_CC * _EPS_CC
+    return f"""
+WITH RECURSIVE {_POINTS_CTE},
+edges AS (
+    SELECT a.doc_id AS src, b.doc_id AS dst
+    FROM points a JOIN points b ON a.doc_id <> b.doc_id
+     AND (a.px-b.px)*(a.px-b.px) + (a.py-b.py)*(a.py-b.py) <= {eps2}
+),
+deg AS (
+    SELECT p.doc_id, COUNT(e.dst) + 1 AS n
+    FROM points p LEFT JOIN edges e ON e.src = p.doc_id
+    GROUP BY p.doc_id
+),
+core AS (
+    SELECT doc_id FROM deg WHERE n >= {_DBSCAN_MINPTS}
+),
+core_edges AS (
+    SELECT e.src, e.dst FROM edges e
+    JOIN core c1 ON c1.doc_id = e.src
+    JOIN core c2 ON c2.doc_id = e.dst
+),
+cc AS (
+    SELECT doc_id AS id, doc_id AS lbl FROM core
+    UNION
+    SELECT e.dst AS id, cc.lbl
+    FROM cc JOIN core_edges e ON e.src = cc.id
+    WHERE cc.lbl < e.dst
+),
+core_cluster AS (
+    SELECT id, MIN(lbl) AS cluster FROM cc GROUP BY id
+),
+border AS (
+    SELECT e.src AS id, MIN(k.cluster) AS bcluster
+    FROM edges e JOIN core_cluster k ON k.id = e.dst
+    GROUP BY e.src
+)
+SELECT p.doc_id,
+       COALESCE(k.cluster, b.bcluster) AS cluster
+FROM points p
+LEFT JOIN core_cluster k ON k.id = p.doc_id
+LEFT JOIN border b ON b.id = p.doc_id AND k.id IS NULL
+"""
+
+
 QUERIES = {
     "tile_assign": q_tile_assign,
     "pip_join": q_pip_join,
@@ -929,6 +1029,8 @@ QUERIES = {
     "rect_overlay": q_rect_overlay,
     "union_area": q_union_area,
     "media_features": q_media_features,
+    "cluster_cc": q_cluster_cc,
+    "cluster_dbscan": q_cluster_dbscan,
 }
 
 ORACLES = {
@@ -954,6 +1056,8 @@ ORACLES = {
     "minhash": q_minhash_sql(),
     "jaccard_pairs": q_jaccard_pairs_sql(),
     "rect_overlay": q_rect_overlay_sql(),
+    "cluster_cc": q_cluster_cc_sql(),
+    "cluster_dbscan": q_cluster_dbscan_sql(),
     # tile_clip / poly_join / hull_agg / union_area / media_features:
     # not SQL-expressible (geometry outputs / binary feature plumbing);
     # the driver records rows-only checks, pytest verifies them exactly
