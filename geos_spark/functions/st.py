@@ -453,3 +453,81 @@ def st_setprecision(scale: float):
         return wkb.map(f)
 
     return _sp
+
+
+def st_singlesidedbuffer(distance: float, left: bool = True,
+                         quad_segs: int = 8):
+    """Factory: single-sided buffer line (GEOSSingleSidedBuffer,
+    capi geos_c.h.in:6473)."""
+
+    @pandas_udf(T.BinaryType())
+    def _ssb(wkb: pd.Series) -> pd.Series:
+        from geos_spark.kernels.buffer import buffer_line_single_sided
+
+        def f(b):
+            if b is None:
+                return None
+            try:
+                return write_wkb(
+                    buffer_line_single_sided(
+                        parse_wkb(b), distance, left, quad_segs=quad_segs
+                    )
+                )
+            except (ValueError, NotImplementedError, ZeroDivisionError):
+                return None
+
+        return wkb.map(f)
+
+    return _ssb
+
+
+@pandas_udf(T.BinaryType())
+def st_minimumrotatedrectangle(wkb: pd.Series) -> pd.Series:
+    """GEOSMinimumRotatedRectangle (capi geos_c.h.in:3424)."""
+    from geos_spark.kernels.constructs import minimum_rotated_rectangle
+
+    return wkb.map(
+        lambda b: None
+        if b is None
+        else write_wkb(minimum_rotated_rectangle(parse_wkb(b)))
+    )
+
+
+@pandas_udf(T.BinaryType())
+def st_minimumwidth(wkb: pd.Series) -> pd.Series:
+    """GEOSMinimumWidth (capi geos_c.h.in:3434)."""
+    from geos_spark.kernels.constructs import minimum_width_line
+
+    return wkb.map(
+        lambda b: None
+        if b is None
+        else write_wkb(minimum_width_line(parse_wkb(b)))
+    )
+
+
+_MBC_SCHEMA = T.StructType(
+    [
+        T.StructField("cx", T.DoubleType()),
+        T.StructField("cy", T.DoubleType()),
+        T.StructField("radius", T.DoubleType()),
+    ]
+)
+
+
+@pandas_udf(_MBC_SCHEMA)
+def st_minimumboundingcircle(wkb: pd.Series) -> pd.DataFrame:
+    """GEOSMinimumBoundingCircle (capi geos_c.h.in:3446) — centre +
+    radius struct."""
+    from geos_spark.kernels.constructs import min_bounding_circle
+
+    rows = []
+    for b in wkb:
+        if b is None:
+            rows.append((None, None, None))
+            continue
+        c, r, _ = min_bounding_circle(parse_wkb(b))
+        if c is None:
+            rows.append((None, None, None))
+        else:
+            rows.append((c[0], c[1], r))
+    return pd.DataFrame(rows, columns=["cx", "cy", "radius"])

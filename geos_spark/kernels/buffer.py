@@ -809,3 +809,111 @@ def _extract_faces(pieces: list):
     balanced = all(outd[n] == ind[n] for n in set(outd) | set(ind))
     polys = _assemble_polygons(_trace_rings(directed)) if directed else []
     return polys, balanced and (bool(polys) or not directed)
+
+
+# ----------------------------------------------------------------------
+# single-sided buffer (BufferBuilder::bufferLineSingleSided,
+# src/operation/buffer/BufferBuilder.cpp:131-352)
+# ----------------------------------------------------------------------
+
+
+def single_sided_curve(pts, distance, left, **params):
+    """OffsetCurveBuilder::getSingleSidedLineCurve — one side's raw
+    offset chain (open; no caps)."""
+    gen = _Generator(abs(distance), **params)
+    tol = abs(distance) / 100.0
+    if left:
+        simp = _simplify_input(pts, tol)
+        n = len(simp) - 1
+        gen.init_side(simp[0], simp[1], _LEFT)
+        gen.add_first_segment()
+        for i in range(2, n + 1):
+            gen.add_next_segment(simp[i], True)
+        gen.add_last_segment()
+    else:
+        simp = _simplify_input(pts, -tol)
+        n = len(simp) - 1
+        gen.init_side(simp[n], simp[n - 1], _LEFT)
+        gen.add_first_segment()
+        for i in range(n - 2, -1, -1):
+            gen.add_next_segment(simp[i], True)
+        gen.add_last_segment()
+    return gen.coordinates()
+
+
+def buffer_line_single_sided(
+    g: G.Geom, distance: float, left: bool, quad_segs: int = 8,
+    join: str = JOIN_ROUND, mitre_limit: float = 5.0,
+) -> G.Geom:
+    """Single-sided buffer LINE of a LineString: intersect the raw
+    one-sided offset curve with the flat-cap buffer boundary, merge,
+    and trim ends near the input endpoints."""
+    from geos_spark.kernels import overlay as OV
+    from geos_spark.kernels.linear import line_merge
+    from geos_spark.kernels.scalars import geom_boundary, geom_length
+
+    if g.type_id != G.LINESTRING:
+        raise ValueError("single-sided buffer requires a LineString")
+    if distance == 0.0:
+        return g
+    params = dict(
+        quad_segs=quad_segs, join=join, mitre_limit=mitre_limit
+    )
+    buf = buffer_geom(g, distance, cap=CAP_FLAT, **params)
+    bdy = geom_boundary(buf)
+    pts = _dedupe_ring(g.data)
+    curve = single_sided_curve(pts, distance, left, cap=CAP_FLAT, **params)
+    if len(curve) < 2:
+        return G.Geom.empty(G.LINESTRING)
+    curve_geom = G.Geom.linestring(np.asarray(curve, dtype=np.float64))
+    # the reference intersects with SnapOverlayOp (the raw curve and
+    # the buffer boundary are collinear only up to rounding); a
+    # 12-significant-digit snap-rounded overlay gives the same effect
+    max_mag = max(
+        1.0,
+        max(abs(v) for p in curve for v in p),
+    )
+    scale = 10.0 ** (12 - int(math.ceil(math.log10(max_mag))))
+    inter = OV.overlay(curve_geom, bdy, OV.INTERSECTION, scale)
+    merged = line_merge(inter)
+    lines = [
+        p.data for p in merged.geoms()
+        if p.type_id == G.LINESTRING and len(p.data) > 1
+    ]
+    start = (float(g.data[0, 0]), float(g.data[0, 1]))
+    end = (float(g.data[-1, 0]), float(g.data[-1, 1]))
+    in_len = geom_length(g)
+    pt_allow = max(abs(distance) - in_len * 0.1, abs(distance) * 0.98)
+    seg_allow = 1.02 * abs(distance)
+    out = []
+    for coords in lines:
+        c = [(float(x), float(y)) for x, y in coords]
+        front, back = 0, len(c) - 1
+        sz = back - front + 1
+
+        def seg_len(i, j):
+            return _dist(c[i], c[j])
+
+        for anchor in (start, end):
+            while sz > 1 and _dist(c[front], anchor) < pt_allow:
+                if seg_len(front, front + 1) > seg_allow:
+                    break
+                front += 1
+                sz -= 1
+        for anchor in (start, end):
+            while sz > 1 and _dist(c[back], anchor) < pt_allow:
+                if seg_len(back, back - 1) > seg_allow:
+                    break
+                back -= 1
+                sz -= 1
+        if sz > 1:
+            out.append(
+                G.Geom.linestring(
+                    np.asarray(c[front:back + 1], dtype=np.float64)
+                )
+            )
+    if not out:
+        return G.Geom.empty(G.LINESTRING)
+    if len(out) == 1:
+        return out[0]
+    return G.Geom.collection(G.MULTILINESTRING, out)
