@@ -531,3 +531,24 @@ def st_minimumboundingcircle(wkb: pd.Series) -> pd.DataFrame:
         else:
             rows.append((c[0], c[1], r))
     return pd.DataFrame(rows, columns=["cx", "cy", "radius"])
+
+
+def st_simplifytp(tolerance: float):
+    """Factory: topology-preserving simplify
+    (GEOSTopologyPreserveSimplify, capi geos_c.h.in:3340)."""
+
+    @pandas_udf(T.BinaryType())
+    def _stp(wkb: pd.Series) -> pd.Series:
+        from geos_spark.kernels.simplify_tp import simplify_tp
+
+        def f(b):
+            if b is None:
+                return None
+            try:
+                return write_wkb(simplify_tp(parse_wkb(b), tolerance))
+            except (ValueError, NotImplementedError):
+                return None
+
+        return wkb.map(f)
+
+    return _stp
