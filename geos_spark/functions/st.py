@@ -552,3 +552,35 @@ def st_simplifytp(tolerance: float):
         return wkb.map(f)
 
     return _stp
+
+
+@pandas_udf(T.DoubleType())
+def st_hausdorffdistance(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
+    """GEOSHausdorffDistance (capi geos_c.h.in:3526)."""
+    from geos_spark.kernels.hdist import hausdorff_distance
+
+    return pd.Series(
+        [
+            hausdorff_distance(parse_wkb(a), parse_wkb(b))
+            if a is not None and b is not None
+            else None
+            for a, b in zip(wkb_a, wkb_b)
+        ]
+    )
+
+
+@pandas_udf(T.DoubleType())
+def st_frechetdistance(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
+    """GEOSFrechetDistance (capi geos_c.h.in:3544)."""
+    from geos_spark.kernels.hdist import frechet_distance
+
+    out = []
+    for a, b in zip(wkb_a, wkb_b):
+        if a is None or b is None:
+            out.append(None)
+            continue
+        try:
+            out.append(frechet_distance(parse_wkb(a), parse_wkb(b)))
+        except ValueError:
+            out.append(None)
+    return pd.Series(out)
