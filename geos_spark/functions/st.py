@@ -584,3 +584,29 @@ def st_frechetdistance(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
         except ValueError:
             out.append(None)
     return pd.Series(out)
+
+
+_NP_SCHEMA = T.StructType(
+    [
+        T.StructField("x1", T.DoubleType()),
+        T.StructField("y1", T.DoubleType()),
+        T.StructField("x2", T.DoubleType()),
+        T.StructField("y2", T.DoubleType()),
+    ]
+)
+
+
+@pandas_udf(_NP_SCHEMA)
+def st_nearestpoints(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.DataFrame:
+    """GEOSNearestPoints (capi geos_c.h.in:3591)."""
+    rows = []
+    for a, b in zip(wkb_a, wkb_b):
+        if a is None or b is None:
+            rows.append((None, None, None, None))
+            continue
+        pr = S.nearest_points(parse_wkb(a), parse_wkb(b))
+        if pr is None:
+            rows.append((None, None, None, None))
+        else:
+            rows.append((pr[0][0], pr[0][1], pr[1][0], pr[1][1]))
+    return pd.DataFrame(rows, columns=["x1", "y1", "x2", "y2"])

@@ -647,3 +647,103 @@ def geom_distance(a: G.Geom, b: G.Geom) -> float:
         if _contains_any(a, vb) or _contains_any(b, va):
             return 0.0
     return best
+
+
+def nearest_points(a: G.Geom, b: G.Geom):
+    """Closest point pair (DistanceOp::nearestPoints,
+    capi geos_c.h.in:3591). Returns ((x1,y1),(x2,y2)) or None for
+    empty operands; for intersecting areal operands returns a shared
+    witness point (distance 0)."""
+    from geos_spark.kernels.dd import _point_to_segment
+    from geos_spark.kernels.pip import EXTERIOR, PolygonPack, locate_points
+
+    if a.is_empty or b.is_empty:
+        return None
+
+    def vertices(g):
+        vs = []
+        for p in g.geoms():
+            if p.type_id == G.POINT and len(p.data):
+                vs.append(p.data)
+            elif p.type_id == G.LINESTRING and len(p.data):
+                vs.append(p.data)
+            elif p.type_id == G.POLYGON:
+                for r in p.data:
+                    vs.append(r)
+        return np.concatenate(vs) if vs else np.zeros((0, 2))
+
+    va = vertices(a)
+    vb = vertices(b)
+    sa = _segments(a)
+    sb = _segments(b)
+
+    best = np.inf
+    pair = None
+
+    def check_pt_segs(pts, segs, swap):
+        nonlocal best, pair
+        for p in pts:
+            for s in segs:
+                p0 = (s[0], s[1])
+                p1 = (s[2], s[3])
+                d = _point_to_segment((p[0], p[1]), p0, p1)
+                if d < best:
+                    dx, dy = p1[0] - p0[0], p1[1] - p0[1]
+                    l2 = dx * dx + dy * dy
+                    r = 0.0 if l2 == 0 else (
+                        (p[0] - p0[0]) * dx + (p[1] - p0[1]) * dy
+                    ) / l2
+                    r = min(max(r, 0.0), 1.0)
+                    q = (p0[0] + r * dx, p0[1] + r * dy)
+                    best = d
+                    pair = (
+                        (q, (float(p[0]), float(p[1])))
+                        if swap
+                        else ((float(p[0]), float(p[1])), q)
+                    )
+
+    # vertex-vertex
+    for p in va:
+        d = np.hypot(vb[:, 0] - p[0], vb[:, 1] - p[1])
+        if len(d):
+            k = int(np.argmin(d))
+            if d[k] < best:
+                best = float(d[k])
+                pair = (
+                    (float(p[0]), float(p[1])),
+                    (float(vb[k, 0]), float(vb[k, 1])),
+                )
+    if len(sb):
+        check_pt_segs(va, sb, swap=False)
+    if len(sa):
+        check_pt_segs(vb, sa, swap=True)
+
+    # containment: any vertex of one inside the other's polygons
+    def inside_witness(pts, g, swap):
+        nonlocal best, pair
+        polys = [p.data for p in g.geoms() if p.type_id == G.POLYGON and p.data]
+        if not polys or not len(pts):
+            return
+        pack = PolygonPack.from_rings(polys)
+        n, m = len(pts), len(polys)
+        loc = locate_points(
+            pts, pack,
+            np.repeat(np.arange(n), m), np.tile(np.arange(m), n),
+        ).reshape(n, m)
+        hit = np.flatnonzero((loc != EXTERIOR).any(axis=1))
+        if len(hit):
+            p = (float(pts[hit[0], 0]), float(pts[hit[0], 1]))
+            best_local = 0.0
+            if best_local < best:
+                _set(p, swap, best_local)
+
+    def _set(p, swap, d):
+        nonlocal best, pair
+        best = d
+        pair = (p, p)
+
+    if best > 0.0:
+        inside_witness(va, b, False)
+    if best > 0.0:
+        inside_witness(vb, a, True)
+    return pair

@@ -40,3 +40,30 @@ def test_frechet(wa, wb, dens, exp):
     assert frechet_distance(W(wa), W(wb), dens) == pytest.approx(
         exp, rel=1e-12
     )
+
+
+# ----------------------------------------------------------------------
+# nearestPoints (witness pair consistent with geom_distance)
+# ----------------------------------------------------------------------
+
+import math
+
+from geos_spark.kernels.scalars import geom_distance, nearest_points
+
+NP_CASES = [
+    ("POINT(0 0)", "LINESTRING(5 5, 5 -5)", ((0, 0), (5, 0))),
+    ("POLYGON((0 0,10 0,10 10,0 10,0 0))", "POINT(15 5)", ((10, 5), (15, 5))),
+    ("LINESTRING(0 0, 10 0)", "LINESTRING(3 4, 7 4)", ((3, 0), (3, 4))),
+    ("POLYGON((0 0,10 0,10 10,0 10,0 0))", "POINT(5 5)", ((5, 5), (5, 5))),
+]
+
+
+@pytest.mark.parametrize("wa,wb,exp", NP_CASES)
+def test_nearest_points(wa, wb, exp):
+    a, b = W(wa), W(wb)
+    pr = nearest_points(a, b)
+    assert pr == exp
+    d = geom_distance(a, b)
+    assert math.hypot(
+        pr[0][0] - pr[1][0], pr[0][1] - pr[1][1]
+    ) == pytest.approx(d, abs=1e-12)
