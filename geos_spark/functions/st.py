@@ -259,9 +259,11 @@ def _overlay_pair_udf(op_code: int):
                 continue
             try:
                 out.append(
-                    write_wkb(OV.overlay(parse_wkb(a), parse_wkb(b), op_code))
+                    write_wkb(
+                        OV.overlay_robust(parse_wkb(a), parse_wkb(b), op_code)
+                    )
                 )
-            except (ValueError, NotImplementedError):
+            except Exception:
                 # per-row null-out, the GEOS C-API convention: an
                 # exception returns NULL to the caller instead of
                 # aborting the batch (capi/geos_ts_c.cpp:436-463)

@@ -1005,3 +1005,25 @@ def difference(a: G.Geom, b: G.Geom) -> G.Geom:
 
 def sym_difference(a: G.Geom, b: G.Geom) -> G.Geom:
     return overlay(a, b, SYMDIFFERENCE)
+
+
+def overlay_robust(a: G.Geom, b: G.Geom, op: int) -> G.Geom:
+    """OverlayNGRobust::Overlay (OverlayNGRobust.cpp:100-295), with
+    the middle snapping-noder tier replaced by a fine-grid
+    snap-rounding retry: float first; on failure, snap-round at a
+    ~12-significant-digit grid (the reference's final PrecisionUtil
+    robust-scale tier)."""
+    import math as _math
+
+    try:
+        return overlay(a, b, op)
+    except Exception:
+        pass
+    ax0, ay0, ax1, ay1 = a.envelope()
+    bx0, by0, bx1, by1 = b.envelope()
+    max_mag = max(
+        1.0, *(abs(v) for v in (ax0, ay0, ax1, ay1, bx0, by0, bx1, by1)
+               if not _math.isnan(v))
+    )
+    scale = 10.0 ** (12 - int(_math.ceil(_math.log10(max_mag))))
+    return overlay(a, b, op, scale)
