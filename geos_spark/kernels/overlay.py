@@ -946,7 +946,18 @@ def overlay(a: G.Geom, b: G.Geom, op: int, scale: float | None = None) -> G.Geom
         ringflag = {**rf_a, **rf_b}
         nodes = _node_segments(segs, sizes, ringflag)
         edges, walks = _build_edges(segs)
-        _resolve_labels(edges, inputs, dims)
+        ring_pieces = [[], []]
+        for s in segs:
+            if s.is_ring:
+                pts = [s.p]
+                for _t, pt in sorted(s.splits, key=lambda e: e[0]):
+                    if pt not in (s.p, s.q) and pt not in pts:
+                        pts.append(pt)
+                pts.append(s.q)
+                for u, v in zip(pts[:-1], pts[1:]):
+                    if u != v:
+                        ring_pieces[s.inp].append([u[0], u[1], v[0], v[1]])
+        _resolve_labels_arrangement(edges, ring_pieces, dims)
 
     # --- area stage ---------------------------------------------------
     directed = []
@@ -965,6 +976,18 @@ def overlay(a: G.Geom, b: G.Geom, op: int, scale: float | None = None) -> G.Geom
             else:
                 directed.append((e.q, e.p))
             d_edges.append(e)
+    if directed:
+        # noding-validity check: result boundary must be degree
+        # balanced at every node; near-coincident un-merged nodes
+        # (robustness failures) break this — raise so the robust
+        # ladder retries with snap-rounding (the role of the
+        # reference's noding validator + TopologyException)
+        deg: dict = defaultdict(int)
+        for u, v in directed:
+            deg[u] += 1
+            deg[v] -= 1
+        if any(d != 0 for d in deg.values()):
+            raise ValueError("inconsistent noding in overlay result")
     polys = _assemble_polygons(_trace_rings(directed)) if directed else []
     has_result_area = bool(polys)
 
@@ -1007,16 +1030,48 @@ def sym_difference(a: G.Geom, b: G.Geom) -> G.Geom:
     return overlay(a, b, SYMDIFFERENCE)
 
 
+def _area_consistent(a, b, op, result, tol) -> bool:
+    """OverlayUtil::isResultAreaConsistent (OverlayUtil.cpp:245-276)
+    with a configurable relative tolerance (the reference uses 0.1 to
+    catch inversions; the robust ladder here also retries on
+    sliver-scale inconsistencies)."""
+    from geos_spark.kernels.scalars import geom_area
+
+    area_r = geom_area(result)
+    area_a = geom_area(a)
+    area_b = geom_area(b)
+    le = lambda v1, v2: v1 <= v2 * (1 + tol) + 1e-300
+    ge = lambda v1, v2: v1 >= v2 * (1 - tol) - 1e-300
+    if op == INTERSECTION:
+        return le(area_r, area_a) and le(area_r, area_b)
+    if op == DIFFERENCE:
+        return le(area_r, area_a) and ge(area_r, area_a - area_b)
+    if op == SYMDIFFERENCE:
+        return le(area_r, area_a + area_b)
+    if op == UNION:
+        return (
+            le(area_a, area_r) and le(area_b, area_r)
+            and ge(area_r, area_a - area_b)
+        )
+    return True
+
+
 def overlay_robust(a: G.Geom, b: G.Geom, op: int) -> G.Geom:
     """OverlayNGRobust::Overlay (OverlayNGRobust.cpp:100-295), with
     the middle snapping-noder tier replaced by a fine-grid
-    snap-rounding retry: float first; on failure, snap-round at a
-    ~12-significant-digit grid (the reference's final PrecisionUtil
-    robust-scale tier)."""
+    snap-rounding retry: float first (validated with the area
+    consistency heuristic on areal inputs); on failure or
+    inconsistency, snap-round at a ~12-significant-digit grid (the
+    reference's final PrecisionUtil robust-scale tier)."""
     import math as _math
 
+    res = None
     try:
-        return overlay(a, b, op)
+        res = overlay(a, b, op)
+        if _geom_dim(a) != 2 or _geom_dim(b) != 2 or _area_consistent(
+            a, b, op, res, 1e-9
+        ):
+            return res
     except Exception:
         pass
     ax0, ay0, ax1, ay1 = a.envelope()
@@ -1026,4 +1081,9 @@ def overlay_robust(a: G.Geom, b: G.Geom, op: int) -> G.Geom:
                if not _math.isnan(v))
     )
     scale = 10.0 ** (12 - int(_math.ceil(_math.log10(max_mag))))
-    return overlay(a, b, op, scale)
+    try:
+        return overlay(a, b, op, scale)
+    except Exception:
+        if res is not None:
+            return res
+        raise

@@ -181,7 +181,7 @@ def _node_line_with_first_coordinate(g: G.Geom) -> G.Geom | None:
             break
     if first is None:
         return None
-    return OV.union(g, G.Geom.point(first[0], first[1]))
+    return OV.overlay_robust(g, G.Geom.point(first[0], first[1]), OV.UNION)
 
 
 def _unique_points(g: G.Geom) -> G.Geom:
@@ -218,8 +218,8 @@ def _make_valid_poly(g: G.Geom) -> G.Geom:
     cut_edges = _node_line_with_first_coordinate(bound)
     if cut_edges is None:
         return G.Geom(G.POLYGON, [])
-    collapse_points = OV.difference(
-        _unique_points(bound), _unique_points(cut_edges)
+    collapse_points = OV.overlay_robust(
+        _unique_points(bound), _unique_points(cut_edges), OV.DIFFERENCE
     )
     area: G.Geom = G.Geom(G.POLYGON, [])
     while not cut_edges.is_empty and any(
@@ -229,8 +229,8 @@ def _make_valid_poly(g: G.Geom) -> G.Geom:
         if new_area.is_empty:
             break
         new_bound = geom_boundary(new_area)
-        area = OV.sym_difference(area, new_area)
-        cut_edges = OV.difference(cut_edges, new_bound)
+        area = OV.overlay_robust(area, new_area, OV.SYMDIFFERENCE)
+        cut_edges = OV.overlay_robust(cut_edges, new_bound, OV.DIFFERENCE)
     items = []
     if not area.is_empty:
         items.append(area)

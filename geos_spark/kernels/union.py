@@ -7,10 +7,11 @@
   dissolve, and the resulting edge soup is re-merged into maximal
   chains through degree-2 nodes (the node + dissolve + LineMerger
   pipeline, ``src/operation/linemerge/LineMerger.cpp``).
-
-Polygonal union requires the overlay engine and is not implemented in
-this round (SURVEY §7.3 item 5); mixed-dimension collections union
-their puntal/lineal parts only and raise on polygons.
+- polygons: cascaded binary union merge tree over the overlay engine
+  (``CascadedPolygonUnion.cpp:89-122``), robust-ladder merges.
+- mixed collections: per-dimension unions combined per
+  ``UnaryUnionOp::Union`` (lines+polys overlay union, uncovered
+  points merged in).
 """
 
 from __future__ import annotations
@@ -170,7 +171,7 @@ def cascaded_polygon_union(polys: list[G.Geom]) -> G.Geom:
         if hi - lo == 1:
             return polys[lo]
         mid = (lo + hi) // 2
-        return area_only(OV.union(merge(lo, mid), merge(mid, hi)))
+        return area_only(OV.overlay_robust(merge(lo, mid), merge(mid, hi), OV.UNION))
 
     if not polys:
         return G.Geom(G.POLYGON, [])
@@ -200,9 +201,9 @@ def unary_union(g: G.Geom) -> G.Geom:
     elif len(parts) == 1:
         la = parts[0]
     else:
-        la = OV.union(parts[0], parts[1])
+        la = OV.overlay_robust(parts[0], parts[1], OV.UNION)
     if u_pts is None:
         return la if la is not None else G.Geom.empty(G.GEOMETRYCOLLECTION)
     if la is None:
         return u_pts
-    return OV.union(u_pts, la)
+    return OV.overlay_robust(u_pts, la, OV.UNION)

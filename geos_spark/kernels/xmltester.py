@@ -62,3 +62,15 @@ def load_cases(path: str) -> list[OracleCase]:
                 )
             )
     return out
+
+
+def parse_geom_text(s: str):
+    """Parse a case geometry: WKT, or hex WKB (either byte order) —
+    XMLTester::parseGeometry accepts both."""
+    from geos_spark.kernels.wkb import parse_wkb
+    from geos_spark.kernels.wkt import parse_wkt
+
+    t = s.strip()
+    if re.fullmatch(r"[0-9A-Fa-f]+", t) and len(t) % 2 == 0 and len(t) >= 10:
+        return parse_wkb(bytes.fromhex(t))
+    return parse_wkt(t)

@@ -69,7 +69,7 @@ def buffer_match(actual, expected, dist) -> bool:
     if actual.is_empty and expected.is_empty:
         return True
     area = geom_area(expected)
-    sym_area = geom_area(OV.sym_difference(actual, expected))
+    sym_area = geom_area(OV.overlay_robust(actual, expected, OV.SYMDIFFERENCE))
     if sym_area > 0.0:
         if area <= 0:
             return False
