@@ -72,6 +72,35 @@ def main(argv=None) -> None:
             return within_distance_join(
                 a, b, args.distance, level=args.level, extent=extent
             )
+        if args.op in ("intersection", "union", "difference", "symdifference"):
+            # pairwise overlay of wkb columns (wkb in a, wkb_b in b-table
+            # joined by row id, or self-table columns wkb/wkb_b)
+            from geos_spark.functions import st
+
+            f = st.st_overlay(args.op)
+            src = a if b is None else a.join(b, "id")
+            return src.withColumn("result_wkb", f("wkb", "wkb_b"))
+        if args.op == "buffer":
+            from geos_spark.functions import st
+
+            return a.withColumn(
+                "result_wkb", st.st_buffer(args.distance)("wkb")
+            )
+        if args.op == "unaryunion":
+            from geos_spark.functions import st
+
+            return a.withColumn("result_wkb", st.st_unaryunion("wkb"))
+        if args.op == "makevalid":
+            from geos_spark.functions import st
+
+            return a.withColumn("result_wkb", st.st_makevalid("wkb"))
+        if args.op == "cluster":
+            from geos_spark.operators.cluster import cluster_within_distance
+
+            return cluster_within_distance(
+                a.withColumnRenamed("doc_id", "id"), args.distance,
+                level=args.level, extent=extent,
+            )
         raise SystemExit(f"unknown op {args.op!r}")
 
     rows = 0
