@@ -240,9 +240,9 @@ def run_suite(cores: int, scaling: bool = False) -> dict:
         # Materialize via the noop sink — count() would let Catalyst
         # prune aggregate expressions / unused columns and time a
         # hollowed-out job.
-        runs = 1 if scaling else 2
-        # scaling mode: one explicit warmup on a 1-partition slice,
-        # then a single timed run (saves half the wall time)
+        # scaling mode: explicit warmup, then 3 timed runs with min —
+        # the sandbox host has noisy neighbors and single runs swing 2x
+        runs = 3 if scaling else 2
         if scaling:
             fn().limit(1000).write.format("noop").mode("overwrite").save()
         best = None
