@@ -240,10 +240,10 @@ def run_suite(cores: int, scaling: bool = False) -> dict:
         # Materialize via the noop sink — count() would let Catalyst
         # prune aggregate expressions / unused columns and time a
         # hollowed-out job.
-        # scaling mode: explicit warmup, then 2 timed runs with min —
-        # the sandbox host has noisy neighbors; workloads are sized so
-        # fixed costs (JVM, planning, broadcast) are <3% of runtime
-        runs = 2 if scaling else 2
+        # 2 timed runs with min (scaling mode adds an explicit warmup
+        # first) — the sandbox host has noisy neighbors; workloads are
+        # sized so fixed costs (JVM, planning, broadcast) are <3%
+        runs = 2
         if scaling:
             fn().limit(1000).write.format("noop").mode("overwrite").save()
         best = None

@@ -285,9 +285,17 @@ def st_unaryunion(wkb: pd.Series) -> pd.Series:
     """GEOSUnaryUnion (capi geos_c.h.in:3884) per value."""
     from geos_spark.kernels.union import unary_union
 
-    return wkb.map(
-        lambda b: None if b is None else write_wkb(unary_union(parse_wkb(b)))
-    )
+    def _uu(b):
+        if b is None:
+            return None
+        try:
+            return write_wkb(unary_union(parse_wkb(b)))
+        except Exception:
+            # per-row null-out, the GEOS C-API convention: an
+            # unrepresentable row yields NULL, not a failed task
+            return None
+
+    return wkb.map(_uu)
 
 
 def st_make_box(xmin_col, ymin_col, xmax_col, ymax_col):

@@ -166,8 +166,6 @@ def minimum_diameter(g: G.Geom):
     n = len(pts)
     if n == 1:
         return 0.0, (pts[0], pts[0]), pts[0]
-    if n in (2, 3) or (n == 4 and pts[0] == pts[-1] and n - 1 <= 3):
-        pass
     # ring form: closed; open sequences of 2-3 points are degenerate
     if pts[0] != pts[-1] or len(pts) <= 3:
         return 0.0, (pts[0], pts[1] if len(pts) > 1 else pts[0]), pts[0]

@@ -677,6 +677,17 @@ def nearest_points(a: G.Geom, b: G.Geom):
     sa = _segments(a)
     sb = _segments(b)
 
+    # properly crossing linework: the nearest pair is the intersection
+    # point twice (DistanceOp via LineSegment::closestPoints, which
+    # returns the computed intersection for crossing segments)
+    if len(sa) and len(sb):
+        from geos_spark.kernels.segments import intersection_points
+
+        ipts, _, _ = intersection_points(sa, sb)
+        if len(ipts):
+            p = (float(ipts[0, 0]), float(ipts[0, 1]))
+            return (p, p)
+
     best = np.inf
     pair = None
 

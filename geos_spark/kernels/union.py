@@ -206,4 +206,49 @@ def unary_union(g: G.Geom) -> G.Geom:
         return la if la is not None else G.Geom.empty(G.GEOMETRYCOLLECTION)
     if la is None:
         return u_pts
-    return OV.overlay_robust(u_pts, la, OV.UNION)
+    return _merge_points_into(u_pts, la)
+
+
+def _merge_points_into(u_pts: G.Geom, la: G.Geom) -> G.Geom:
+    """PointGeometryUnion (src/operation/union/PointGeometryUnion.cpp):
+    union of a point set with an arbitrary (possibly mixed-dimension)
+    geometry = the geometry plus the points not covered by any
+    component.  Overlay is never invoked, so a mixed line/polygon
+    union result (line poking out of a polygon) is handled exactly
+    like the reference instead of tripping the homogeneous-operand
+    check in ``overlay._flatten_operand``."""
+    from geos_spark.kernels import overlay as OV
+    from geos_spark.kernels.relate import (
+        _line_parts,
+        _locate_in_polys,
+        _locate_on_lines,
+        _point_parts,
+        _poly_parts,
+    )
+
+    coords = OV._unique_pts(_point_parts(u_pts))
+    pts = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+    polys = _poly_parts(la)
+    lines = _line_parts(la)
+    covered = np.zeros(len(pts), dtype=bool)
+    if len(pts) and polys:
+        covered |= np.array(
+            [int(v) != OV._EXT for v in _locate_in_polys(pts, polys)]
+        )
+    if len(pts) and lines:
+        covered |= np.array(
+            [int(v) != OV._EXT for v in _locate_on_lines(pts, lines)]
+        )
+    free = sorted(
+        (float(x), float(y))
+        for (x, y), cv in zip(coords, covered)
+        if not cv
+    )
+    if not free:
+        return la
+    poly_geoms = [g for g in la.geoms() if g.type_id == G.POLYGON and g.data]
+    line_geoms = [
+        g for g in la.geoms() if g.type_id == G.LINESTRING and len(g.data)
+    ]
+    pt_geoms = [G.Geom.point(x, y) for x, y in free]
+    return OV._build_result(poly_geoms, line_geoms, pt_geoms, la.dimension())

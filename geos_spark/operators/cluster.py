@@ -8,11 +8,12 @@ eps drives the candidate search).  Distributed shape:
 
 1. candidate pairs from the cell-partitioned within-distance join
    (the same expanded-envelope prefilter, Catalyst equijoin on cell);
-2. iterative min-label propagation to a fixpoint — the union-find
-   re-expressed as a bounded loop of shuffles (each iteration at
-   least halves the number of non-converged components, so
-   O(log(diameter)) rounds; each round is one groupBy and one join,
-   both on the point id — AQE-coalesced at scale).
+2. iterative min-label propagation with pointer doubling (path
+   halving: ``cluster <- label(cluster)`` after each propagation) to
+   a fixpoint — the union-find re-expressed as a bounded loop of
+   shuffles converging in O(log(diameter)) rounds even on chain
+   graphs; each round is a groupBy plus two joins, all on the point
+   id — AQE-coalesced at scale.
 
 No GraphFrames dependency; the loop materialises each round with
 ``localCheckpoint`` to cut the growing lineage (the scale-safe
@@ -111,13 +112,15 @@ def connected_components(
         .distinct()
     )
     labels = ids.select(F.col("id"), F.col("id").alias("cluster"))
+    converged = False
     for _ in range(max_iter):
+        # one-hop min-label propagation over the edge table
         nbr_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("cluster").alias("nbr_cluster"))
         )
-        new_labels = (
+        prop = (
             labels.join(nbr_min, labels.id == nbr_min.src, "left")
             .select(
                 "id",
@@ -125,6 +128,23 @@ def connected_components(
                     F.col("cluster"),
                     F.coalesce(F.col("nbr_cluster"), F.col("cluster")),
                 ).alias("cluster"),
+            )
+        )
+        # pointer doubling (path halving): cluster <- label(cluster).
+        # labels are monotone non-increasing (label(x) <= x), so the
+        # hop distance to the component minimum roughly halves every
+        # round — O(log diameter) rounds even for chain graphs, where
+        # plain propagation needs O(diameter).
+        parent = prop.select(
+            F.col("id").alias("p_id"), F.col("cluster").alias("p_cluster")
+        )
+        new_labels = (
+            prop.join(parent, prop.cluster == parent.p_id, "left")
+            .select(
+                "id",
+                F.coalesce(F.col("p_cluster"), F.col("cluster")).alias(
+                    "cluster"
+                ),
             )
         )
         try:
@@ -140,7 +160,17 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no fixpoint after {max_iter} rounds; "
+            "cluster labels may be split",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

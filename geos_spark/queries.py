@@ -549,10 +549,13 @@ def q_tile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_POLY_SHIFT = (100.0, 60.0)  # L1 = 160 < 2*96: real intersecting pairs
+
+
 def q_poly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Polygon-polygon intersects join, star set vs shifted star set
-    (rows-only driver check; pytest verifies against brute-force
-    relate)."""
+    """Polygon-polygon intersects join, star set vs shifted star set.
+    Exact DuckDB oracle: bbox prefilter + edge-crossing + mutual
+    vertex-containment SQL over the integer-coordinate star edges."""
     import numpy as np
 
     from geos_spark.kernels import geom as G
@@ -563,7 +566,7 @@ def q_poly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = star_polygons(spark)
     shifted = []
     for p in range(256):
-        v = star_vertices(p) + np.array([150.0, 100.0])
+        v = star_vertices(p) + np.array(_POLY_SHIFT)
         shifted.append(
             (p, bytearray(write_wkb(G.Geom(G.POLYGON, [v]))),
              float(v[:, 0].min()), float(v[:, 1].min()),
@@ -576,6 +579,95 @@ def q_poly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = polygon_join(a, b, "intersects", level=5, extent=EXTENT)
     return out.select("poly_id", "b_poly_id")
+
+
+def q_poly_join_sql() -> str:
+    """Polygon-polygon intersects as exact integer SQL: two simple
+    polygons intersect iff some edge pair intersects or one contains
+    a vertex of the other (ray-crossing parity; boundary touches are
+    caught by the collinear/on-segment edge clauses)."""
+    dx, dy = int(_POLY_SHIFT[0]), int(_POLY_SHIFT[1])
+    # exact integer segment-segment intersection: opposite strict
+    # orientations both ways, or an endpoint collinear-on the other
+    seg_inter = """
+        ((ea.x2-ea.x1)*(eb.y1-ea.y1) - (ea.y2-ea.y1)*(eb.x1-ea.x1)) *
+        ((ea.x2-ea.x1)*(eb.y2-ea.y1) - (ea.y2-ea.y1)*(eb.x2-ea.x1)) < 0
+        AND
+        ((eb.x2-eb.x1)*(ea.y1-eb.y1) - (eb.y2-eb.y1)*(ea.x1-eb.x1)) *
+        ((eb.x2-eb.x1)*(ea.y2-eb.y1) - (eb.y2-eb.y1)*(ea.x2-eb.x1)) < 0
+        OR (((ea.x2-ea.x1)*(eb.y1-ea.y1) - (ea.y2-ea.y1)*(eb.x1-ea.x1)) = 0
+            AND eb.x1 BETWEEN LEAST(ea.x1,ea.x2) AND GREATEST(ea.x1,ea.x2)
+            AND eb.y1 BETWEEN LEAST(ea.y1,ea.y2) AND GREATEST(ea.y1,ea.y2))
+        OR (((ea.x2-ea.x1)*(eb.y2-ea.y1) - (ea.y2-ea.y1)*(eb.x2-ea.x1)) = 0
+            AND eb.x2 BETWEEN LEAST(ea.x1,ea.x2) AND GREATEST(ea.x1,ea.x2)
+            AND eb.y2 BETWEEN LEAST(ea.y1,ea.y2) AND GREATEST(ea.y1,ea.y2))
+        OR (((eb.x2-eb.x1)*(ea.y1-eb.y1) - (eb.y2-eb.y1)*(ea.x1-eb.x1)) = 0
+            AND ea.x1 BETWEEN LEAST(eb.x1,eb.x2) AND GREATEST(eb.x1,eb.x2)
+            AND ea.y1 BETWEEN LEAST(eb.y1,eb.y2) AND GREATEST(eb.y1,eb.y2))
+        OR (((eb.x2-eb.x1)*(ea.y2-eb.y1) - (eb.y2-eb.y1)*(ea.x2-eb.x1)) = 0
+            AND ea.x2 BETWEEN LEAST(eb.x1,eb.x2) AND GREATEST(eb.x1,eb.x2)
+            AND ea.y2 BETWEEN LEAST(eb.y1,eb.y2) AND GREATEST(eb.y1,eb.y2))
+    """
+
+    def pip_having(edge_tbl: str) -> str:
+        return f"""
+        SUM(CASE WHEN ((e.y1 > v.vy AND e.y2 <= v.vy)
+                    OR (e.y2 > v.vy AND e.y1 <= v.vy))
+              AND (CASE WHEN e.y2 < e.y1 THEN -1 ELSE 1 END)
+                  * ((e.x2-e.x1)*(v.vy-e.y1) - (e.y2-e.y1)*(v.vx-e.x1)) > 0
+            THEN 1 ELSE 0 END) % 2 = 1
+        """
+
+    return f"""
+WITH {star_params_sql()},
+b_verts AS (
+    SELECT poly_id, j, vx + {dx} AS vx, vy + {dy} AS vy FROM star_verts
+),
+b_edges AS (
+    SELECT poly_id, j, x1 + {dx} AS x1, y1 + {dy} AS y1,
+           x2 + {dx} AS x2, y2 + {dy} AS y2
+    FROM star_edges
+),
+b_bbox AS (
+    SELECT poly_id, xmin + {dx} AS xmin, ymin + {dy} AS ymin,
+           xmax + {dx} AS xmax, ymax + {dy} AS ymax
+    FROM star_bbox
+),
+cand AS (
+    SELECT a.poly_id AS pa, b.poly_id AS pb
+    FROM star_bbox a JOIN b_bbox b
+      ON a.xmin <= b.xmax AND b.xmin <= a.xmax
+     AND a.ymin <= b.ymax AND b.ymin <= a.ymax
+),
+edge_hit AS (
+    SELECT DISTINCT c.pa, c.pb
+    FROM cand c
+    JOIN star_edges ea ON ea.poly_id = c.pa
+    JOIN b_edges eb ON eb.poly_id = c.pb
+    WHERE {seg_inter}
+),
+a_in_b AS (
+    SELECT c.pa, c.pb
+    FROM cand c
+    JOIN star_verts v ON v.poly_id = c.pa AND v.j = 0
+    JOIN b_edges e ON e.poly_id = c.pb
+    GROUP BY c.pa, c.pb, v.vx, v.vy
+    HAVING {pip_having('b_edges')}
+),
+b_in_a AS (
+    SELECT c.pa, c.pb
+    FROM cand c
+    JOIN b_verts v ON v.poly_id = c.pb AND v.j = 0
+    JOIN star_edges e ON e.poly_id = c.pa
+    GROUP BY c.pa, c.pb, v.vx, v.vy
+    HAVING {pip_having('star_edges')}
+)
+SELECT pa AS poly_id, pb AS b_poly_id FROM edge_hit
+UNION
+SELECT pa AS poly_id, pb AS b_poly_id FROM a_in_b
+UNION
+SELECT pa AS poly_id, pb AS b_poly_id FROM b_in_a
+"""
 
 
 # ----------------------------------------------------------------------
@@ -898,7 +990,18 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
-    return extract_features(media, deterministic_fake=True)
+    feats = extract_features(media, deterministic_fake=True)
+    # the driver canonicalizes by sorting column VALUES — array<float>
+    # is unhashable there, so project the vector to a stable scalar
+    # signature (micro-rounded CSV) + the byte count
+    return feats.select(
+        "media_id",
+        F.expr(
+            "concat_ws(',', transform(feature,"
+            " v -> cast(round(v * 1000000) as long)))"
+        ).alias("feature_sig"),
+        "n_bytes",
+    )
 
 
 
@@ -1056,9 +1159,10 @@ ORACLES = {
     "minhash": q_minhash_sql(),
     "jaccard_pairs": q_jaccard_pairs_sql(),
     "rect_overlay": q_rect_overlay_sql(),
+    "poly_join": q_poly_join_sql(),
     "cluster_cc": q_cluster_cc_sql(),
     "cluster_dbscan": q_cluster_dbscan_sql(),
-    # tile_clip / poly_join / hull_agg / union_area / media_features:
+    # tile_clip / hull_agg / union_area / media_features:
     # not SQL-expressible (geometry outputs / binary feature plumbing);
     # the driver records rows-only checks, pytest verifies them exactly
     # against local kernels.
