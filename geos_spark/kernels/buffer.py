@@ -696,10 +696,23 @@ def buffer_geom(
     if g.is_empty or (distance == 0.0 and g.dimension() < 2):
         return G.Geom(G.POLYGON, [])
     if distance == 0.0:
-        # zero-width buffer of areal input: the input (noded/merged)
+        # zero-width buffer of areal input: the input noded/merged,
+        # with dimensional collapses dropped — buffer output is always
+        # areal, so a degenerate (zero-area) polygon yields POLYGON
+        # EMPTY (BufferOp on collapsed rings)
+        from geos_spark.kernels import overlay as OV
         from geos_spark.kernels.union import unary_union
 
-        return unary_union(g)
+        u = unary_union(g)
+        u = OV.overlay_robust(u, G.Geom(G.POLYGON, []), OV.UNION)
+        polys = [
+            p for p in u.geoms() if p.type_id == G.POLYGON and p.data
+        ]
+        if not polys:
+            return G.Geom(G.POLYGON, [])
+        if len(polys) == 1:
+            return polys[0]
+        return G.Geom.collection(G.MULTIPOLYGON, polys)
     curves = _collect_curves(g, distance, **params)
     if not curves:
         return G.Geom(G.POLYGON, [])

@@ -21,7 +21,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from geos_spark.functions.hilbert_native import (
@@ -98,21 +98,31 @@ def knn_join(
     build_xy: tuple[str, str] = ("cx", "cy"),
     level: int = 4,
     extent=DEFAULT_EXTENT,
+    broadcast_build: bool | None = None,
 ) -> DataFrame:
     """Cell-ring-expansion kNN (scale path for large build sides).
 
-    Round with radius r: each *pending* probe explodes to the
-    (2r+1)^2 grid cells within Chebyshev distance r of its own cell
-    and equijoins the build side on (gx, gy) — a plain hash join, no
-    theta/cross join anywhere. A probe is final once it has k
-    candidates whose k-th squared distance <= (r * tile_side)^2 — the
-    minimum possible distance to any cell beyond radius r (a point in
-    an adjacent unexplored cell can be arbitrarily close to the shared
-    border, hence the bound uses r, not r+1; exactly the
-    branch-and-bound lower-bound reasoning of GEOSSTRtree_nearest,
-    src/index/strtree/BoundablePair.cpp, transplanted to the grid).
-    Radii double per round; when r covers the grid every probe is
-    final by construction. Exact results; ties by build id.
+    Two-phase plan (constant job count for dense build sides, no
+    iterative lineage):
+
+    1. **Neighborhood pass** — every probe joins the 3x3 cell block
+       around its own cell (plain hash equijoin). Probes whose k-th
+       candidate distance is within the ring-1 lower bound are final.
+    2. **Radius pass** — each remaining probe computes its *own* exact
+       search radius from its k-th candidate distance
+       (``r_i = floor(sqrt(kth)/tile) + 1``: every point beyond radius
+       r_i is strictly farther than the current k-th neighbor — the
+       branch-and-bound lower-bound reasoning of GEOSSTRtree_nearest,
+       src/index/strtree/BoundablePair.cpp, transplanted to the grid)
+       and explodes exactly the cells inside it via a native
+       ``F.sequence`` fan-out. One join, one window — final by
+       construction.
+
+    Probes that found fewer than k candidates in their 3x3 block
+    (sparse regions) fall back to a doubling-radius loop until k
+    candidates exist, then take the same exact radius pass. Exact
+    results; ties break by build id (GEOSSTRtree_nearest
+    determinism).
     """
     minx, miny, maxx, maxy = extent
     n = 1 << level
@@ -132,59 +142,125 @@ def knn_join(
         )
         return df.withColumn(pre + "gx", gx).withColumn(pre + "gy", gy)
 
+    def ckpt(df: DataFrame) -> DataFrame:
+        """Cut lineage lazily: the reuse pattern here is a handful of
+        consumers inside one final DAG, so a lazy cache avoids the
+        extra materialization job an eager localCheckpoint would run
+        (the iterative starving loop below is bounded at log2(n)
+        rounds, so lineage depth stays small)."""
+        return df.cache()
+
     p = grid(probe, px, py, "p_")
     b = grid(build, bx, by, "b_")
+
+    # the probe-side explode destroys Catalyst's size estimate, so the
+    # planner would never pick a broadcast join on its own (the same
+    # trap as spatial_join); probe the build side with a BOUNDED
+    # limit+count (reads at most a few partitions even on a huge
+    # table) and hint explicitly when it fits
+    if broadcast_build is None:
+        _BC_LIMIT = 100_000
+        broadcast_build = build.limit(_BC_LIMIT + 1).count() <= _BC_LIMIT
+    if broadcast_build:
+        b = F.broadcast(b)
 
     d2 = (F.col(px) - F.col(bx)) ** 2 + (F.col(py) - F.col(by)) ** 2
     tile_min = min(sx, sy)
     out_cols = [c for c in probe.columns] + ["rank", build_id, "dist2"]
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col("dist2").asc(), F.col(build_id).asc()
+    )
 
-    results = None
-    pending = p
-    r = 1
-    while True:
+    def cand_join(probes: DataFrame, radius) -> DataFrame:
+        """Equijoin each probe against the build rows in the cells
+        within Chebyshev ``radius`` of its cell (radius is a Column or
+        an int — native sequence fan-out, no cross join)."""
+        rcol = radius if isinstance(radius, Column) else F.lit(radius)
         exploded = (
-            pending.withColumn(
+            probes.withColumn(
                 "__ngx",
                 F.explode(
-                    F.sequence(F.col("p_gx") - r, F.col("p_gx") + r)
+                    F.sequence(
+                        F.greatest(F.lit(0), F.col("p_gx") - rcol),
+                        F.least(F.lit(n - 1), F.col("p_gx") + rcol),
+                    )
                 ),
             )
             .withColumn(
                 "__ngy",
                 F.explode(
-                    F.sequence(F.col("p_gy") - r, F.col("p_gy") + r)
+                    F.sequence(
+                        F.greatest(F.lit(0), F.col("p_gy") - rcol),
+                        F.least(F.lit(n - 1), F.col("p_gy") + rcol),
+                    )
                 ),
             )
         )
-        cand = exploded.join(
+        return exploded.join(
             b,
             (F.col("__ngx") == F.col("b_gx"))
             & (F.col("__ngy") == F.col("b_gy")),
         ).withColumn("dist2", d2)
-        w = Window.partitionBy(probe_id).orderBy(
-            F.col("dist2").asc(), F.col(build_id).asc()
-        )
-        topk = cand.withColumn("rank", F.row_number().over(w)).where(
+
+    def topk_of(cand: DataFrame) -> DataFrame:
+        return cand.withColumn("rank", F.row_number().over(w)).where(
             F.col("rank") <= k
         )
-        exhausted = r >= n  # whole grid explored
-        if exhausted:
-            final_ids = pending.select(probe_id)
-        else:
-            bound = (r * tile_min) ** 2
-            kth = topk.groupBy(probe_id).agg(
-                F.count(F.lit(1)).alias("__n"), F.max("dist2").alias("__kth")
+
+    # phase 1: 3x3 neighborhood pass
+    topk1 = ckpt(topk_of(cand_join(p, 1)))
+    stats1 = topk1.groupBy(probe_id).agg(
+        F.count(F.lit(1)).alias("__n"), F.max("dist2").alias("__kth")
+    )
+    bound1 = tile_min * tile_min  # ring-1 lower bound (uses r, not r+1)
+    final1 = stats1.where(
+        (F.col("__n") >= k) & (F.col("__kth") <= F.lit(bound1))
+    ).select(probe_id)
+    results = topk1.join(final1, probe_id, "left_semi").select(*out_cols)
+
+    # probes that saw >= k candidates but aren't provably final: their
+    # exact radius comes from their own k-th distance
+    need_radius = stats1.where(
+        (F.col("__n") >= k) & (F.col("__kth") > F.lit(bound1))
+    ).select(probe_id, F.col("__kth"))
+
+    # sparse regions: < k candidates in the 3x3 block — double the
+    # radius until k exist (each round touches only these probes)
+    starving = ckpt(
+        p.join(
+            stats1.where(F.col("__n") >= k).select(probe_id),
+            probe_id,
+            "left_anti",
+        )
+    )
+    r = 2
+    while starving.limit(1).count() > 0:
+        if r >= n:
+            # whole grid in reach: rank whatever exists and finish
+            results = results.unionByName(
+                topk_of(cand_join(starving, n)).select(*out_cols)
             )
-            final_ids = kth.where(
-                (F.col("__n") >= k) & (F.col("__kth") <= F.lit(bound))
-            ).select(probe_id)
-        done = topk.join(final_ids, probe_id, "left_semi").select(*out_cols)
-        results = done if results is None else results.unionByName(done)
-        if exhausted:
             break
-        pending = pending.join(final_ids, probe_id, "left_anti")
-        if pending.limit(1).count() == 0:
-            break
-        r = min(r * 2, n)
-    return results
+        got = topk_of(cand_join(starving, r))
+        stats_s = got.groupBy(probe_id).agg(
+            F.count(F.lit(1)).alias("__n"), F.max("dist2").alias("__kth")
+        )
+        sated = stats_s.where(F.col("__n") >= k)
+        need_radius = need_radius.unionByName(
+            sated.select(probe_id, F.col("__kth"))
+        )
+        starving = ckpt(
+            starving.join(sated.select(probe_id), probe_id, "left_anti")
+        )
+        r *= 2
+
+    # phase 2: one exact per-probe radius pass. Every point beyond
+    # radius r_i = floor(sqrt(kth)/tile)+1 is strictly farther than
+    # the current k-th neighbor, so the result is final.
+    p2 = p.join(need_radius, probe_id)
+    r_i = F.least(
+        F.lit(n),
+        (F.floor(F.sqrt(F.col("__kth")) / F.lit(tile_min)) + 1).cast("int"),
+    )
+    topk2 = topk_of(cand_join(p2.withColumn("__r", r_i), F.col("__r")))
+    return results.unionByName(topk2.select(*out_cols))

@@ -59,8 +59,12 @@ def cosine_topk(
         F.col(q_vec_col).alias("q"),
         norm(F.col(q_vec_col)).alias("q_norm"),
     )
+    # broadcast the QUERY side and stream the vector corpus: the
+    # nested-loop product is then distributed over the big side's
+    # partitions (each scans the small broadcast query set), never a
+    # shuffle of the corpus. For large query sets use cosine_topk_lsh.
     scored = (
-        q.join(F.broadcast(v) if _small(vectors) else v, F.col("q_id") != F.col("vec_id"))
+        v.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
         .withColumn(
             "cosine",
             dot(F.col("q"), F.col("v"))
@@ -78,9 +82,72 @@ def cosine_topk(
     )
 
 
-def _small(df: DataFrame) -> bool:
-    # cheap structural heuristic: let Catalyst/AQE decide otherwise
-    return False
+def cosine_topk_matmul(
+    vectors: DataFrame,
+    queries_pdf,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Throughput variant of exact top-k: the query block is shipped
+    as a numpy matrix inside a ``mapInPandas`` closure; each Arrow
+    batch of the corpus computes one BLAS matmul and keeps only its
+    per-batch top-k rows, so the shuffle into the final global top-k
+    is O(partitions * Q * k), never O(Q * N).
+
+    Summation order is BLAS-defined (not the sequential fold of
+    ``cosine_topk``), so scores can differ from the oracle in the last
+    ulp — ranks are stable for non-degenerate data. ``queries_pdf`` is
+    a pandas DataFrame with columns (q_id, q_vec).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qm = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in queries_pdf["q_vec"]]
+    )
+    q_ids = np.asarray(queries_pdf["q_id"], dtype=np.int64)
+    q_norms = np.sqrt((qm * qm).sum(axis=1))
+
+    schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            vm = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if not len(vm):
+                continue
+            vids = np.asarray(pdf[id_col], dtype=np.int64)
+            vn = np.sqrt((vm * vm).sum(axis=1))
+            cos = (qm @ vm.T) / (q_norms[:, None] * vn[None, :])
+            cos[q_ids[:, None] == vids[None, :]] = -np.inf  # self
+            top = min(k, cos.shape[1])
+            part = np.argpartition(-cos, top - 1, axis=1)[:, :top]
+            rows = {
+                "q_id": np.repeat(q_ids, top),
+                "vec_id": vids[part.ravel()],
+                "cosine": np.take_along_axis(cos, part, axis=1).ravel(),
+            }
+            out = pd.DataFrame(rows)
+            yield out[out["cosine"] > -np.inf]
+
+    scored = vectors.select(id_col, vec_col).mapInPandas(_score, schema)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "cosine")
+    )
 
 
 def hyperplane_buckets(

@@ -469,6 +469,62 @@ SELECT q_id, CAST(rank AS INT) AS rank, vec_id FROM ranked WHERE rank <= 5
 """
 
 
+_ANN_PLANES = 6
+_ANN_DIM = 64  # embeddings.parquet vector width (all SFs)
+_ANN_SEED = 42
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed cosine top-k — the 100 TB scale path
+    (bucket equijoin instead of the Q x N product). Deterministic
+    planes, so the DuckDB oracle reproduces buckets and ranking
+    exactly."""
+    from geos_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _emb(spark, sf_dir)
+    out = cosine_topk_lsh(
+        emb, k=5, n_planes=_ANN_PLANES, dim=_ANN_DIM
+    )
+    return out.select(
+        "q_id", F.col("rank").cast("int").alias("rank"), "vec_id"
+    )
+
+
+def q_ann_lsh_sql() -> str:
+    import numpy as np
+
+    rs = np.random.RandomState(_ANN_SEED)
+    planes = rs.standard_normal((_ANN_PLANES, _ANN_DIM))
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(vv, [{', '.join(repr(float(x)) for x in planes[p])}]) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_ANN_PLANES)
+    )
+    return f"""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+),
+b AS (
+    SELECT vec_id, vv,
+           sqrt(list_dot_product(vv, vv)) AS nrm,
+           {bucket_terms} AS bucket
+    FROM v
+),
+scored AS (
+    SELECT a.vec_id AS q_id, c.vec_id AS vec_id,
+           list_dot_product(a.vv, c.vv) / (a.nrm * c.nrm) AS cosine
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+),
+ranked AS (
+    SELECT q_id, vec_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC
+           ) AS rank
+    FROM scored
+)
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id FROM ranked WHERE rank <= 5
+"""
+
+
 # ----------------------------------------------------------------------
 # rectangle-rectangle join (rectangle fast path: pure native SQL)
 # ----------------------------------------------------------------------
@@ -854,30 +910,46 @@ FROM hashes
 """
 
 
+_LSH_BANDS = 4
+_LSH_MAX_BUCKET = 1000
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle-inverted-index candidate join + exact n-gram Jaccard
-    verify — the exact-dedup complement of minhash-LSH (same shape as
-    the LSH bucket join, with the full shingle set as the index)."""
-    from geos_spark.operators.dedup import ngram_jaccard_pairs, word_shingles
+    """Minhash-LSH banded candidate pairs (hot buckets capped — the
+    100 TB-safe candidate source; a raw shingle inverted index is
+    quadratic on boilerplate shingles) + exact n-gram Jaccard
+    verify."""
+    from geos_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
 
     docs = _docs(spark, sf_dir)
-    sh = docs.select(
-        F.col("doc_id").alias("id"),
-        word_shingles(F.col("text"), 3).alias("sh"),
-    )
-    inv = sh.select("id", F.explode("sh").alias("g"))
-    cand = (
-        inv.alias("a")
-        .join(inv.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    cand = minhash_lsh_pairs(
+        docs,
+        num_hashes=_MH_N,
+        bands=_LSH_BANDS,
+        shingle_k=3,
+        max_bucket=_LSH_MAX_BUCKET,
     )
     out = ngram_jaccard_pairs(docs, cand, shingle_k=3, threshold=0.2)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jacc_r"))
 
 
 def q_jaccard_pairs_sql() -> str:
-    return """
+    rows = _MH_N // _LSH_BANDS
+    sig_cols = ",\n       ".join(
+        f"list_min(list_transform(h, v -> (v * {_MH_A * (j + 1) % _MH_P} + {j * 12345 + 1}) % {_MH_P})) AS s{j}"
+        for j in range(_MH_N)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS bucket FROM sigs".format(
+            b=b,
+            cols=", ".join(f"s{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(_LSH_BANDS)
+    )
+    return f"""
 WITH toks AS (
     SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
     FROM documents
@@ -890,12 +962,32 @@ shingles AS (
            )) AS sh
     FROM toks
 ),
-inv AS (
-    SELECT doc_id, unnest(sh) AS g FROM shingles
+hashes AS (
+    SELECT doc_id,
+           list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS h
+    FROM shingles
+),
+sigs AS (
+    SELECT doc_id,
+           {sig_cols}
+    FROM hashes
+),
+banded_all AS (
+{band_rows}
+),
+banded AS (
+    SELECT b.* FROM banded_all b
+    JOIN (
+        SELECT band, bucket FROM banded_all
+        GROUP BY band, bucket
+        HAVING COUNT(*) <= {_LSH_MAX_BUCKET}
+    ) ok USING (band, bucket)
 ),
 cand AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+    FROM banded a
+    JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 ),
 j AS (
     SELECT c.id_a, c.id_b,
@@ -1104,6 +1196,83 @@ LEFT JOIN border b ON b.id = p.doc_id AND k.id IS NULL
 """
 
 
+# ----------------------------------------------------------------------
+# corpus-promoted fixture queries: the reference's own xmltester
+# expectations as driver oracles (engine computes at run time, the
+# oracle is a VALUES table of the XML expected outputs — see
+# geos_spark/fixtures.py)
+# ----------------------------------------------------------------------
+
+
+def q_xt_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DE-9IM predicate battery (intersects/contains/covers/relate/
+    equalsExact/withinDistance...) over tests/xmltester/tests/general."""
+    from geos_spark import fixtures as FX
+
+    return FX.fixture_query(spark, FX.predicate_cases())
+
+
+def q_xt_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The validate-corpus predicate battery (5,326 relate +
+    named-predicate cases, tests/xmltester/tests/validate)."""
+    from geos_spark import fixtures as FX
+
+    return FX.fixture_query(spark, FX.validate_cases())
+
+
+def q_xt_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isValid / isSimple corpus battery."""
+    from geos_spark import fixtures as FX
+
+    return FX.fixture_query(spark, FX.valid_cases())
+
+
+def q_xt_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full float-overlay corpus (intersection/union/difference/
+    symDifference incl. OverlayNG suites) — canonical-WKT bit-exact."""
+    from geos_spark import fixtures as FX
+
+    return FX.fixture_query(spark, FX.overlay_cases())
+
+
+def q_xt_overlay_prec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-precision (snap-rounding) overlay corpus."""
+    from geos_spark import fixtures as FX
+
+    return FX.fixture_query(spark, FX.overlay_prec_cases())
+
+
+def q_xt_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constructions + measures corpus: centroid, interiorPoint,
+    convexHull, boundary, densify, simplify (DP+TP), minClearance,
+    distance, makeValid, buildArea, lineMerge, unaryUnion."""
+    from geos_spark import fixtures as FX
+
+    return FX.fixture_query(spark, FX.construct_cases())
+
+
+def q_xt_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buffer corpus (round/mitre joins, holes, single-sided), judged
+    with the reference's own BufferResultMatcher tolerance rule."""
+    from geos_spark import fixtures as FX
+
+    return FX.buffer_query(spark, FX.buffer_cases())
+
+
+def _fixture_oracles() -> dict:
+    from geos_spark import fixtures as FX
+
+    return {
+        "xt_predicates": FX.oracle_for(FX.predicate_cases()),
+        "xt_validate": FX.oracle_for(FX.validate_cases()),
+        "xt_valid": FX.oracle_for(FX.valid_cases()),
+        "xt_overlay": FX.oracle_for(FX.overlay_cases()),
+        "xt_overlay_prec": FX.oracle_for(FX.overlay_prec_cases()),
+        "xt_construct": FX.oracle_for(FX.construct_cases()),
+        "xt_buffer": FX.oracle_all_match(FX.buffer_cases()),
+    }
+
+
 QUERIES = {
     "tile_assign": q_tile_assign,
     "pip_join": q_pip_join,
@@ -1118,6 +1287,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "lang_guess": q_lang_guess,
     "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
     "rect_join": q_rect_join,
     "tile_area_sum": q_tile_area_sum,
     "tile_clip": q_tile_clip,
@@ -1134,6 +1304,13 @@ QUERIES = {
     "media_features": q_media_features,
     "cluster_cc": q_cluster_cc,
     "cluster_dbscan": q_cluster_dbscan,
+    "xt_predicates": q_xt_predicates,
+    "xt_validate": q_xt_validate,
+    "xt_valid": q_xt_valid,
+    "xt_overlay": q_xt_overlay,
+    "xt_overlay_prec": q_xt_overlay_prec,
+    "xt_construct": q_xt_construct,
+    "xt_buffer": q_xt_buffer,
 }
 
 ORACLES = {
@@ -1150,6 +1327,7 @@ ORACLES = {
     "token_stats": q_token_stats_sql(),
     "lang_guess": q_lang_guess_sql(),
     "ann_topk": q_ann_topk_sql(),
+    "ann_lsh": q_ann_lsh_sql(),
     "rect_join": q_rect_join_sql(),
     "tile_area_sum": q_tile_area_sum_sql(),
     "union_points": q_union_points_sql(),
@@ -1167,3 +1345,5 @@ ORACLES = {
     # the driver records rows-only checks, pytest verifies them exactly
     # against local kernels.
 }
+
+ORACLES.update(_fixture_oracles())
