@@ -57,12 +57,7 @@ SKIP = {
     "TestUnaryUnionFloating.xml:0:0",
 }
 
-# GeometryCollection-operand relate needs RelateNG semantics — tracked
-# as a missing operator, excluded from the predicate battery for now
-PRED_FILE_EXCLUDE = {
-    "TestRelateGC.xml",
-    "TestPreparedPredicatesWithGeometryCollection.xml",
-}
+PRED_FILE_EXCLUDE: set = set()
 
 PRED_OPS = frozenset(
     {

@@ -24,12 +24,30 @@ DEFAULT_EXTENT = (0.0, 0.0, 4096.0, 4096.0)
 
 @pandas_udf(T.BinaryType())
 def st_geomfromtext(wkt: pd.Series) -> pd.Series:
-    return wkt.map(lambda s: None if s is None else write_wkb(parse_wkt(s)))
+    def _one(s):
+        if s is None:
+            return None
+        try:
+            return write_wkb(parse_wkt(s))
+        except Exception:
+            # per-row null-out, the GEOS C-API reader convention: a
+            # malformed row yields NULL, not a failed task
+            return None
+
+    return wkt.map(_one)
 
 
 @pandas_udf(T.StringType())
 def st_astext(wkb: pd.Series) -> pd.Series:
-    return wkb.map(lambda b: None if b is None else write_wkt(parse_wkb(b)))
+    def _one(b):
+        if b is None:
+            return None
+        try:
+            return write_wkt(parse_wkb(b))
+        except Exception:
+            return None
+
+    return wkb.map(_one)
 
 
 @pandas_udf(T.DoubleType())
@@ -140,6 +158,17 @@ def st_isvalid(wkb: pd.Series) -> pd.Series:
     return wkb.map(lambda b: None if b is None else is_valid(parse_wkb(b)))
 
 
+@pandas_udf(T.StringType())
+def st_isvalidreason(wkb: pd.Series) -> pd.Series:
+    """GEOSisValidReason (capi geos_c.h.in): "Valid Geometry" or
+    "<error>[<x> <y>]"."""
+    from geos_spark.kernels.valid import valid_reason
+
+    return wkb.map(
+        lambda b: None if b is None else valid_reason(parse_wkb(b))
+    )
+
+
 @pandas_udf(T.BinaryType())
 def st_boundary(wkb: pd.Series) -> pd.Series:
     return wkb.map(
@@ -178,6 +207,151 @@ def st_densify(tolerance: float):
         )
 
     return _densify
+
+
+def st_concavehull(ratio: float, allow_holes: bool = False):
+    """GEOSConcaveHull (capi geos_c.h.in): concave hull by edge-length
+    ratio."""
+    from geos_spark.kernels.hull import concave_hull_by_length_ratio
+
+    @pandas_udf(T.BinaryType())
+    def _hull(wkb: pd.Series) -> pd.Series:
+        def _one(b):
+            if b is None:
+                return None
+            try:
+                return write_wkb(
+                    concave_hull_by_length_ratio(
+                        parse_wkb(b), ratio, holes=allow_holes
+                    )
+                )
+            except Exception:
+                return None
+
+        return wkb.map(_one)
+
+    return _hull
+
+
+def st_delaunaytriangles(edges_only: bool = False):
+    """GEOSDelaunayTriangulation (capi geos_c.h.in:1201)."""
+    from geos_spark.kernels.delaunay import (
+        delaunay_edges,
+        delaunay_triangulation,
+    )
+
+    fn = delaunay_edges if edges_only else delaunay_triangulation
+
+    @pandas_udf(T.BinaryType())
+    def _tri(wkb: pd.Series) -> pd.Series:
+        def _one(b):
+            if b is None:
+                return None
+            try:
+                return write_wkb(fn(parse_wkb(b)))
+            except Exception:
+                return None
+
+        return wkb.map(_one)
+
+    return _tri
+
+
+def st_maximuminscribedcircle(tolerance: float):
+    """GEOSMaximumInscribedCircle: radius line (center -> nearest
+    boundary point) as WKB."""
+    from geos_spark.kernels import geom as G
+    from geos_spark.kernels.circles import maximum_inscribed_circle
+
+    @pandas_udf(T.BinaryType())
+    def _mic(wkb: pd.Series) -> pd.Series:
+        def _one(b):
+            if b is None:
+                return None
+            try:
+                c, rp = maximum_inscribed_circle(parse_wkb(b), tolerance)
+                import numpy as np
+
+                line = G.Geom(
+                    G.LINESTRING,
+                    np.array([c, rp], dtype=np.float64),
+                )
+                return write_wkb(line)
+            except Exception:
+                return None
+
+        return wkb.map(_one)
+
+    return _mic
+
+
+def st_largestemptycircle(tolerance: float):
+    """GEOSLargestEmptyCircle: radius line (center -> nearest
+    obstacle) as WKB; boundary defaults to the obstacles' hull."""
+    from geos_spark.kernels import geom as G
+    from geos_spark.kernels.circles import largest_empty_circle
+
+    @pandas_udf(T.BinaryType())
+    def _lec(wkb: pd.Series) -> pd.Series:
+        def _one(b):
+            if b is None:
+                return None
+            try:
+                c, rp = largest_empty_circle(parse_wkb(b), None, tolerance)
+                import numpy as np
+
+                line = G.Geom(
+                    G.LINESTRING,
+                    np.array([c, rp], dtype=np.float64),
+                )
+                return write_wkb(line)
+            except Exception:
+                return None
+
+        return wkb.map(_one)
+
+    return _lec
+
+
+@pandas_udf(T.BinaryType())
+def st_sharedpaths(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
+    """GEOSSharedPaths (capi geos_ts_c.cpp:4228): GC of
+    (same-direction MLS, opposite-direction MLS)."""
+    from geos_spark.kernels.sharedpaths import shared_paths
+
+    def _one(a, b):
+        if a is None or b is None:
+            return None
+        try:
+            return write_wkb(shared_paths(parse_wkb(a), parse_wkb(b)))
+        except Exception:
+            return None
+
+    return pd.Series([_one(a, b) for a, b in zip(wkb_a, wkb_b)])
+
+
+def st_snap(tolerance: float):
+    """GEOSSnap (capi geos_c.h.in:5241): snap A's vertices/segments to
+    B's vertices within tolerance."""
+    from geos_spark.kernels.snap import snap
+
+    @pandas_udf(T.BinaryType())
+    def _snap(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
+        def _one(a, b):
+            if a is None or b is None:
+                return None
+            try:
+                return write_wkb(
+                    snap(parse_wkb(a), parse_wkb(b), tolerance)
+                )
+            except Exception:
+                return None
+
+        return pd.Series(
+            [_one(a, b) for a, b in zip(wkb_a, wkb_b)]
+        )
+
+    return _snap
 
 
 @pandas_udf(T.StringType())

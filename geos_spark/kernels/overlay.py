@@ -328,6 +328,302 @@ def _add_split(seg: _SrcSeg, pt) -> None:
     seg.splits.append((t, pt))
 
 
+class _SnapIndex:
+    """SnappingPointIndex (src/noding/snap/SnappingPointIndex.cpp) on
+    a cell hash: inserting a point snaps it to the nearest existing
+    point within tolerance (ties -> lesser coordinate, the KdTree
+    BestMatchVisitor rule, src/index/kdtree/KdTree.cpp:318-333), else
+    registers it as a new canonical point."""
+
+    __slots__ = ("tol", "cells")
+
+    def __init__(self, tol: float):
+        self.tol = tol
+        self.cells: dict = {}
+
+    def snap(self, pt):
+        import math
+
+        x, y = float(pt[0]), float(pt[1])
+        tol = self.tol
+        cx = int(math.floor(x / tol))
+        cy = int(math.floor(y / tol))
+        best = None
+        bd = tol
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for q in self.cells.get((cx + dx, cy + dy), ()):
+                    d = math.hypot(q[0] - x, q[1] - y)
+                    if d <= bd and (
+                        best is None or d < bd or q < best
+                    ):
+                        bd = d
+                        best = q
+        if best is not None:
+            return best
+        self.cells.setdefault((cx, cy), []).append((x, y))
+        return (x, y)
+
+
+def _snap_coords(c: np.ndarray, snap: "_SnapIndex", is_ring: bool):
+    """Snap a coordinate chain through the index, dropping repeats
+    (SnappingNoder::snap)."""
+    out = []
+    for x, y in c:
+        p = snap.snap((float(x), float(y)))
+        if not out or out[-1] != p:
+            out.append(p)
+    if is_ring and len(out) > 1 and out[0] != out[-1]:
+        out.append(out[0])
+    return out
+
+
+def _snap_operand(g: G.Geom, snap: "_SnapIndex") -> G.Geom:
+    """Vertex-snapped copy of an edge operand (rings/lines)."""
+    polys = []
+    for poly in _poly_parts(g):
+        rings = []
+        for r in poly.data:
+            sc = _snap_coords(r, snap, is_ring=True)
+            rings.append(np.array(sc, dtype=np.float64).reshape(-1, 2))
+        polys.append(G.Geom(G.POLYGON, rings))
+    lines = [
+        G.Geom(
+            G.LINESTRING,
+            np.array(
+                _snap_coords(ln, snap, is_ring=False), dtype=np.float64
+            ).reshape(-1, 2),
+        )
+        for ln in _line_parts(g)
+    ]
+    parts = polys + lines
+    if not parts:
+        return g
+    if len(parts) == 1:
+        return parts[0]
+    tids = {p.type_id for p in parts}
+    if tids == {G.POLYGON}:
+        return G.Geom.collection(G.MULTIPOLYGON, parts)
+    if tids == {G.LINESTRING}:
+        return G.Geom.collection(G.MULTILINESTRING, parts)
+    return G.Geom.collection(G.GEOMETRYCOLLECTION, parts)
+
+
+def _seed_snap_index(geoms, snap: "_SnapIndex") -> None:
+    """SnappingNoder::seedSnapIndex — load a quasi-random 1% sample of
+    each string's vertices first, so snapping is order-insensitive on
+    large inputs (additive-recurrence golden-ratio sequence)."""
+    import math
+
+    phi_inv = (math.sqrt(5.0) - 1.0) / 2.0
+    for g in geoms:
+        chains = [p for poly in _poly_parts(g) for p in poly.data]
+        chains += list(_line_parts(g))
+        for c in chains:
+            npts = len(c)
+            rand = 0.0
+            for _ in range(npts // 100):
+                rand += phi_inv
+                if rand > 1.0:
+                    rand -= math.floor(rand)
+                idx = int(npts * rand)
+                snap.snap((float(c[idx, 0]), float(c[idx, 1])))
+
+
+def _proj_param(p, q, pt) -> float:
+    """Clamped projection parameter of pt on segment p->q (the order
+    key NodedSegmentString uses for nodes beside the segment)."""
+    dx = q[0] - p[0]
+    dy = q[1] - p[1]
+    l2 = dx * dx + dy * dy
+    if l2 == 0.0:
+        return 0.0
+    t = ((pt[0] - p[0]) * dx + (pt[1] - p[1]) * dy) / l2
+    return min(max(t, 0.0), 1.0)
+
+
+def _node_segments_snapping(
+    segs: list[_SrcSeg], sizes: dict, ringflag: dict, snap: "_SnapIndex"
+) -> set:
+    """SnappingNoder::snapIntersections via SnappingIntersectionAdder
+    (src/noding/snap/SnappingIntersectionAdder.cpp):
+
+    - single-point intersections of non-adjacent segments are snapped
+      through the shared point index and added as nodes to both;
+    - collinear (two-point) intersections are NOT handled here — the
+      near-vertex rule covers them;
+    - near-vertex: a segment endpoint within tol of another segment's
+      interior (but not of its endpoints) becomes a node on both.
+
+    Pair candidates use envelopes expanded by 2*tol (the MCIndexNoder
+    overlap tolerance)."""
+    from geos_spark.kernels.dd import _point_to_segment
+
+    tol = snap.tol
+    nodes: set = set()
+    n = len(segs)
+    if n < 2:
+        return nodes
+    arr = np.array(
+        [[s.p[0], s.p[1], s.q[0], s.q[1]] for s in segs], dtype=np.float64
+    )
+    m = 2.0 * tol
+    x0 = np.minimum(arr[:, 0], arr[:, 2]) - m
+    x1 = np.maximum(arr[:, 0], arr[:, 2]) + m
+    y0 = np.minimum(arr[:, 1], arr[:, 3]) - m
+    y1 = np.maximum(arr[:, 1], arr[:, 3]) + m
+    ii, jj = np.triu_indices(n, k=1)
+    ov = (
+        (x0[ii] <= x1[jj])
+        & (x0[jj] <= x1[ii])
+        & (y0[ii] <= y1[jj])
+        & (y0[jj] <= y1[ii])
+    )
+    ii, jj = ii[ov], jj[ov]
+    if len(ii) == 0:
+        return nodes
+
+    def adjacent(si: _SrcSeg, sj: _SrcSeg) -> bool:
+        if si.sid != sj.sid:
+            return False
+        return abs(si.idx - sj.idx) == 1 or (
+            ringflag.get(si.sid, False)
+            and {si.idx, sj.idx} == {0, sizes[si.sid] - 1}
+        )
+
+    # --- snapped single-point intersections --------------------------
+    A, B = arr[ii], arr[jj]
+    cls = intersect_pairs(A, B)
+    hit = np.flatnonzero(cls == POINT_INTERSECTION)
+    if len(hit):
+        Ah, Bh = A[hit], B[hit]
+        o1 = orientation_index(Ah[:, 0], Ah[:, 1], Ah[:, 2], Ah[:, 3], Bh[:, 0], Bh[:, 1])
+        o2 = orientation_index(Ah[:, 0], Ah[:, 1], Ah[:, 2], Ah[:, 3], Bh[:, 2], Bh[:, 3])
+        o3 = orientation_index(Bh[:, 0], Bh[:, 1], Bh[:, 2], Bh[:, 3], Ah[:, 0], Ah[:, 1])
+        o4 = orientation_index(Bh[:, 0], Bh[:, 1], Bh[:, 2], Bh[:, 3], Ah[:, 2], Ah[:, 3])
+        for k, h in enumerate(hit):
+            si = segs[int(ii[h])]
+            sj = segs[int(jj[h])]
+            if adjacent(si, sj):
+                continue
+            pt = segment_intersection_point(
+                si.p, si.q, sj.p, sj.q,
+                int(o1[k]), int(o2[k]), int(o3[k]), int(o4[k]),
+            )
+            pt = snap.snap(pt)
+            nodes.add(pt)
+            _add_split_proj(si, pt)
+            _add_split_proj(sj, pt)
+
+    # --- near-vertex snaps (vectorized distance screen) --------------
+    # endpoints of each pair member vs the other segment
+    combos = []  # (P array, segment array, owner idx arr, target idx arr)
+    for P, S, own, tgt in (
+        (arr[ii][:, 0:2], arr[jj], ii, jj),
+        (arr[ii][:, 2:4], arr[jj], ii, jj),
+        (arr[jj][:, 0:2], arr[ii], jj, ii),
+        (arr[jj][:, 2:4], arr[ii], jj, ii),
+    ):
+        de0 = np.hypot(P[:, 0] - S[:, 0], P[:, 1] - S[:, 1])
+        de1 = np.hypot(P[:, 0] - S[:, 2], P[:, 1] - S[:, 3])
+        d2 = _seg_point_dist2_sn(S, P)
+        cand = np.flatnonzero(
+            (de0 >= tol) & (de1 >= tol) & (d2 < tol * tol)
+        )
+        for c in cand:
+            p = (float(P[c, 0]), float(P[c, 1]))
+            target = segs[int(tgt[c])]
+            _add_split_proj(target, p)
+            nodes.add(p)
+    return nodes
+
+
+def _seg_point_dist2_sn(S: np.ndarray, P: np.ndarray) -> np.ndarray:
+    """Squared point-to-segment distance, rowwise (P[i] vs S[i])."""
+    dx = S[:, 2] - S[:, 0]
+    dy = S[:, 3] - S[:, 1]
+    l2 = dx * dx + dy * dy
+    t = np.zeros(len(S))
+    nz = l2 > 0
+    t[nz] = (
+        (P[nz, 0] - S[nz, 0]) * dx[nz] + (P[nz, 1] - S[nz, 1]) * dy[nz]
+    ) / l2[nz]
+    t = np.clip(t, 0.0, 1.0)
+    qx = S[:, 0] + t * dx
+    qy = S[:, 1] + t * dy
+    return (P[:, 0] - qx) ** 2 + (P[:, 1] - qy) ** 2
+
+
+def _add_split_proj(seg: _SrcSeg, pt) -> None:
+    """Split at a point possibly beside the segment (snapped/near
+    vertex): order key is the clamped projection parameter."""
+    if pt == seg.p or pt == seg.q:
+        return
+    seg.splits.append((_proj_param(seg.p, seg.q, pt), pt))
+
+
+def _validate_noding(segs: list[_SrcSeg]) -> None:
+    """FastNodingValidator (src/noding/FastNodingValidator.cpp via
+    NodingIntersectionFinder): after splitting, no two noded pieces
+    may properly cross, touch interior-to-endpoint, or partially
+    overlap — they may only share endpoints (exact duplicates are
+    fine, they dissolve in the edge merge). Raises on violation so the
+    robust ladder escalates to the snapping tier — float noding can
+    produce degree-balanced but wrongly-crossed arrangements on
+    near-coincident linework, which this is the only reliable way to
+    catch (the reference validates its float noder by default,
+    OverlayNGRobust.cpp:105-121)."""
+    pieces = []
+    for s in segs:
+        pts = [s.p]
+        if s.splits:
+            seen = {s.p, s.q}
+            for _t, pt in sorted(s.splits, key=lambda e: e[0]):
+                if pt not in seen:
+                    pts.append(pt)
+                    seen.add(pt)
+        pts.append(s.q)
+        for u, v in zip(pts[:-1], pts[1:]):
+            if u != v:
+                pieces.append((u[0], u[1], v[0], v[1]))
+    m = len(pieces)
+    if m < 2:
+        return
+    arr = np.asarray(pieces, dtype=np.float64)
+    x0 = np.minimum(arr[:, 0], arr[:, 2])
+    x1 = np.maximum(arr[:, 0], arr[:, 2])
+    y0 = np.minimum(arr[:, 1], arr[:, 3])
+    y1 = np.maximum(arr[:, 1], arr[:, 3])
+    ii, jj = np.triu_indices(m, k=1)
+    ov = (
+        (x0[ii] <= x1[jj])
+        & (x0[jj] <= x1[ii])
+        & (y0[ii] <= y1[jj])
+        & (y0[jj] <= y1[ii])
+    )
+    ii, jj = ii[ov], jj[ov]
+    if len(ii) == 0:
+        return
+    A, B = arr[ii], arr[jj]
+    cls = intersect_pairs(A, B)
+    hit = np.flatnonzero(cls)
+    if len(hit) == 0:
+        return
+    # shared-endpoint touches are valid; exact duplicates are valid
+    Ah, Bh = A[hit], B[hit]
+    a_p = Ah[:, 0:2]
+    a_q = Ah[:, 2:4]
+    b_p = Bh[:, 0:2]
+    b_q = Bh[:, 2:4]
+    eq = lambda u, v: (u[:, 0] == v[:, 0]) & (u[:, 1] == v[:, 1])
+    shares_end = eq(a_p, b_p) | eq(a_p, b_q) | eq(a_q, b_p) | eq(a_q, b_q)
+    dup = (eq(a_p, b_p) & eq(a_q, b_q)) | (eq(a_p, b_q) & eq(a_q, b_p))
+    is_pt = cls[hit] == POINT_INTERSECTION
+    bad = (is_pt & ~shares_end) | (~is_pt & ~dup)
+    if bad.any():
+        raise ValueError("invalid noding (interior intersection)")
+
+
 def _node_segments(segs: list[_SrcSeg], sizes: dict, ringflag: dict) -> set:
     """Split every segment at its intersections with every other
     segment (both inputs together — the reference nodes all edges in
@@ -903,9 +1199,16 @@ def _resolve_labels_arrangement(edges: dict, ring_pieces, dims) -> None:
                 )
 
 
-def overlay(a: G.Geom, b: G.Geom, op: int, scale: float | None = None) -> G.Geom:
-    """OverlayNG::overlay; FLOATING precision by default, or a FIXED
-    PrecisionModel(scale) using the snap-rounding noder."""
+def overlay(
+    a: G.Geom,
+    b: G.Geom,
+    op: int,
+    scale: float | None = None,
+    snap_tol: float | None = None,
+) -> G.Geom:
+    """OverlayNG::overlay; FLOATING precision by default, a FIXED
+    PrecisionModel(scale) using the snap-rounding noder, or (middle
+    robustness tier) a SnappingNoder with tolerance ``snap_tol``."""
     a = _flatten_operand(a)
     b = _flatten_operand(b)
     dim_a = _geom_dim(a)
@@ -939,12 +1242,25 @@ def overlay(a: G.Geom, b: G.Geom, op: int, scale: float | None = None) -> G.Geom
         )
         _resolve_labels_arrangement(edges, ring_pieces, dims)
     else:
+        if snap_tol is not None:
+            # SnappingNoder phase 1: vertex snapping through one
+            # shared index (SnappingNoder::snapVertices) — inputs are
+            # rebuilt from the snapped chains before edge collection
+            snap = _SnapIndex(snap_tol)
+            _seed_snap_index((a, b), snap)
+            a = _flatten_operand(_snap_operand(a, snap))
+            b = _flatten_operand(_snap_operand(b, snap))
+            inputs = [a, b]
         segs_a, sz_a, rf_a, sid = _collect_segments(a, 0, 0)
         segs_b, sz_b, rf_b, _ = _collect_segments(b, 1, sid)
         segs = segs_a + segs_b
         sizes = {**sz_a, **sz_b}
         ringflag = {**rf_a, **rf_b}
-        nodes = _node_segments(segs, sizes, ringflag)
+        if snap_tol is not None:
+            nodes = _node_segments_snapping(segs, sizes, ringflag, snap)
+        else:
+            nodes = _node_segments(segs, sizes, ringflag)
+            _validate_noding(segs)
         edges, walks = _build_edges(segs)
         ring_pieces = [[], []]
         for s in segs:
@@ -1056,29 +1372,79 @@ def _area_consistent(a, b, op, result, tol) -> bool:
     return True
 
 
-def overlay_robust(a: G.Geom, b: G.Geom, op: int) -> G.Geom:
-    """OverlayNGRobust::Overlay (OverlayNGRobust.cpp:100-295), with
-    the middle snapping-noder tier replaced by a fine-grid
-    snap-rounding retry: float first (validated with the area
-    consistency heuristic on areal inputs); on failure or
-    inconsistency, snap-round at a ~12-significant-digit grid (the
-    reference's final PrecisionUtil robust-scale tier)."""
+def _snap_self(g: G.Geom, tol: float) -> G.Geom:
+    """OverlayNGRobust::snapSelf — clean one input by unioning it with
+    an empty operand under the snapping noder."""
+    other = (
+        G.Geom(G.POLYGON, [])
+        if _geom_dim(g) == 2
+        else G.Geom.empty(G.LINESTRING)
+    )
+    return overlay(g, other, UNION, snap_tol=tol)
+
+
+def _ordinate_magnitude(g: G.Geom) -> float:
     import math as _math
+
+    if g is None or g.is_empty:
+        return 0.0
+    x0, y0, x1, y1 = g.envelope()
+    vals = [abs(v) for v in (x0, y0, x1, y1) if not _math.isnan(v)]
+    return max(vals) if vals else 0.0
+
+
+def overlay_robust(a: G.Geom, b: G.Geom, op: int) -> G.Geom:
+    """OverlayNGRobust::Overlay (OverlayNGRobust.cpp:100-295): float
+    noding first (validated with the noding degree check + area
+    consistency heuristic); on failure, SnappingNoder tries at
+    tol = magnitude/1e12 escalating x10 (NUM_SNAP_TRIES=5, each try
+    also attempting per-input snapSelf cleaning); finally snap-round
+    at the heuristic safe scale (PrecisionUtil tier)."""
+    import math as _math
+
+    def ok(res: G.Geom) -> bool:
+        return (
+            _geom_dim(a) != 2
+            or _geom_dim(b) != 2
+            or _area_consistent(a, b, op, res, 1e-9)
+        )
 
     res = None
     try:
         res = overlay(a, b, op)
-        if _geom_dim(a) != 2 or _geom_dim(b) != 2 or _area_consistent(
-            a, b, op, res, 1e-9
-        ):
+        if ok(res):
             return res
     except Exception:
         pass
-    ax0, ay0, ax1, ay1 = a.envelope()
-    bx0, by0, bx1, by1 = b.envelope()
+
+    # middle tier: snapping noder (OverlayNGRobust::overlaySnapTries)
+    snap_tol = (
+        max(_ordinate_magnitude(a), _ordinate_magnitude(b)) / 1e12
+    )
+    if snap_tol > 0:
+        for _ in range(5):
+            try:
+                r = overlay(a, b, op, snap_tol=snap_tol)
+                if ok(r):
+                    return r
+            except Exception:
+                pass
+            try:
+                r = overlay(
+                    _snap_self(a, snap_tol),
+                    _snap_self(b, snap_tol),
+                    op,
+                    snap_tol=snap_tol,
+                )
+                if ok(r):
+                    return r
+            except Exception:
+                pass
+            snap_tol *= 10.0
+
+    # final tier: snap-rounding at the heuristic safe scale
     max_mag = max(
-        1.0, *(abs(v) for v in (ax0, ay0, ax1, ay1, bx0, by0, bx1, by1)
-               if not _math.isnan(v))
+        1.0, _ordinate_magnitude(a), _ordinate_magnitude(b)
     )
     scale = 10.0 ** (12 - int(_math.ceil(_math.log10(max_mag))))
     try:

@@ -43,6 +43,8 @@ class PolygonPack:
         "coords", "ring_offsets", "ring_poly", "n_polys",
         "seg_x1", "seg_y1", "seg_x2", "seg_y2", "seg_poly",
         "poly_seg_offsets", "bbox",
+        "stripe_h", "stripe_y0", "stripe_n", "poly_stripe_offsets",
+        "stripe_seg_offsets", "stripe_seg_idx",
     )
 
     def __init__(self, coords, ring_offsets, ring_poly, n_polys):
@@ -51,6 +53,7 @@ class PolygonPack:
         self.ring_poly = np.asarray(ring_poly, dtype=np.int64)
         self.n_polys = int(n_polys)
         self._build_segments()
+        self._build_stripes()
 
     def _build_segments(self) -> None:
         ro = self.ring_offsets
@@ -92,6 +95,62 @@ class PolygonPack:
         np.maximum.at(bbox[:, 2], pt_poly, self.coords[:, 0])
         np.maximum.at(bbox[:, 3], pt_poly, self.coords[:, 1])
         self.bbox = bbox
+
+    def _build_stripes(self) -> None:
+        """Per-polygon 1-D y-interval index (the vectorized analogue
+        of IndexedPointInAreaLocator's SortedPackedIntervalRTree,
+        src/algorithm/locate/IndexedPointInAreaLocator.cpp:74-118 +
+        src/index/intervalrtree/SortedPackedIntervalRTree.cpp:50-101):
+        the polygon's y-range is cut into ~n_segs/4 stripes and each
+        segment is registered in every stripe its y-interval spans.
+        A query point touches exactly one stripe, so the pair x segment
+        expansion visits only segments whose y-interval can contain
+        the point's y — every ray-crossing rule involves only such
+        segments, so the restriction is exact."""
+        n_segs = len(self.seg_x1)
+        npo = self.n_polys
+        if n_segs == 0:
+            self.stripe_h = np.ones(npo)
+            self.stripe_y0 = np.zeros(npo)
+            self.stripe_n = np.ones(npo, dtype=np.int64)
+            self.poly_stripe_offsets = np.arange(npo + 1, dtype=np.int64)
+            self.stripe_seg_offsets = np.zeros(npo + 1, dtype=np.int64)
+            self.stripe_seg_idx = np.zeros(0, dtype=np.int64)
+            return
+        seg_cnt = self.poly_seg_offsets[1:] - self.poly_seg_offsets[:-1]
+        ns = np.clip(seg_cnt // 4, 1, 512).astype(np.int64)
+        y0 = self.bbox[:, 1]
+        y1 = self.bbox[:, 3]
+        span = y1 - y0
+        h = np.where(span > 0, span / ns, 1.0)
+        self.stripe_h = h
+        self.stripe_y0 = y0
+        self.stripe_n = ns
+        pso = np.concatenate(([0], np.cumsum(ns))).astype(np.int64)
+        self.poly_stripe_offsets = pso
+
+        sp = self.seg_poly
+        smin = np.minimum(self.seg_y1, self.seg_y2)
+        smax = np.maximum(self.seg_y1, self.seg_y2)
+        lo = np.clip(
+            np.floor((smin - y0[sp]) / h[sp]).astype(np.int64), 0, ns[sp] - 1
+        )
+        hi = np.clip(
+            np.floor((smax - y0[sp]) / h[sp]).astype(np.int64), 0, ns[sp] - 1
+        )
+        counts = hi - lo + 1
+        total = int(counts.sum())
+        seg_rep = np.repeat(np.arange(n_segs, dtype=np.int64), counts)
+        cum = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        intra = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
+        stripe_global = pso[sp[seg_rep]] + lo[seg_rep] + intra
+        order = np.argsort(stripe_global, kind="stable")
+        self.stripe_seg_idx = seg_rep[order]
+        n_stripes = int(pso[-1])
+        cnt = np.bincount(stripe_global, minlength=n_stripes)
+        self.stripe_seg_offsets = np.concatenate(
+            ([0], np.cumsum(cnt))
+        ).astype(np.int64)
 
     @classmethod
     def from_rings(cls, polys: list[list[np.ndarray]]) -> "PolygonPack":
@@ -142,7 +201,36 @@ def locate_points(
     n_pairs = len(pair_pt)
     if n_pairs == 0:
         return np.zeros(0, dtype=np.uint8)
-    pair_rep, seg_idx = _expand_pairs(pack, np.asarray(pair_poly, dtype=np.int64))
+    pair_poly = np.asarray(pair_poly, dtype=np.int64)
+    pair_pt = np.asarray(pair_pt, dtype=np.int64)
+
+    # stripe-restricted expansion: only the segments whose y-interval
+    # stripe contains the query point's y (IndexedPointInAreaLocator)
+    py_pair = points[pair_pt, 1]
+    sy0 = pack.stripe_y0[pair_poly]
+    sh = pack.stripe_h[pair_poly]
+    sn = pack.stripe_n[pair_poly]
+    stripe_local = np.floor((py_pair - sy0) / sh).astype(np.int64)
+    # the top edge (py == ymax) belongs to the last stripe
+    in_range = (py_pair >= sy0) & (py_pair <= pack.bbox[pair_poly, 3])
+    stripe_local = np.clip(stripe_local, 0, sn - 1)
+    sid = pack.poly_stripe_offsets[pair_poly] + stripe_local
+    counts = np.where(
+        in_range,
+        pack.stripe_seg_offsets[sid + 1] - pack.stripe_seg_offsets[sid],
+        0,
+    )
+    total = int(counts.sum())
+    pair_rep = np.repeat(np.arange(n_pairs), counts)
+    cum = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    intra = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
+    seg_idx = (
+        pack.stripe_seg_idx[
+            np.repeat(pack.stripe_seg_offsets[sid], counts) + intra
+        ]
+        if total
+        else np.zeros(0, dtype=np.int64)
+    )
 
     px = points[pair_pt, 0][pair_rep]
     py = points[pair_pt, 1][pair_rep]

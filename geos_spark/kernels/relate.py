@@ -353,10 +353,196 @@ def _collapse_degenerate_lines(g: G.Geom) -> G.Geom:
     return g
 
 
+def _dim_classes(g: G.Geom) -> dict:
+    """Dimension classes of a GC operand (RelateNG GeometryCollection
+    semantics: a GC relates as the union of its elements, located with
+    areal > lineal > puntal precedence —
+    src/operation/relateng/RelatePointLocator.cpp:195-214). The areal
+    and puntal classes are dissolved (overlapping polygons union,
+    covered points drop); the lineal class keeps the ORIGINAL
+    linestrings, because the Mod-2 boundary rule applies to the
+    original element endpoints, not to dissolved chains. Returns
+    {2: areal, 1: lineal, 0: puntal} with empty classes absent."""
+    pls = [p for p in g.geoms() if p.type_id == G.POLYGON and p.data]
+    lns = [
+        p for p in g.geoms() if p.type_id == G.LINESTRING and len(p.data)
+    ]
+    pts = [p for p in g.geoms() if p.type_id == G.POINT and len(p.data)]
+    if g.type_id == G.GEOMETRYCOLLECTION:
+        from geos_spark.kernels.union import (
+            cascaded_polygon_union,
+            union_points,
+        )
+
+        if len(pls) > 1:
+            u = cascaded_polygon_union(pls)
+            pls = [p for p in u.geoms() if p.type_id == G.POLYGON and p.data]
+        if pts:
+            up = union_points(G.Geom(G.MULTIPOINT, pts))
+            cov = _point_parts(up)
+            keep = np.ones(len(cov), dtype=bool)
+            if pls:
+                keep &= _locate_in_polys(cov, pls) == EXTERIOR
+            if lns:
+                keep &= (
+                    _locate_on_lines(cov, [ln.data for ln in lns])
+                    == EXTERIOR
+                )
+            pts = [
+                G.Geom.point(float(x), float(y))
+                for (x, y), k in zip(cov, keep)
+                if k
+            ]
+    out = {}
+    if pls:
+        out[2] = pls[0] if len(pls) == 1 else G.Geom.collection(
+            G.MULTIPOLYGON, pls
+        )
+    if lns:
+        out[1] = lns[0] if len(lns) == 1 else G.Geom.collection(
+            G.MULTILINESTRING, lns
+        )
+    if pts:
+        out[0] = pts[0] if len(pts) == 1 else G.Geom.collection(
+            G.MULTIPOINT, pts
+        )
+    return out
+
+
+def _ext_cells(im: IM, ca: dict, cb: dict, transposed: bool) -> None:
+    """Fill the I/B-row x E-column cells for union-normalized mixed
+    classes: dim of (region of A) outside the closure of B. The union
+    normalization guarantees classes are mutually dissolved, so the
+    union's interior/boundary decompose class-wise."""
+    from geos_spark.kernels import overlay as OV
+    from geos_spark.kernels.scalars import geom_area, geom_boundary, geom_length
+
+    def setcell(r: int, d: int) -> None:
+        if transposed:
+            im.set(E, r, d)
+        else:
+            im.set(r, E, d)
+
+    def line_outside(line_g: G.Geom) -> float:
+        rem = line_g
+        if 2 in cb:
+            rem = OV.overlay_robust(rem, cb[2], OV.DIFFERENCE)
+        if not rem.is_empty and 1 in cb:
+            rem = OV.overlay_robust(rem, cb[1], OV.DIFFERENCE)
+        return 0.0 if rem.is_empty else geom_length(rem)
+
+    def pts_outside(pts_g: G.Geom) -> bool:
+        pts = _point_parts(pts_g)
+        if not len(pts):
+            return False
+        outside = np.ones(len(pts), dtype=bool)
+        if 2 in cb:
+            outside &= (
+                _locate_in_polys(pts, _poly_parts(cb[2])) == EXTERIOR
+            )
+        if 1 in cb:
+            outside &= (
+                _locate_on_lines(pts, _line_parts(cb[1])) == EXTERIOR
+            )
+        if 0 in cb:
+            bset = {_key(x, y) for x, y in _point_parts(cb[0])}
+            outside &= np.array(
+                [_key(x, y) not in bset for x, y in pts]
+            )
+        return bool(outside.any())
+
+    # interior row
+    if 2 in ca:
+        rem_area = (
+            geom_area(OV.overlay_robust(ca[2], cb[2], OV.DIFFERENCE))
+            if 2 in cb
+            else geom_area(ca[2])
+        )
+        if rem_area > 0.0:
+            setcell(I, 2)
+    if 1 in ca and line_outside(ca[1]) > 0.0:
+        setcell(I, 1)
+    if 0 in ca and pts_outside(ca[0]):
+        setcell(I, 0)
+    # boundary row
+    if 2 in ca and line_outside(geom_boundary(ca[2])) > 0.0:
+        setcell(B, 1)
+    if 1 in ca:
+        bpts = _line_boundary_points(_line_parts(ca[1]))
+        if len(bpts):
+            bp = G.Geom(
+                G.MULTIPOINT, [G.Geom.point(x, y) for x, y in bpts]
+            )
+            if pts_outside(bp):
+                setcell(B, 0)
+
+
+def _mask_lines_by_own_area(c: dict) -> dict:
+    """Areal > lineal precedence within one operand: line parts inside
+    the closure of the operand's own polygons take the polygon's
+    location (RelatePointLocator precedence), so the effective lineal
+    class is the difference. Clip endpoints land on the polygon
+    boundary, where their contribution coincides with the areal
+    boundary's — Mod-2 parity of surviving original endpoints is
+    unchanged."""
+    if 1 not in c or 2 not in c:
+        return c
+    from geos_spark.kernels import overlay as OV
+
+    rem = OV.overlay_robust(c[1], c[2], OV.DIFFERENCE)
+    lns = [
+        p for p in rem.geoms() if p.type_id == G.LINESTRING and len(p.data)
+    ]
+    out = dict(c)
+    if lns:
+        out[1] = lns[0] if len(lns) == 1 else G.Geom.collection(
+            G.MULTILINESTRING, lns
+        )
+    else:
+        del out[1]
+    return out
+
+
+def _relate_mixed(ca: dict, cb: dict) -> str:
+    """DE-9IM for mixed-dimension (GC) operands via class
+    decomposition: I/B x I/B cells are the element-wise max over the
+    pairwise class IMs (regions of the dissolved union decompose
+    class-wise); exterior cells are computed against the union of the
+    other side's closure."""
+    ca = _mask_lines_by_own_area(ca)
+    cb = _mask_lines_by_own_area(cb)
+    im = IM()
+    im.set(E, E, 2)
+    for ga in ca.values():
+        for gb in cb.values():
+            s = relate(ga, gb)
+            for i in (I, B):
+                for j in (I, B):
+                    d = s[i * 3 + j]
+                    if d != "F":
+                        im.set(i, j, int(d))
+    _ext_cells(im, ca, cb, transposed=False)
+    _ext_cells(im, cb, ca, transposed=True)
+    return str(im)
+
+
 def relate(a: G.Geom, b: G.Geom) -> str:
     """Full DE-9IM matrix string for (a, b)."""
     a = _collapse_degenerate_lines(a)
     b = _collapse_degenerate_lines(b)
+
+    # GeometryCollection operands: union semantics (RelateNG)
+    if (
+        a.type_id == G.GEOMETRYCOLLECTION
+        or b.type_id == G.GEOMETRYCOLLECTION
+    ) and not (a.is_empty or b.is_empty):
+        ca = _dim_classes(a)
+        cb = _dim_classes(b)
+        if len(ca) > 1 or len(cb) > 1:
+            return _relate_mixed(ca, cb)
+        if len(ca) == 1 and len(cb) == 1:
+            return relate(next(iter(ca.values())), next(iter(cb.values())))
+
     im = IM()
     dim_a = a.dimension()
     dim_b = b.dimension()

@@ -289,81 +289,141 @@ class _UnionFind:
         return True
 
 
-def _poly_valid(p: G.Geom) -> bool:
+def _ring_self_intersection_info(r: np.ndarray):
+    """None if clean, else (message, witness point) — proper crossings
+    report "Self-intersection" at the computed intersection, vertex
+    touches report "Ring Self-intersection" at the shared vertex
+    (TopologyValidationError errMsg semantics,
+    src/operation/valid/TopologyValidationError.cpp:32-46)."""
+    from geos_spark.kernels.dd import segment_intersection_point
+    from geos_spark.kernels.orientation import orientation_index
+
+    segs = _ring_segs(r)
+    n = len(segs)
+    if n < 3:
+        return ("Too few points in geometry component",
+                (float(r[0][0]), float(r[0][1])))
+    ia, ib = np.triu_indices(n, k=1)
+    cls = intersect_pairs(segs[ia], segs[ib])
+    for k in np.flatnonzero(cls != 0):
+        i, j = int(ia[k]), int(ib[k])
+        adjacent = (j - i == 1) or (i == 0 and j == n - 1)
+        a, b = segs[i], segs[j]
+        if adjacent:
+            if cls[k] == COLLINEAR_INTERSECTION:
+                return ("Ring Self-intersection",
+                        (float(a[2]), float(a[3])))
+            continue
+        shared = _contact_point(tuple(a), tuple(b))
+        if shared is not None:
+            return ("Ring Self-intersection",
+                    (float(shared[0]), float(shared[1])))
+        o1 = int(orientation_index(a[0], a[1], a[2], a[3], b[0], b[1]))
+        o2 = int(orientation_index(a[0], a[1], a[2], a[3], b[2], b[3]))
+        o3 = int(orientation_index(b[0], b[1], b[2], b[3], a[0], a[1]))
+        o4 = int(orientation_index(b[0], b[1], b[2], b[3], a[2], a[3]))
+        pt = segment_intersection_point(
+            (a[0], a[1]), (a[2], a[3]), (b[0], b[1]), (b[2], b[3]),
+            o1, o2, o3, o4,
+        )
+        return ("Self-intersection", (float(pt[0]), float(pt[1])))
+    return None
+
+
+def _pt(v) -> tuple:
+    return (float(v[0]), float(v[1]))
+
+
+def _poly_valid_detail(p: G.Geom):
+    """None if valid, else (message, point) per IsValidOp."""
     rings = [r for r in p.data if len(r) > 0]
     if not rings:
-        return True  # empty polygon is valid
+        return None  # empty polygon is valid
     for r in rings:
-        if len(r) < 4 or not np.array_equal(r[0], r[-1]):
-            return False
+        if not np.array_equal(r[0], r[-1]):
+            return ("Ring is not closed", _pt(r[0]))
+        if len(r) < 4:
+            return ("Too few points in geometry component", _pt(r[0]))
         if not np.isfinite(r).all():
-            return False
-        if _ring_self_intersects(r):
-            return False
+            bad = r[~np.isfinite(r).all(axis=1)][0]
+            return ("Invalid Coordinate", _pt(bad))
+        info = _ring_self_intersection_info(r)
+        if info is not None:
+            return info
     shell = rings[0]
     holes = rings[1:]
     uf = _UnionFind()
     for hi, h in enumerate(holes):
         crosses, touches = _ring_pair_contacts(shell, h)
         if crosses:
-            return False
+            return ("Self-intersection", _pt(h[0]))
         # a shell-hole pair touching at >1 point (or any cycle in the
         # touch graph) disconnects the interior — ConnectedInteriorTester
         for t in touches:
             if not uf.union(("s",), ("h", hi)):
-                return False
+                return ("Interior is disconnected", _pt(t))
         # hole inside shell: no vertex outside, some point strictly in
         locs = [_point_in_ring(v, shell) for v in h[:-1]]
-        if any(loc == EXTERIOR for loc in locs):
-            return False
+        for v, loc in zip(h[:-1], locs):
+            if loc == EXTERIOR:
+                return ("Hole lies outside shell", _pt(v))
         if all(loc != INTERIOR for loc in locs):
-            return False  # hole collapsed onto the shell boundary
+            return ("Hole lies outside shell", _pt(h[0]))
     for i in range(len(holes)):
         for j in range(i + 1, len(holes)):
             crosses, touches = _ring_pair_contacts(holes[i], holes[j])
             if crosses:
-                return False
+                return ("Self-intersection", _pt(holes[j][0]))
             for t in touches:
                 if not uf.union(("h", i), ("h", j)):
-                    return False
+                    return ("Interior is disconnected", _pt(t))
             li = [_point_in_ring(v, holes[j]) for v in holes[i][:-1]]
             lj = [_point_in_ring(v, holes[i]) for v in holes[j][:-1]]
             if any(loc == INTERIOR for loc in li) or any(
                 loc == INTERIOR for loc in lj
             ):
-                return False  # nested holes
-    return True
+                return ("Holes are nested", _pt(holes[i][0]))
+    return None
 
 
-def is_valid(g: G.Geom) -> bool:
+def valid_detail(g: G.Geom):
+    """IsValidOp with error reporting (TopologyValidationError):
+    None if valid, else (message, (x, y))."""
     if g.is_empty:
-        return True
-    if not np.isfinite(g.all_coords()).all():
-        return False
+        return None
+    coords = g.all_coords()
+    if not np.isfinite(coords).all():
+        bad = coords[~np.isfinite(coords).all(axis=1)][0]
+        return ("Invalid Coordinate", _pt(bad))
     if g.type_id in (G.POINT, G.MULTIPOINT):
-        return True
+        return None
     if g.type_id in (G.LINESTRING, G.MULTILINESTRING):
         for p in g.geoms():
             if p.type_id != G.LINESTRING or p.is_empty:
                 continue
             if len(np.unique(p.data, axis=0)) < 2:
-                return False  # zero-length line
+                return ("Too few points in geometry component",
+                        _pt(p.data[0]))
             if p.is_ring:
-                if (
-                    len(p.data) < 4
-                    or not np.array_equal(p.data[0], p.data[-1])
-                    or _ring_self_intersects(p.data)
-                ):
-                    return False
-        return True
+                if len(p.data) < 4:
+                    return ("Too few points in geometry component",
+                            _pt(p.data[0]))
+                if not np.array_equal(p.data[0], p.data[-1]):
+                    return ("Ring is not closed", _pt(p.data[0]))
+                info = _ring_self_intersection_info(p.data)
+                if info is not None:
+                    return info
+        return None
     if g.type_id == G.POLYGON:
-        return _poly_valid(g)
+        return _poly_valid_detail(g)
     if g.type_id == G.MULTIPOLYGON:
         polys = [
             p for p in g.geoms() if p.type_id == G.POLYGON and not p.is_empty
         ]
-        if not all(_poly_valid(p) for p in polys):
-            return False
+        for p in polys:
+            info = _poly_valid_detail(p)
+            if info is not None:
+                return info
         # element polygons: boundaries must not cross or share edges;
         # interiors must not nest or overlap (contain-in-hole is fine)
         for i in range(len(polys)):
@@ -379,15 +439,36 @@ def is_valid(g: G.Geom) -> bool:
                     for rj in polys[j].data:
                         crosses, _ = _ring_pair_contacts(ri, rj)
                         if crosses:
-                            return False
-                if any(
-                    _locate_in_polygon(tuple(v), polys[j]) == INTERIOR
-                    for v in polys[i].data[0][:-1]
-                ) or any(
-                    _locate_in_polygon(tuple(v), polys[i]) == INTERIOR
-                    for v in polys[j].data[0][:-1]
-                ):
-                    return False
-        return True
+                            return ("Self-intersection", _pt(rj[0]))
+                for v in polys[i].data[0][:-1]:
+                    if _locate_in_polygon(tuple(v), polys[j]) == INTERIOR:
+                        return ("Nested shells", _pt(v))
+                for v in polys[j].data[0][:-1]:
+                    if _locate_in_polygon(tuple(v), polys[i]) == INTERIOR:
+                        return ("Nested shells", _pt(v))
+        return None
     # collection: all parts valid
-    return all(is_valid(p) for p in g.data)
+    for p in g.data:
+        info = valid_detail(p)
+        if info is not None:
+            return info
+    return None
+
+
+def is_valid(g: G.Geom) -> bool:
+    return valid_detail(g) is None
+
+
+def _fmt_coord(v: float) -> str:
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(v)
+
+
+def valid_reason(g: G.Geom) -> str:
+    """GEOSisValidReason: "Valid Geometry" or "<message>[<x> <y>]"."""
+    info = valid_detail(g)
+    if info is None:
+        return "Valid Geometry"
+    msg, (x, y) = info
+    return f"{msg}[{_fmt_coord(x)} {_fmt_coord(y)}]"
