@@ -44,7 +44,8 @@ def _bench_queries(spark):
 
     def pip_join_1m():
         return point_in_polygon_join(
-            pts_1m, stars, "intersects", level=6, extent=EXTENT
+            pts_1m, stars, "intersects", level=6, extent=EXTENT,
+            poly_id_col="poly_id",
         ).select("doc_id", "poly_id")
 
     def tile_assign_1m():
@@ -155,7 +156,8 @@ def _scaling_queries(spark, cores: int):
             spark.range(0, 16_000_000, 1, parts).withColumnRenamed("id", "doc_id")
         )
         return point_in_polygon_join(
-            pts, star_polygons(spark), "intersects", level=6, extent=EXTENT
+            pts, star_polygons(spark), "intersects", level=6, extent=EXTENT,
+            poly_id_col="poly_id",
         ).select("doc_id", "poly_id")
 
     def tile_pipeline_32m():

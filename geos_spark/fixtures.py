@@ -392,6 +392,177 @@ def run_case(wkt_a, wkt_b, op, args, pm_scale) -> str:
     raise ValueError(f"unknown corpus op: {op}")
 
 
+# ---------------------------------------------------------------------
+# unit-test-oracle cases for operators the xmltester corpus lacks
+# (expected values from tests/unit/... as cited in each kernel module)
+# ---------------------------------------------------------------------
+
+UNIT_CASES = [
+    # (case_id, op, wkt_a, wkt_b, arg, expected-canonical-string)
+    # GEOSSnapTest.cpp
+    ("snap:1", "snap", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+     "POINT(0.5 0)", "1",
+     "POLYGON ((0.5 0, 10 0, 10 10, 0 10, 0.5 0))"),
+    ("snap:2", "snap", "LINESTRING (-30 -20, 50 60, 50 0)",
+     "LINESTRING (-29 -20, 40 60, 51 0)", "2",
+     "LINESTRING (-29 -20, 50 60, 51 0)"),
+    ("snap:3", "snap", "LINESTRING (-20 -20, 50 50, 100 100)",
+     "LINESTRING (-10 -9, 40 20, 80 79)", "2",
+     "LINESTRING (-20 -20, -10 -9, 50 50, 80 79, 100 100)"),
+    ("snap:6", "snap", "LINESTRING(0 3,4 1,0 1)",
+     "MULTIPOINT((5 0),(4 1))", "2",
+     "LINESTRING (0 3, 4 1, 5 0, 0 1)"),
+    ("snap:8", "snap", "LINESTRING(0 0,10 0,10 10,0 10,0 0)",
+     "MULTIPOINT((0 0),(-1 0))", "3",
+     "LINESTRING (-1 0, 0 0, 10 0, 10 10, 0 10, -1 0)"),
+    # GEOSSharedPathsTest.cpp + direction semantics
+    ("sharedpaths:1", "sharedpaths",
+     "LINESTRING (-30 -20, 50 60, 50 70, 50 0)",
+     "LINESTRING (-29 -20, 50 60, 50 70, 51 0)", "",
+     "GEOMETRYCOLLECTION (MULTILINESTRING ((50 60, 50 70)), "
+     "MULTILINESTRING EMPTY)"),
+    ("sharedpaths:2", "sharedpaths", "LINESTRING (0 0, 10 0)",
+     "LINESTRING (15 0, 5 0)", "",
+     "GEOMETRYCOLLECTION (MULTILINESTRING EMPTY, "
+     "MULTILINESTRING ((5 0, 10 0)))"),
+    # GEOSisValidReasonTest.cpp
+    ("validreason:1", "validreason", "LINESTRING (1 2, 4 5, 9 -2)",
+     None, "", "Valid Geometry"),
+    ("validreason:2", "validreason",
+     "POLYGON ((0 0, 1 0, 0 1, 1 1, 0 0))", None, "",
+     "Self-intersection[0.5 0.5]"),
+    # ConcaveHullTest.cpp (by length ratio / by length)
+    ("concavehull:1", "concavehull_ratio",
+     "MULTIPOINT ((10 90), (10 10), (90 10), (90 90), (40 40), (60 30),"
+     " (30 70), (40 60), (60 50), (60 72), (47 66), (90 60))",
+     None, "0.5",
+     None),  # expected filled below (canonical form of the unit WKT)
+    ("concavehull:2", "concavehull_length",
+     "MULTIPOINT ((10 10), (90 10), (70 70), (50 60), (50 90), (40 70),"
+     " (30 30))", None, "100", None),
+    # MaximumInscribedCircleTest.cpp / LargestEmptyCircleTest.cpp:
+    # judged inside the engine with the unit tests' own tolerance
+    # (centers/radii are approximations by construction); the arg is
+    # "tol;x;y;r" and the emitted verdict is compared to 'match'
+    ("mic:square", "mic",
+     "POLYGON ((100 200, 200 200, 200 100, 100 100, 100 200))",
+     None, "0.001;150;150;50", "match"),
+    ("mic:diamond", "mic",
+     "POLYGON ((150 250, 50 150, 150 50, 250 150, 150 250))",
+     None, "0.001;150;150;70.71", "match"),
+    ("lec:points", "lec",
+     "MULTIPOINT ((100 100), (100 200), (200 200), (200 100))",
+     None, "0.01;150;150;70.71", "match"),
+    ("lec:crossed", "lec",
+     "MULTILINESTRING ((100 100, 300 300), (100 200, 300 0))",
+     None, "0.01;299.99;150.00;106.05", "match"),
+]
+
+_UNIT_HULL_EXPECTED = {
+    "concavehull:1":
+        "POLYGON ((30 70, 10 90, 60 72, 90 90, 90 60, 90 10, 60 30,"
+        " 10 10, 40 40, 30 70))",
+    "concavehull:2":
+        "POLYGON ((10 10, 40 70, 50 90, 70 70, 90 10, 10 10))",
+}
+
+
+def unit_cases():
+    out = []
+    for cid, op, wa, wb, arg, exp in UNIT_CASES:
+        if exp is None:
+            from geos_spark.kernels.wkt import parse_wkt
+
+            exp = canon_wkt(parse_wkt(_UNIT_HULL_EXPECTED[cid]))
+        elif op in ("snap", "sharedpaths"):
+            from geos_spark.kernels.wkt import parse_wkt
+
+            exp = canon_wkt(parse_wkt(exp))
+        out.append((cid, op, wa, wb, arg, exp))
+    return out
+
+
+def run_unit_case(op, wkt_a, wkt_b, arg) -> str:
+    from geos_spark.kernels.wkt import parse_wkt
+
+    a = parse_wkt(wkt_a)
+    b = parse_wkt(wkt_b) if wkt_b else None
+    if op == "snap":
+        from geos_spark.kernels.snap import snap
+
+        return canon_wkt(snap(a, b, float(arg)))
+    if op == "sharedpaths":
+        from geos_spark.kernels.sharedpaths import shared_paths
+
+        return canon_wkt(shared_paths(a, b))
+    if op == "validreason":
+        from geos_spark.kernels.valid import valid_reason
+
+        return valid_reason(a)
+    if op == "concavehull_ratio":
+        from geos_spark.kernels.hull import concave_hull_by_length_ratio
+
+        return canon_wkt(concave_hull_by_length_ratio(a, float(arg)))
+    if op == "concavehull_length":
+        from geos_spark.kernels.hull import concave_hull_by_length
+
+        return canon_wkt(concave_hull_by_length(a, float(arg)))
+    if op in ("mic", "lec"):
+        import math
+
+        tol, ex, ey, er = (float(v) for v in arg.split(";"))
+        if op == "mic":
+            from geos_spark.kernels.circles import maximum_inscribed_circle
+
+            c, rp = maximum_inscribed_circle(a, tol)
+        else:
+            from geos_spark.kernels.circles import largest_empty_circle
+
+            c, rp = largest_empty_circle(a, None, tol)
+        r = math.hypot(c[0] - rp[0], c[1] - rp[1])
+        ok = (
+            abs(c[0] - ex) <= 0.02
+            and abs(c[1] - ey) <= 0.02
+            and abs(r - er) <= 0.01
+        )
+        return "match" if ok else f"MISMATCH:{c},{r}"
+    raise ValueError(f"unknown unit op {op}")
+
+
+def unit_query(spark):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    rows = [
+        (cid, op, wa, wb, arg) for cid, op, wa, wb, arg, _ in unit_cases()
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "case_id string, op string, wkt_a string, wkt_b string, arg string",
+    ).repartition(8)
+
+    @pandas_udf(T.StringType())
+    def _run(
+        op: pd.Series, wa: pd.Series, wb: pd.Series, arg: pd.Series
+    ) -> pd.Series:
+        out = []
+        for o, a, b, g in zip(op, wa, wb, arg):
+            try:
+                out.append(run_unit_case(o, a, b, g))
+            except Exception as e:  # noqa: BLE001
+                out.append(f"ERROR:{type(e).__name__}")
+        return pd.Series(out)
+
+    return df.select(
+        "case_id", _run("op", "wkt_a", "wkt_b", "arg").alias("res")
+    )
+
+
+def unit_oracle() -> str:
+    return values_oracle([(cid, exp) for cid, _, _, _, _, exp in unit_cases()])
+
+
 def run_buffer_case(wkt_a, op, args, expected_wkt) -> str:
     """Buffer ops judged with the reference's own tolerance matchers
     (exactly the XMLTester rule — vertex placement is impl-defined, so

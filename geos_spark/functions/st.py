@@ -209,6 +209,53 @@ def st_densify(tolerance: float):
     return _densify
 
 
+@pandas_udf(T.BinaryType())
+def st_coverageunion(wkb: pd.Series) -> pd.Series:
+    """GEOSCoverageUnion: fast boundary-cancel union of a valid
+    polygonal coverage (no noding)."""
+    from geos_spark.kernels.coverage import coverage_union
+
+    def _one(b):
+        if b is None:
+            return None
+        try:
+            return write_wkb(coverage_union(parse_wkb(b)))
+        except Exception:
+            return None
+
+    return wkb.map(_one)
+
+
+def st_offsetcurve(
+    distance: float,
+    quad_segs: int = 8,
+    join: str = "round",
+    mitre_limit: float = 5.0,
+):
+    """GEOSOffsetCurve (capi geos_ts_c.cpp:1322): curve at a signed
+    perpendicular offset (left positive)."""
+    from geos_spark.kernels.offsetcurve import offset_curve
+
+    @pandas_udf(T.BinaryType())
+    def _oc(wkb: pd.Series) -> pd.Series:
+        def _one(b):
+            if b is None:
+                return None
+            try:
+                return write_wkb(
+                    offset_curve(
+                        parse_wkb(b), distance, quad_segs=quad_segs,
+                        join=join, mitre_limit=mitre_limit,
+                    )
+                )
+            except Exception:
+                return None
+
+        return wkb.map(_one)
+
+    return _oc
+
+
 def st_concavehull(ratio: float, allow_holes: bool = False):
     """GEOSConcaveHull (capi geos_c.h.in): concave hull by edge-length
     ratio."""

@@ -22,14 +22,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def convex_hull_agg(
+def convex_hull_agg_df(
     df: DataFrame, x_col: str = "x", y_col: str = "y"
-) -> "np.ndarray":
-    """Exact convex hull of all (x, y) rows, computed distributed.
+) -> DataFrame:
+    """Exact convex hull of all (x, y) rows as a DataFrame of ordered
+    hull vertices (vertex_idx, hx, hy) — fully distributed:
 
-    Returns the hull as an (k, 2) numpy ring (closed) on the driver —
-    the reduction to per-partition partial hulls keeps the driver-side
-    final step O(partitions * hull_size).
+    stage 1 (partial): per-Arrow-batch hulls via mapInPandas reduce
+    each batch to <= its hull vertices (map-side combine);
+    stage 2 (final): one single-group applyInPandas hull over the tiny
+    partial union. Hull is associative, so the tree computes the exact
+    global hull; nothing ever lands on the driver.
     """
     from geos_spark.kernels.scalars import convex_hull_coords
 
@@ -50,10 +53,48 @@ def convex_hull_agg(
     partials = df.select(F.col(x_col), F.col(y_col)).mapInPandas(
         partial, schema
     )
-    pts = partials.toPandas().to_numpy(np.float64)
-    if len(pts) == 0:
+
+    final_schema = T.StructType(
+        [
+            T.StructField("vertex_idx", T.IntegerType()),
+            T.StructField("hx", T.DoubleType()),
+            T.StructField("hy", T.DoubleType()),
+        ]
+    )
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        pts = pdf[["hx", "hy"]].to_numpy(np.float64)
+        if len(pts) == 0:
+            return pd.DataFrame({"vertex_idx": [], "hx": [], "hy": []})
+        coords = convex_hull_coords(pts)
+        return pd.DataFrame(
+            {
+                "vertex_idx": np.arange(len(coords), dtype=np.int32),
+                "hx": coords[:, 0],
+                "hy": coords[:, 1],
+            }
+        )
+
+    return (
+        partials.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(lambda pdf: final(pdf), final_schema)
+    )
+
+
+def convex_hull_agg(
+    df: DataFrame, x_col: str = "x", y_col: str = "y"
+) -> "np.ndarray":
+    """Convenience wrapper: the global hull as a closed (k, 2) numpy
+    ring (collects the tiny final-hull DataFrame)."""
+    rows = (
+        convex_hull_agg_df(df, x_col, y_col)
+        .orderBy("vertex_idx")
+        .collect()
+    )
+    if not rows:
         return np.zeros((0, 2))
-    return convex_hull_coords(pts)
+    return np.array([[r.hx, r.hy] for r in rows], dtype=np.float64)
 
 
 def extent_agg(df: DataFrame, x_col: str = "x", y_col: str = "y") -> DataFrame:

@@ -89,6 +89,53 @@ def pip_refine(px: pd.Series, py: pd.Series, wkb: pd.Series) -> pd.Series:
     return pd.Series(out.astype("int32"))
 
 
+def pip_refine_by_id(bc, id_order):
+    """Factory: PIP refine where candidates carry only the polygon ID
+    (8 bytes/row through Arrow instead of the full WKB). The polygon
+    dim rides a SparkContext broadcast and is decoded into ONE
+    PolygonPack per python worker, reused across every batch — the
+    per-worker analogue of a shared prepared-geometry index.
+
+    ``id_order`` is the sorted array of polygon ids; ``bc.value`` maps
+    id -> wkb bytes."""
+
+    state: dict = {}
+
+    @pandas_udf(T.IntegerType())
+    def _refine(px: pd.Series, py: pd.Series, pid: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from geos_spark.kernels.pip import locate_points
+        from geos_spark.kernels.wkb import decode_polygons
+
+        n = len(px)
+        if n == 0:
+            return pd.Series([], dtype="int32")
+        if "pack" not in state:
+            d = bc.value
+            pack, offs = decode_polygons([d[int(k)] for k in id_order])
+            state["pack"] = pack
+            state["offs"] = offs
+            state["ids"] = np.asarray(id_order, dtype=np.int64)
+        pack = state["pack"]
+        geom_offsets = state["offs"]
+        codes = np.searchsorted(
+            state["ids"], pid.to_numpy(np.int64)
+        )
+        pts = np.column_stack([px.to_numpy(), py.to_numpy()])
+        counts = geom_offsets[codes + 1] - geom_offsets[codes]
+        pair_rep = np.repeat(np.arange(n), counts)
+        cum = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        intra = np.arange(int(counts.sum())) - np.repeat(cum, counts)
+        poly_idx = np.repeat(geom_offsets[codes], counts) + intra
+        loc = locate_points(pts, pack, pair_rep, poly_idx)
+        out = np.full(n, _EXTERIOR, dtype=np.int64)
+        np.minimum.at(out, pair_rep, loc.astype(np.int64))
+        return pd.Series(out.astype("int32"))
+
+    return _refine
+
+
 def relate_refine(predicate: str):
     """Factory: pUDF evaluating a named DE-9IM predicate on WKB pairs.
 
@@ -196,6 +243,7 @@ def point_in_polygon_join(
     keep_location: bool = False,
     salt: int = 0,
     broadcast_build: bool = True,
+    poly_id_col: str | None = None,
 ) -> DataFrame:
     """Join points to polygons on a spatial predicate.
 
@@ -220,8 +268,27 @@ def point_in_polygon_join(
     xmin, ymin, xmax, ymax = bbox_cols
     pts = with_tile_cell(points, x_col, y_col, level, extent, out="__cell")
 
+    # slim-build path: a broadcastable polygon dim with an id column
+    # never ships WKB through the join or the Arrow boundary — the
+    # candidates carry (x, y, poly_id); the geometry rides a python
+    # broadcast decoded once per worker. Cuts shuffled+Arrow bytes per
+    # candidate ~10x, the dominant cost at memory-bandwidth-bound
+    # parallelism.
+    slim = poly_id_col is not None and broadcast_build and salt == 0
+    bc = None
+    id_order = None
+    if slim:
+        rows = polygons.select(poly_id_col, wkb_col).collect()
+        mapping = {int(r[0]): bytes(r[1]) for r in rows}
+        id_order = sorted(mapping)
+        sc = polygons.sparkSession.sparkContext
+        bc = sc.broadcast(mapping)
+        build = polygons.select(poly_id_col, *bbox_cols)
+    else:
+        build = polygons
+
     polys = with_tile_cells_exploded(
-        polygons, bbox_cols, level, extent, out="__cell"
+        build, bbox_cols, level, extent, out="__cell"
     )
 
     # the exploded build side defeats Catalyst's size estimation (an
@@ -253,7 +320,12 @@ def point_in_polygon_join(
         & (F.col(y_col) <= F.col(ymax))
     )
 
-    loc_expr = pip_refine(F.col(x_col), F.col(y_col), F.col(wkb_col))
+    if slim:
+        loc_expr = pip_refine_by_id(bc, id_order)(
+            F.col(x_col), F.col(y_col), F.col(poly_id_col)
+        )
+    else:
+        loc_expr = pip_refine(F.col(x_col), F.col(y_col), F.col(wkb_col))
     if keep_location:
         refined = cand.withColumn("location", loc_expr)
         out = refined.where(F.col("location").isin(list(accepted)))
@@ -262,4 +334,12 @@ def point_in_polygon_join(
         # Catalyst evaluate the python UDF twice (once in the filter,
         # once in the projection that is then dropped)
         out = cand.where(loc_expr.isin(list(accepted)))
-    return out.drop("__cell", "__salt")
+    out = out.drop("__cell", "__salt")
+    if slim:
+        # re-attach the remaining polygon columns (incl. wkb) so the
+        # output contract is unchanged — a broadcast equijoin on the
+        # id over the (small) result set
+        rest = polygons.drop(*bbox_cols)
+        if len(rest.columns) > 1:
+            out = out.join(F.broadcast(rest), poly_id_col)
+    return out

@@ -39,29 +39,96 @@ def _clip_udf(
     txmax: pd.Series,
     tymax: pd.Series,
 ) -> pd.DataFrame:
+    """Per-(geometry, tile) clip with a vectorized three-way
+    classification first: a tile that no boundary segment touches is
+    either fully interior (fragment = the tile rectangle, emitted
+    natively) or fully exterior (empty) by the location of its center
+    — only true boundary tiles run the polygon clipper. For large
+    polygons interior tiles dominate, so the per-row Python clip loop
+    shrinks to the O(perimeter) boundary band."""
+    import numpy as np
+
+    from geos_spark.kernels import geom as G
     from geos_spark.kernels.clip import clip_geom
+    from geos_spark.kernels.pip import INTERIOR, PolygonPack, locate_points
     from geos_spark.kernels.scalars import geom_area
     from geos_spark.kernels.wkb import parse_wkb, write_wkb
 
     codes, uniques = pd.factorize(wkb.map(bytes))
     geoms = [parse_wkb(u) for u in uniques]
-    out_wkb = []
-    out_area = []
-    out_full = []
-    for c, x0, y0, x1, y1 in zip(
-        codes, txmin.to_numpy(), tymin.to_numpy(),
-        txmax.to_numpy(), tymax.to_numpy(),
-    ):
-        clipped = clip_geom(geoms[c], x0, y0, x1, y1)
+    n = len(codes)
+    x0 = txmin.to_numpy(np.float64)
+    y0 = tymin.to_numpy(np.float64)
+    x1 = txmax.to_numpy(np.float64)
+    y1 = tymax.to_numpy(np.float64)
+    out_wkb = np.empty(n, dtype=object)
+    out_area = np.zeros(n, dtype=np.float64)
+    out_full = np.zeros(n, dtype=bool)
+
+    # pack: one entry per unique geometry (all rings incl. holes and
+    # multipolygon parts — parity locate stays correct)
+    ring_sets = [
+        [p.data[ri] for p in g.geoms() if p.type_id == G.POLYGON
+         for ri in range(len(p.data))]
+        for g in geoms
+    ]
+    areal = np.array([len(rs) > 0 for rs in ring_sets])
+    pack = PolygonPack.from_rings(ring_sets)
+
+    # does any boundary segment's bbox overlap the tile?
+    sp = pack.seg_poly
+    sxmin = np.minimum(pack.seg_x1, pack.seg_x2)
+    sxmax = np.maximum(pack.seg_x1, pack.seg_x2)
+    symin = np.minimum(pack.seg_y1, pack.seg_y2)
+    symax = np.maximum(pack.seg_y1, pack.seg_y2)
+    counts = (
+        pack.poly_seg_offsets[codes + 1] - pack.poly_seg_offsets[codes]
+    )
+    pair_rep = np.repeat(np.arange(n), counts)
+    cum = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    intra = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+        cum, counts
+    )
+    seg_idx = np.repeat(pack.poly_seg_offsets[codes], counts) + intra
+    ov = (
+        (sxmin[seg_idx] <= x1[pair_rep])
+        & (x0[pair_rep] <= sxmax[seg_idx])
+        & (symin[seg_idx] <= y1[pair_rep])
+        & (y0[pair_rep] <= symax[seg_idx])
+    )
+    touches = np.zeros(n, dtype=bool)
+    np.logical_or.at(touches, pair_rep, ov)
+
+    # interior/exterior by tile-center location (stripe-indexed PIP)
+    centers = np.column_stack([(x0 + x1) / 2.0, (y0 + y1) / 2.0])
+    loc = locate_points(
+        centers, pack, np.arange(n, dtype=np.int64),
+        codes.astype(np.int64),
+    )
+    interior = areal[codes] & ~touches & (loc == INTERIOR)
+    boundary = touches | ~areal[codes]
+
+    # interior tiles: fragment is the tile rectangle itself
+    for i in np.flatnonzero(interior):
+        rect = G.Geom.polygon(
+            [[
+                (x0[i], y0[i]), (x1[i], y0[i]), (x1[i], y1[i]),
+                (x0[i], y1[i]), (x0[i], y0[i]),
+            ]]
+        )
+        out_wkb[i] = write_wkb(rect)
+        out_area[i] = (x1[i] - x0[i]) * (y1[i] - y0[i])
+        out_full[i] = True
+
+    # boundary tiles: the real clipper
+    for i in np.flatnonzero(boundary):
+        clipped = clip_geom(geoms[codes[i]], x0[i], y0[i], x1[i], y1[i])
         if clipped.is_empty:
-            out_wkb.append(None)
-            out_area.append(0.0)
-            out_full.append(False)
             continue
         area = geom_area(clipped)
-        out_wkb.append(write_wkb(clipped))
-        out_area.append(area)
-        out_full.append(area == (x1 - x0) * (y1 - y0))
+        out_wkb[i] = write_wkb(clipped)
+        out_area[i] = area
+        out_full[i] = area == (x1[i] - x0[i]) * (y1[i] - y0[i])
     return pd.DataFrame(
         {
             "clipped_wkb": pd.Series(out_wkb, dtype=object),

@@ -107,7 +107,8 @@ def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _doc_points(spark, sf_dir)
     polys = star_polygons(spark)
     out = point_in_polygon_join(
-        pts, polys, "intersects", level=_LEVEL_JOIN, extent=EXTENT
+        pts, polys, "intersects", level=_LEVEL_JOIN, extent=EXTENT,
+        poly_id_col="poly_id",
     )
     return out.select("doc_id", "poly_id")
 
@@ -786,13 +787,60 @@ SELECT doc_id, CAST({' + '.join(terms)} AS BIGINT) AS simhash FROM v
 
 
 def q_hull_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Convex hull of all doc points (rows-only driver check; pytest
-    verifies against the local kernel exactly)."""
-    from geos_spark.operators.aggregates import convex_hull_agg
+    """Distributed convex-hull aggregate (partial per-batch hulls +
+    one-group final hull, nothing driver-side). Oracle: the hull-edge
+    characterization in SQL — (a,b) is a hull edge iff every other
+    point lies left of it."""
+    from geos_spark.operators.aggregates import convex_hull_agg_df
 
-    hull = convex_hull_agg(_doc_points(spark, sf_dir))
-    rows = [(float(x), float(y)) for x, y in hull]
-    return spark.createDataFrame(rows, "hx double, hy double")
+    hull = convex_hull_agg_df(_doc_points(spark, sf_dir))
+    # the ring repeats the first vertex at the end — emit the vertex
+    # SET (the driver compares sorted values)
+    return hull.select("hx", "hy").distinct()
+
+
+def q_hull_agg_sql() -> str:
+    # coordinates are k/2^20 with integer k, so scaling by 2^20 makes
+    # every cross product exact in HUGEINT — matching the engine's DD
+    # orientation exactly (the synthetic hot points contain exactly
+    # collinear runs, which GEOS's hull drops)
+    return f"""
+WITH {_POINTS_CTE},
+ipts AS (
+    SELECT doc_id, px, py,
+           CAST(ROUND(px * 1048576) AS HUGEINT) AS ix,
+           CAST(ROUND(py * 1048576) AS HUGEINT) AS iy
+    FROM points
+),
+hull_edges AS (
+    SELECT a.doc_id AS ai, b.doc_id AS bi,
+           a.px AS ax, a.py AS ay, a.ix AS aix, a.iy AS aiy,
+           b.ix AS bix, b.iy AS biy
+    FROM ipts a JOIN ipts b ON a.doc_id <> b.doc_id
+    WHERE NOT EXISTS (
+        SELECT 1 FROM ipts r
+        WHERE r.doc_id <> a.doc_id AND r.doc_id <> b.doc_id
+          AND (b.ix - a.ix) * (r.iy - a.iy)
+              - (b.iy - a.iy) * (r.ix - a.ix) < 0
+    )
+),
+verts AS (
+    SELECT DISTINCT ai AS doc_id, ax AS hx, ay AS hy,
+           aix AS ix, aiy AS iy
+    FROM hull_edges
+)
+SELECT v.hx, v.hy FROM verts v
+WHERE NOT EXISTS (
+    -- drop collinear boundary vertices: v strictly inside another
+    -- hull edge (exact integer collinearity + coordinate betweenness)
+    SELECT 1 FROM hull_edges e
+    WHERE e.ai <> v.doc_id AND e.bi <> v.doc_id
+      AND (e.bix - e.aix) * (v.iy - e.aiy)
+          - (e.biy - e.aiy) * (v.ix - e.aix) = 0
+      AND ((v.ix > LEAST(e.aix, e.bix) AND v.ix < GREATEST(e.aix, e.bix))
+        OR (v.iy > LEAST(e.aiy, e.biy) AND v.iy < GREATEST(e.aiy, e.biy)))
+)
+"""
 
 
 def q_union_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1056,9 +1104,11 @@ JOIN star_bbox bb
 
 def q_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed cascaded polygon union (unaryUnion aggregate) of
-    the star polygons grouped into 4 overlapping bands; rows-only
-    driver check (union geometry is not ANSI-SQL-expressible), the
-    pytest suite verifies the kernel against the xmltester corpus."""
+    the star polygons grouped into 4 bands. The stars are pairwise
+    disjoint (radius <= 96, grid half-spacing 128), so the union area
+    per band equals the shoelace-sum of member areas — an exact SQL
+    oracle that the union engine must reproduce through the full
+    cascade."""
     from geos_spark.functions import st
     from geos_spark.operators.aggregates import unary_union_agg
 
@@ -1069,6 +1119,80 @@ def q_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.select(
         "grp", F.round(st.st_area(F.col("union_wkb")), 5).alias("uarea_r")
     )
+
+
+def q_union_area_sql() -> str:
+    return f"""
+WITH {star_params_sql()},
+areas AS (
+    SELECT poly_id, SUM(x1 * y2 - x2 * y1) / 2.0 AS area
+    FROM star_edges
+    GROUP BY poly_id
+)
+SELECT poly_id % 4 AS grp, ROUND(SUM(ABS(area)), 5) AS uarea_r
+FROM areas
+GROUP BY poly_id % 4
+"""
+
+
+def q_tile_reunion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile round-trip: clip every star to the level-6 tile grid, then
+    re-unite the fragments per polygon with the coverage union (the
+    boundary-cancel fast union — fragments of one tiling level form a
+    valid coverage by construction). The reunited area must equal the
+    original star area exactly (SQL shoelace oracle)."""
+    import pandas as pd
+
+    from geos_spark.kernels import geom as G
+    from geos_spark.kernels.coverage import coverage_union
+    from geos_spark.kernels.scalars import geom_area
+    from geos_spark.kernels.wkb import parse_wkb
+    from geos_spark.operators.tiling import tile_materialize
+    from pyspark.sql import types as T
+
+    frags = tile_materialize(star_polygons(spark), level=6, extent=EXTENT)
+
+    schema = T.StructType(
+        [
+            T.StructField("poly_id", T.LongType()),
+            T.StructField("uarea_r", T.DoubleType()),
+        ]
+    )
+
+    def _reunite(pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for b in pdf["clipped_wkb"]:
+            if b is None:
+                continue
+            g = parse_wkb(bytes(b))
+            parts.extend(
+                p for p in g.geoms() if p.type_id == G.POLYGON and p.data
+            )
+        u = coverage_union(
+            G.Geom.collection(G.GEOMETRYCOLLECTION, parts)
+        )
+        return pd.DataFrame(
+            {
+                "poly_id": [pdf["poly_id"].iloc[0]],
+                "uarea_r": [round(geom_area(u), 5)],
+            }
+        )
+
+    return (
+        frags.select("poly_id", "clipped_wkb")
+        .groupBy("poly_id")
+        .applyInPandas(_reunite, schema)
+    )
+
+
+def q_tile_reunion_sql() -> str:
+    return f"""
+WITH {star_params_sql()}
+SELECT poly_id,
+       ROUND(ABS(SUM(x1 * y2 - x2 * y1) / 2.0), 5) AS uarea_r
+FROM star_edges
+GROUP BY poly_id
+"""
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1259,10 +1383,20 @@ def q_xt_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FX.buffer_query(spark, FX.buffer_cases())
 
 
+def q_xt_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operators the xmltester corpus lacks, against the reference's
+    unit-test expectations: snap, sharedPaths, isValidReason,
+    concaveHull, maximumInscribedCircle, largestEmptyCircle."""
+    from geos_spark import fixtures as FX
+
+    return FX.unit_query(spark)
+
+
 def _fixture_oracles() -> dict:
     from geos_spark import fixtures as FX
 
     return {
+        "xt_unit": FX.unit_oracle(),
         "xt_predicates": FX.oracle_for(FX.predicate_cases()),
         "xt_validate": FX.oracle_for(FX.validate_cases()),
         "xt_valid": FX.oracle_for(FX.valid_cases()),
@@ -1301,6 +1435,7 @@ QUERIES = {
     "jaccard_pairs": q_jaccard_pairs,
     "rect_overlay": q_rect_overlay,
     "union_area": q_union_area,
+    "tile_reunion": q_tile_reunion,
     "media_features": q_media_features,
     "cluster_cc": q_cluster_cc,
     "cluster_dbscan": q_cluster_dbscan,
@@ -1311,6 +1446,7 @@ QUERIES = {
     "xt_overlay_prec": q_xt_overlay_prec,
     "xt_construct": q_xt_construct,
     "xt_buffer": q_xt_buffer,
+    "xt_unit": q_xt_unit,
 }
 
 ORACLES = {
@@ -1338,12 +1474,15 @@ ORACLES = {
     "jaccard_pairs": q_jaccard_pairs_sql(),
     "rect_overlay": q_rect_overlay_sql(),
     "poly_join": q_poly_join_sql(),
+    "hull_agg": q_hull_agg_sql(),
+    "union_area": q_union_area_sql(),
+    "tile_reunion": q_tile_reunion_sql(),
     "cluster_cc": q_cluster_cc_sql(),
     "cluster_dbscan": q_cluster_dbscan_sql(),
-    # tile_clip / hull_agg / union_area / media_features:
-    # not SQL-expressible (geometry outputs / binary feature plumbing);
-    # the driver records rows-only checks, pytest verifies them exactly
-    # against local kernels.
+    # tile_clip / media_features: not SQL-expressible (per-tile
+    # fragment geometry / binary feature plumbing); the driver records
+    # rows-only checks, pytest verifies them exactly against local
+    # kernels.
 }
 
 ORACLES.update(_fixture_oracles())
