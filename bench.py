@@ -48,6 +48,12 @@ def _bench_queries(spark):
             poly_id_col="poly_id",
         ).select("doc_id", "poly_id")
 
+    def pip_native_1m():
+        return point_in_polygon_join(
+            pts_1m, stars, "intersects", level=6, extent=EXTENT,
+            poly_id_col="poly_id", strategy="native_edges",
+        ).select("doc_id", "poly_id")
+
     def tile_assign_1m():
         gx = F.when(
             F.col("x") > 0, F.floor(F.col("x") / F.lit(_STRIDE_12))
@@ -123,6 +129,7 @@ def _bench_queries(spark):
 
     return {
         "pip_join_1m": (pip_join_1m, N_SYNTH),
+        "pip_native_1m": (pip_native_1m, N_SYNTH),
         "tile_assign_1m": (tile_assign_1m, N_SYNTH),
         "tile_rects_1m": (tile_rects_1m, N_SYNTH),
         "rect_join_1m": (rect_join_1m, N_SYNTH),
@@ -158,6 +165,15 @@ def _scaling_queries(spark, cores: int):
         return point_in_polygon_join(
             pts, star_polygons(spark), "intersects", level=6, extent=EXTENT,
             poly_id_col="poly_id",
+        ).select("doc_id", "poly_id")
+
+    def pip_native_16m():
+        pts = with_doc_point(
+            spark.range(0, 16_000_000, 1, parts).withColumnRenamed("id", "doc_id")
+        )
+        return point_in_polygon_join(
+            pts, star_polygons(spark), "intersects", level=6, extent=EXTENT,
+            poly_id_col="poly_id", strategy="native_edges",
         ).select("doc_id", "poly_id")
 
     def tile_pipeline_32m():
@@ -197,19 +213,37 @@ def _scaling_queries(spark, cores: int):
 
     return {
         "pip_join_16m": (pip_join_16m, 16_000_000),
+        "pip_native_16m": (pip_native_16m, 16_000_000),
         "tile_pipeline_32m": (tile_pipeline_32m, 32_000_000),
         "token_stats_2m": (token_stats_2m, 2_000_000),
     }
 
 
-def run_suite(cores: int, scaling: bool = False) -> dict:
+def run_suite(cores: int, scaling: bool = False, n_execs: int | None = None) -> dict:
     from geos_spark.session import get_spark
 
-    spark = get_spark(
-        f"bench_{cores}",
-        cores=cores,
-        shuffle_partitions=64 if scaling else 2 * cores,
-    )
+    if n_execs:
+        # real executor processes (the north rule's N vs 4N executor
+        # comparison): each executor is an identical JVM with 2 cores
+        # and the same memory, so GC/JIT behavior per executor is
+        # constant across cluster sizes — unlike squeezing one big JVM
+        # onto fewer cores
+        spark = get_spark(
+            f"bench_exec{n_execs}",
+            cores=cores,
+            shuffle_partitions=64 if scaling else 2 * cores,
+            master=f"local-cluster[{n_execs},2,4096]",
+            extra_conf={
+                "spark.executorEnv.PYTHONPATH": "/root/repo",
+                "spark.executor.memory": "3g",
+            },
+        )
+    else:
+        spark = get_spark(
+            f"bench_{cores}",
+            cores=cores,
+            shuffle_partitions=64 if scaling else 2 * cores,
+        )
     # JVM warmup: trivial job so the first timed query isn't paying
     # classloading/codegen costs
     spark.range(1000).count()
@@ -242,10 +276,10 @@ def run_suite(cores: int, scaling: bool = False) -> dict:
         # Materialize via the noop sink — count() would let Catalyst
         # prune aggregate expressions / unused columns and time a
         # hollowed-out job.
-        # 2 timed runs with min (scaling mode adds an explicit warmup
-        # first) — the sandbox host has noisy neighbors; workloads are
-        # sized so fixed costs (JVM, planning, broadcast) are <3%
-        runs = 2
+        # scaling mode: 3 timed runs with min — the sandbox host has
+        # noisy neighbors and the small-N phase is hypersensitive to
+        # them; headline mode keeps 2 (fixed costs <3% of runtime)
+        runs = 3 if scaling else 2
         if scaling:
             fn().limit(1000).write.format("noop").mode("overwrite").save()
         best = None
@@ -263,6 +297,42 @@ def run_suite(cores: int, scaling: bool = False) -> dict:
 
 
 def main() -> None:
+    if "--scaling-execs" in sys.argv:
+        # N vs 4N EXECUTOR processes (local-cluster[n,2,mem]), each
+        # taskset-pinned to 2*n CPUs so hardware parallelism matches
+        n = int(os.environ.get("SPARK_GRAFT_SCALE_EXECS", "1"))
+        levels = (n, 4 * n)
+        res = {}
+        for execs in levels:
+            env = dict(os.environ)
+            env["SPARK_GRAFT_CPUS"] = str(2 * execs)
+            env["SPARK_GRAFT_EXECS"] = str(execs)
+            cmd = [sys.executable, __file__, "--scaling-single"]
+            import shutil
+
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{2 * execs - 1}"] + cmd
+            out = subprocess.run(
+                cmd, env=env, capture_output=True, text=True, check=True
+            )
+            res[execs] = json.loads(out.stdout.strip().splitlines()[-1])
+        lo, hi = levels
+        eff = {}
+        for q in res[lo]["queries"]:
+            eff[q] = round((res[lo]["queries"][q] / res[hi]["queries"][q]) / 4.0, 3)
+        print(
+            json.dumps(
+                {
+                    "metric": f"scaling_efficiency_execs_{lo}_to_{hi}",
+                    "sf": SF_DIR,
+                    f"queries_{lo}execs": res[lo]["queries"],
+                    f"queries_{hi}execs": res[hi]["queries"],
+                    "efficiency": eff,
+                }
+            )
+        )
+        return
+
     if "--scaling" in sys.argv:
         # N vs 4N parallelism on identical inputs/partitioning.
         # Default N=2 (this sandbox's 32 "CPUs" sustain ~8-way
@@ -308,7 +378,8 @@ def main() -> None:
         return
 
     if "--scaling-single" in sys.argv:
-        r = run_suite(CPUS, scaling=True)
+        n_execs = int(os.environ.get("SPARK_GRAFT_EXECS", "0")) or None
+        r = run_suite(CPUS, scaling=True, n_execs=n_execs)
         rps = {
             q: round(r["input_rows"][q] / r["times"][q])
             for q in r["times"]

@@ -304,6 +304,27 @@ def st_delaunaytriangles(edges_only: bool = False):
     return _tri
 
 
+def st_voronoidiagram(edges_only: bool = False):
+    """GEOSVoronoiDiagram (capi geos_c.h.in:1208)."""
+    from geos_spark.kernels.voronoi import voronoi_diagram, voronoi_edges
+
+    fn = voronoi_edges if edges_only else voronoi_diagram
+
+    @pandas_udf(T.BinaryType())
+    def _vor(wkb: pd.Series) -> pd.Series:
+        def _one(b):
+            if b is None:
+                return None
+            try:
+                return write_wkb(fn(parse_wkb(b)))
+            except Exception:
+                return None
+
+        return wkb.map(_one)
+
+    return _vor
+
+
 def st_maximuminscribedcircle(tolerance: float):
     """GEOSMaximumInscribedCircle: radius line (center -> nearest
     boundary point) as WKB."""

@@ -136,6 +136,89 @@ def pip_refine_by_id(bc, id_order):
     return _refine
 
 
+_EDGES_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("x1", T.DoubleType()),
+            T.StructField("y1", T.DoubleType()),
+            T.StructField("x2", T.DoubleType()),
+            T.StructField("y2", T.DoubleType()),
+        ]
+    )
+)
+
+
+@pandas_udf(_EDGES_SCHEMA)
+def _wkb_edges(wkb: pd.Series) -> pd.Series:
+    """All boundary segments of each (multi)polygon as an array column
+    (dim-table prep for the native_edges strategy)."""
+    from geos_spark.kernels import geom as G
+    from geos_spark.kernels.wkb import parse_wkb
+
+    def _one(b):
+        if b is None:
+            return None
+        g = parse_wkb(bytes(b))
+        out = []
+        for p in g.geoms():
+            if p.type_id != G.POLYGON:
+                continue
+            for r in p.data:
+                for i in range(len(r) - 1):
+                    out.append(
+                        {
+                            "x1": float(r[i, 0]),
+                            "y1": float(r[i, 1]),
+                            "x2": float(r[i + 1, 0]),
+                            "y2": float(r[i + 1, 1]),
+                        }
+                    )
+        return out
+
+    return wkb.map(_one)
+
+
+def _native_pip_location(px: Column, py: Column, edges: Column) -> Column:
+    """RayCrossingCounter (src/algorithm/RayCrossingCounter.cpp:
+    130-192) as pure Catalyst higher-order-function expressions over
+    an edge-array column — the whole locate stays inside whole-stage
+    codegen. Double arithmetic (exact for integer-coordinate
+    polygons); the prepared (pUDF) strategy keeps the robust
+    orientation filter for degenerate float inputs."""
+
+    def crossing(e):
+        upward = (e["y1"] > py) & (e["y2"] <= py)
+        downward = (e["y2"] > py) & (e["y1"] <= py)
+        orient = (e["x2"] - e["x1"]) * (py - e["y1"]) - (
+            e["y2"] - e["y1"]
+        ) * (px - e["x1"])
+        sign = F.when(e["y2"] < e["y1"], -orient).otherwise(orient)
+        return (upward | downward) & (sign > 0)
+
+    def on_boundary(e):
+        at_end = (px == e["x2"]) & (py == e["y2"])
+        horiz = (
+            (e["y1"] == py) & (e["y2"] == py)
+            & (px >= F.least(e["x1"], e["x2"]))
+            & (px <= F.greatest(e["x1"], e["x2"]))
+        )
+        orient = (e["x2"] - e["x1"]) * (py - e["y1"]) - (
+            e["y2"] - e["y1"]
+        ) * (px - e["x1"])
+        in_span = ((e["y1"] > py) & (e["y2"] <= py)) | (
+            (e["y2"] > py) & (e["y1"] <= py)
+        )
+        return at_end | horiz | (in_span & (orient == 0))
+
+    n_cross = F.size(F.filter(edges, crossing))
+    on = F.exists(edges, on_boundary)
+    return (
+        F.when(on, F.lit(_BOUNDARY))
+        .when(F.pmod(n_cross, F.lit(2)) == 1, F.lit(_INTERIOR))
+        .otherwise(F.lit(_EXTERIOR))
+    )
+
+
 def relate_refine(predicate: str):
     """Factory: pUDF evaluating a named DE-9IM predicate on WKB pairs.
 
@@ -155,6 +238,12 @@ def relate_refine(predicate: str):
         gb = [parse_wkb(u) for u in ub]
         if len(predicate) == 9:
             fn = lambda a, b: R.relate_pattern(a, b, predicate)  # noqa: E731
+        elif predicate == "intersects":
+            # vectorized fast path: for valid polygonal operands,
+            # intersects == any segment crossing OR mutual vertex
+            # containment — all numpy (blocked segment matrix +
+            # stripe-indexed PIP), no per-pair IM computation
+            fn = _polys_intersect_fast
         else:
             fn = getattr(R, "equals_topo" if predicate == "equalstopo" else predicate)
         cache: dict[tuple[int, int], bool] = {}
@@ -169,6 +258,38 @@ def relate_refine(predicate: str):
         return pd.Series(out, dtype=bool)
 
     return _refine
+
+
+def _polys_intersect_fast(ga, gb) -> bool:
+    """Polygon-polygon intersects without the IM machinery: any
+    boundary segment pair crosses, or one contains a vertex of the
+    other (complete for valid polygons — if boundaries are disjoint
+    and neither contains the other, they are disjoint). Falls back to
+    the general relate for non-areal operands."""
+    import numpy as np
+
+    from geos_spark.kernels import geom as G
+    from geos_spark.kernels import relate as R
+    from geos_spark.kernels.scalars import _segments
+    from geos_spark.kernels.segments import segments_intersect_any
+
+    pa = [p for p in ga.geoms() if p.type_id == G.POLYGON and p.data]
+    pb = [p for p in gb.geoms() if p.type_id == G.POLYGON and p.data]
+    if not pa or not pb:
+        return R.intersects(ga, gb)
+    sa = _segments(ga)
+    sb = _segments(gb)
+    if len(sa) and len(sb) and segments_intersect_any(sa, sb):
+        return True
+    # one shell vertex per PART (a part can be contained while its
+    # siblings are not, with no boundary crossing)
+    va = np.asarray([p.data[0][0] for p in pa])
+    vb = np.asarray([p.data[0][0] for p in pb])
+    from geos_spark.kernels.pip import EXTERIOR
+
+    if (R._locate_in_polys(va, pb) != EXTERIOR).any():
+        return True
+    return bool((R._locate_in_polys(vb, pa) != EXTERIOR).any())
 
 
 def polygon_join(
@@ -244,6 +365,7 @@ def point_in_polygon_join(
     salt: int = 0,
     broadcast_build: bool = True,
     poly_id_col: str | None = None,
+    strategy: str = "prepared",
 ) -> DataFrame:
     """Join points to polygons on a spatial predicate.
 
@@ -277,7 +399,20 @@ def point_in_polygon_join(
     slim = poly_id_col is not None and broadcast_build and salt == 0
     bc = None
     id_order = None
-    if slim:
+    if strategy == "native_edges":
+        # physical strategy for dim-sized polygon tables: the polygon
+        # boundaries become an edge-array column and the whole locate
+        # runs as Catalyst higher-order functions — zero python in the
+        # hot path, so the join scales like any JVM compute job
+        build = polygons.select(
+            *(
+                [poly_id_col] if poly_id_col else []
+            ),
+            *bbox_cols,
+            _wkb_edges(F.col(wkb_col)).alias("__edges"),
+        )
+        slim = poly_id_col is not None
+    elif slim:
         rows = polygons.select(poly_id_col, wkb_col).collect()
         mapping = {int(r[0]): bytes(r[1]) for r in rows}
         id_order = sorted(mapping)
@@ -320,7 +455,11 @@ def point_in_polygon_join(
         & (F.col(y_col) <= F.col(ymax))
     )
 
-    if slim:
+    if strategy == "native_edges":
+        loc_expr = _native_pip_location(
+            F.col(x_col), F.col(y_col), F.col("__edges")
+        )
+    elif slim:
         loc_expr = pip_refine_by_id(bc, id_order)(
             F.col(x_col), F.col(y_col), F.col(poly_id_col)
         )
@@ -334,7 +473,7 @@ def point_in_polygon_join(
         # Catalyst evaluate the python UDF twice (once in the filter,
         # once in the projection that is then dropped)
         out = cand.where(loc_expr.isin(list(accepted)))
-    out = out.drop("__cell", "__salt")
+    out = out.drop("__cell", "__salt", "__edges")
     if slim:
         # re-attach the remaining polygon columns (incl. wkb) so the
         # output contract is unchanged — a broadcast equijoin on the

@@ -18,6 +18,7 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -25,7 +26,7 @@ def get_spark(
         # 2x cores locally; on a real cluster this scales with executors
         shuffle_partitions = max(2 * cores, 8)
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master or f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -42,3 +43,29 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def iceberg_conf(
+    catalog: str = "lake",
+    warehouse: str = "/tmp/geos_spark_warehouse",
+) -> dict:
+    """Spark conf enabling an Iceberg catalog — pass as ``extra_conf``
+    to :func:`get_spark` on a cluster where the
+    ``iceberg-spark-runtime`` jar is deployed (``spark-submit
+    --packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.12``).
+
+    The engine's checkpoint/lineage contract (plans/checkpoint.py) is
+    format-agnostic: with Iceberg available, each bucket commit is an
+    Iceberg snapshot (``df.writeTo(f"{catalog}.t").append()``); in
+    this sandbox (no Iceberg jar baked in) the identical contract runs
+    over parquet subdirectories + an atomically-renamed JSON manifest.
+    """
+    return {
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        f"spark.sql.catalog.{catalog}.warehouse": warehouse,
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions"
+            ".IcebergSparkSessionExtensions"
+        ),
+    }
