@@ -93,6 +93,19 @@ def neighbor_pairs(
     return pairs
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Cut lineage AND stop recomputation: iterative loops below read
+    the same table every round — without materialization each round's
+    job re-runs the full upstream plan (the candidate pair join), the
+    classic iterative-DataFrame trap at any scale."""
+    try:
+        return df.localCheckpoint(eager=True)
+    except Exception:  # noqa: BLE001 - e.g. checkpointing disabled
+        df = df.cache()
+        df.count()
+        return df
+
+
 def connected_components(
     ids: DataFrame, pairs: DataFrame, max_iter: int = 50
 ) -> DataFrame:
@@ -100,7 +113,7 @@ def connected_components(
 
     Min-label propagation to fixpoint; every iteration is a shuffle
     on id (large-large sort-merge join at scale, AQE-managed)."""
-    edges = (
+    edges = _materialize(
         pairs.select(
             F.col("id_a").alias("src"), F.col("id_b").alias("dst")
         )
@@ -111,7 +124,20 @@ def connected_components(
         )
         .distinct()
     )
-    labels = ids.select(F.col("id"), F.col("id").alias("cluster"))
+    labels = _materialize(
+        ids.select(F.col("id"), F.col("id").alias("cluster"))
+    )
+
+    def label_sum(df: DataFrame):
+        # labels are monotone non-increasing per id, so the total is
+        # strictly decreasing until the fixpoint — an O(1)-shuffle
+        # convergence check (no join). decimal(38,0) keeps the sum
+        # exact at 10^12-row x 64-bit-id scale.
+        return df.agg(
+            F.sum(F.col("cluster").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = label_sum(labels)
     converged = False
     for _ in range(max_iter):
         # one-hop min-label propagation over the edge table
@@ -147,21 +173,19 @@ def connected_components(
                 ),
             )
         )
+        new_labels = _materialize(new_labels)
+        new_sum = label_sum(new_labels)
+        # drop the previous round's blocks eagerly — a long chain of
+        # retained checkpoint/cache blocks is what OOMs small heaps
         try:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        except Exception:
-            new_labels = new_labels.cache()
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "id")
-            .where(F.col("o.cluster") != F.col("n.cluster"))
-            .limit(1)
-            .count()
-        )
+            labels.unpersist()
+        except Exception:  # noqa: BLE001
+            pass
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if not converged:
         import warnings
 
@@ -202,7 +226,9 @@ def cluster_dbscan(
     >= min_pts neighbours (self included); clusters = components of
     the core-core graph; border points join a neighbouring core's
     cluster; noise gets cluster NULL."""
-    pairs = neighbor_pairs(df, eps, id_col, x_col, y_col, **kw)
+    # the pair table feeds four consumers (degree, core filter, the
+    # component loop, border adoption) — materialize it once
+    pairs = _materialize(neighbor_pairs(df, eps, id_col, x_col, y_col, **kw))
     sym = pairs.select(
         F.col("id_a").alias("id"), F.col("id_b").alias("nbr")
     ).union(

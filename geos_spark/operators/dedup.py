@@ -44,11 +44,13 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     toks = F.split(F.trim(text), r"\s+")
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    # try_element_at: a doc shorter than k words yields one shingle of
+    # the words it has (ANSI element_at would abort the whole job)
     return F.array_distinct(
         F.transform(
             idx,
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(k)]
+                " ", *[F.try_element_at(toks, i + j) for j in range(k)]
             ),
         )
     )
@@ -170,6 +172,78 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return j
+
+
+def _simhash_combine(votes: list[Column]) -> Column:
+    """64 vote columns -> the signed 64-bit simhash value."""
+    bits = []
+    for b in range(64):
+        vote = votes[b]
+        bits.append(
+            F.when(vote > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            * F.lit(1 << b).cast("long")
+            if b < 63
+            # avoid 1<<63 overflow in a positive long literal
+            else F.when(vote > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for x in bits[1:]:
+        out = out + x
+    return out
+
+
+def simhash64_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 2,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """(id_col, simhash) — single-pass distributed simhash.
+
+    Explodes the distinct shingle set, computes both md5 halves ONCE
+    per shingle row, then takes the 64 bit votes as one conditional
+    aggregation (one shuffle, all JVM). The Column-expression variant
+    below re-evaluates the shingle-hash array inside each of the 64
+    per-bit aggregates (Catalyst does not CSE across aggregate
+    expressions), which is ~64x the hashing work — never use it in a
+    hot path.
+    """
+    sh = word_shingles(F.col(text_col), shingle_k)
+    e = df.select(
+        F.col(id_col).alias("__id"), F.explode(sh).alias("__s")
+    ).select(
+        "__id",
+        F.conv(F.substring(F.md5("__s"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("__lo"),
+        F.conv(F.substring(F.md5("__s"), 9, 8), 16, 10)
+        .cast("long")
+        .alias("__hi"),
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(
+                    F.col("__lo" if b < 32 else "__hi"), b % 32
+                ).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"__b{b}")
+        for b in range(64)
+    ]
+    v = e.groupBy("__id").agg(*votes)
+    return v.select(
+        F.col("__id").alias(id_col),
+        _simhash_combine([F.col(f"__b{b}") for b in range(64)]).alias(
+            out_col
+        ),
+    )
 
 
 def simhash64(text: Column, shingle_k: int = 2) -> Column:

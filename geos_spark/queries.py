@@ -733,12 +733,10 @@ SELECT pa AS poly_id, pb AS b_poly_id FROM b_in_a
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from geos_spark.operators.dedup import simhash64
+    from geos_spark.operators.dedup import simhash64_df
 
     docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id", simhash64(F.col("text"), shingle_k=2).alias("simhash")
-    )
+    return simhash64_df(docs, shingle_k=2)
 
 
 def q_simhash_sql() -> str:

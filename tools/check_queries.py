@@ -53,30 +53,40 @@ def main() -> int:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
+    import time
+
+    t_start = time.time()
     fails = []
     for name in names or QUERIES:
         fn = QUERIES[name]
+        t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"{name}: SPARK ERROR {type(e).__name__}: {e}")
             fails.append(name)
             continue
+        t_spark = time.time() - t0
         if name not in ORACLES:
             # rows-only: canonicalize to prove hashability
             try:
                 canon(sdf)
-                print(f"{name}: rows-only ok ({len(sdf)} rows)")
+                print(
+                    f"{name}: rows-only ok ({len(sdf)} rows)"
+                    f" [{t_spark:.1f}s]"
+                )
             except Exception as e:  # noqa: BLE001
                 print(f"{name}: CANON ERROR {e}")
                 fails.append(name)
             continue
+        t1 = time.time()
         try:
             odf = con.execute(ORACLES[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ORACLE ERROR {type(e).__name__}: {e}")
             fails.append(name)
             continue
+        t_oracle = time.time() - t1
         s, o = canon(sdf), canon(odf)
         rows = len(s) == len(o)
         cols = list(s.columns) == list(o.columns)
@@ -87,7 +97,8 @@ def main() -> int:
         status = "OK" if (rows and cols and vals) else "MISMATCH"
         print(
             f"{name}: {status} spark={len(s)} oracle={len(o)} "
-            f"cols_match={cols} vals_match={vals}"
+            f"cols_match={cols} vals_match={vals} "
+            f"[spark {t_spark:.1f}s oracle {t_oracle:.1f}s]"
         )
         if status != "OK":
             fails.append(name)
@@ -100,6 +111,7 @@ def main() -> int:
                 ) if len(s) == len(o) else None
                 if merged is not None and len(merged):
                     print(merged.head(5))
+    print(f"TOTAL: {time.time() - t_start:.1f}s")
     print("FAILS:", fails or "none")
     return 1 if fails else 0
 
