@@ -67,24 +67,42 @@ def minhash_signatures(
 
     hash_j(shingle) = (a_j * h + b_j) mod p with h = md5_i64(shingle);
     signature element j = min over shingles.
+
+    Explodes the distinct shingle set and computes the md5 base hash
+    ONCE per (doc, shingle) row, then takes all ``num_hashes`` minima
+    in one aggregation (a single shuffle, all JVM).  Putting the
+    per-j ``array_min(transform(...))`` expressions side by side in a
+    projection instead re-evaluates the shingle+md5 array per j
+    (Catalyst does not CSE across them) — ~num_hashes× the hashing
+    work.  explode_outer keeps NULL-text docs (their sig elements are
+    NULL, matching the expression form).
     """
-    sh = word_shingles(F.col(text_col), shingle_k)
-    h = F.transform(sh, lambda s: md5_i64(s))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    h,
-                    lambda v: (
-                        (v * F.lit(_MINHASH_A * (j + 1) % _MINHASH_P) + F.lit(j * 12345 + 1))
-                        % F.lit(_MINHASH_P)
-                    ),
-                )
-            ).alias(f"h{j}")
-            for j in range(num_hashes)
-        ]
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(word_shingles(F.col(text_col), shingle_k)).alias(
+            "__s"
+        ),
+    ).select("id", md5_i64(F.col("__s")).alias("__h"))
+    mins = [
+        F.min(
+            (
+                F.col("__h") * F.lit(_MINHASH_A * (j + 1) % _MINHASH_P)
+                + F.lit(j * 12345 + 1)
+            )
+            % F.lit(_MINHASH_P)
+        ).alias(f"__h{j}")
+        for j in range(num_hashes)
+    ]
+    return (
+        e.groupBy("id")
+        .agg(*mins)
+        .select(
+            "id",
+            F.array(
+                *[F.col(f"__h{j}") for j in range(num_hashes)]
+            ).alias("sig"),
+        )
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
 def minhash_lsh_pairs(

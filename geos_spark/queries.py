@@ -804,19 +804,43 @@ def q_hull_agg_sql() -> str:
     # collinear runs, which GEOS's hull drops)
     return f"""
 WITH {_POINTS_CTE},
-ipts AS (
+ipts AS MATERIALIZED (
     SELECT doc_id, px, py,
            CAST(ROUND(px * 1048576) AS HUGEINT) AS ix,
            CAST(ROUND(py * 1048576) AS HUGEINT) AS iy
     FROM points
 ),
+-- Akl-Toussaint prefilter (exact): a point strictly inside the
+-- W->S->E->N extreme-point quadrilateral cannot be a hull vertex,
+-- and every true hull vertex survives, so the O(m^3) edge test
+-- below stays exact while m collapses from n to the outer shell
+quad AS (
+    SELECT
+      (SELECT ix FROM ipts ORDER BY ix, iy LIMIT 1) AS wx,
+      (SELECT iy FROM ipts ORDER BY ix, iy LIMIT 1) AS wy,
+      (SELECT ix FROM ipts ORDER BY iy, ix LIMIT 1) AS sx,
+      (SELECT iy FROM ipts ORDER BY iy, ix LIMIT 1) AS sy,
+      (SELECT ix FROM ipts ORDER BY ix DESC, iy DESC LIMIT 1) AS ex_,
+      (SELECT iy FROM ipts ORDER BY ix DESC, iy DESC LIMIT 1) AS ey,
+      (SELECT ix FROM ipts ORDER BY iy DESC, ix DESC LIMIT 1) AS nx,
+      (SELECT iy FROM ipts ORDER BY iy DESC, ix DESC LIMIT 1) AS ny
+),
+cand AS MATERIALIZED (
+    SELECT p.* FROM ipts p, quad q
+    WHERE NOT (
+          (q.sx - q.wx) * (p.iy - q.wy) - (q.sy - q.wy) * (p.ix - q.wx) > 0
+      AND (q.ex_ - q.sx) * (p.iy - q.sy) - (q.ey - q.sy) * (p.ix - q.sx) > 0
+      AND (q.nx - q.ex_) * (p.iy - q.ey) - (q.ny - q.ey) * (p.ix - q.ex_) > 0
+      AND (q.wx - q.nx) * (p.iy - q.ny) - (q.wy - q.ny) * (p.ix - q.nx) > 0
+    )
+),
 hull_edges AS (
     SELECT a.doc_id AS ai, b.doc_id AS bi,
            a.px AS ax, a.py AS ay, a.ix AS aix, a.iy AS aiy,
            b.ix AS bix, b.iy AS biy
-    FROM ipts a JOIN ipts b ON a.doc_id <> b.doc_id
+    FROM cand a JOIN cand b ON a.doc_id <> b.doc_id
     WHERE NOT EXISTS (
-        SELECT 1 FROM ipts r
+        SELECT 1 FROM cand r
         WHERE r.doc_id <> a.doc_id AND r.doc_id <> b.doc_id
           AND (b.ix - a.ix) * (r.iy - a.iy)
               - (b.iy - a.iy) * (r.ix - a.ix) < 0
