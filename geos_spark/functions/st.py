@@ -427,13 +427,21 @@ def st_relate(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
     """Full DE-9IM matrix string per pair (per-batch decode cache)."""
     from geos_spark.kernels.relate import relate
 
-    ca, ua = pd.factorize(wkb_a.map(bytes))
-    cb, ub = pd.factorize(wkb_b.map(bytes))
-    ga = [parse_wkb(u) for u in ua]
-    gb = [parse_wkb(u) for u in ub]
+    ca, ua = pd.factorize(
+        wkb_a.map(lambda b: None if b is None else bytes(b))
+    )
+    cb, ub = pd.factorize(
+        wkb_b.map(lambda b: None if b is None else bytes(b))
+    )
+    ga = [None if u is None else parse_wkb(u) for u in ua]
+    gb = [None if u is None else parse_wkb(u) for u in ub]
     cache: dict = {}
     out = []
     for i, j in zip(ca, cb):
+        # factorize encodes NaN/None as -1
+        if i < 0 or j < 0:
+            out.append(None)
+            continue
         k = (int(i), int(j))
         v = cache.get(k)
         if v is None:
