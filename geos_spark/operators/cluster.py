@@ -106,20 +106,191 @@ def _materialize(df: DataFrame) -> DataFrame:
         return df
 
 
+def _local_uf_mapping(part_col: str = "part"):
+    """applyInPandas kernel: union-find over one partition's edges,
+    emitting (node, root=min id of the node's partition-local
+    component).  Memory is bounded by the partition's edge count —
+    the caller sizes the partition count accordingly."""
+    import numpy as np
+    import pandas as pd
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        src = pdf["src"].to_numpy(dtype=np.int64)
+        dst = pdf["dst"].to_numpy(dtype=np.int64)
+        nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        parent = np.arange(len(nodes), dtype=np.int64)
+
+        def find(i: int) -> int:
+            r = i
+            while parent[r] != r:
+                r = parent[r]
+            while parent[i] != r:  # path compression
+                parent[i], i = r, parent[i]
+            return r
+
+        m = len(src)
+        si, di = inv[:m], inv[m:]
+        for a, b in zip(si, di):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                # union by smaller node id -> root is the local min
+                if nodes[ra] < nodes[rb]:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        roots = np.array([find(int(i)) for i in range(len(nodes))])
+        return pd.DataFrame({"node": nodes, "root": nodes[roots]})
+
+    return _run
+
+
+def _driver_uf(edges_pdf) -> "dict":
+    """Exact union-find on the (bounded) quotient graph, on the
+    driver.  Returns {node: min id of component}."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(
+        edges_pdf["src"].to_numpy(), edges_pdf["dst"].to_numpy()
+    ):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    seen = set(edges_pdf["src"].tolist()) | set(edges_pdf["dst"].tolist())
+    return {n: find(int(n)) for n in seen}
+
+
 def connected_components(
-    ids: DataFrame, pairs: DataFrame, max_iter: int = 50
+    ids: DataFrame,
+    pairs: DataFrame,
+    max_iter: int = 50,
+    driver_cap: int = 4_000_000,
+    max_contractions: int = 6,
 ) -> DataFrame:
     """(id, cluster) with cluster = min id reachable through pairs.
 
-    Min-label propagation to fixpoint; every iteration is a shuffle
-    on id (large-large sort-merge join at scale, AQE-managed)."""
-    edges = _materialize(
+    Distributed contraction (the scale path, O(log) rounds each a
+    constant number of shuffles), not iterate-to-fixpoint:
+
+    1. hash-partition the edge table on ``src``; union-find each
+       partition locally (``applyInPandas``, memory bounded by the
+       partition size) -> mapping (node, root = partition-local min);
+    2. contract: rewrite each edge through the mapping on both
+       endpoints, drop self-loops, dedupe.  Spatial eps-graphs
+       collapse geometrically (a partition's whole local cluster
+       becomes one node);
+    3. when the quotient graph fits under ``driver_cap`` edges,
+       finish with an exact union-find on the driver (bounded -- the
+       same shape as GEOS's own in-memory union-find,
+       ``src/operation/cluster/UnionFind.cpp``) and broadcast the
+       root labels back;
+    4. unwind: each contraction level's labels come from one
+       broadcast-or-shuffle join through its saved mapping.
+
+    Min-label semantics are exact at every level: the global min id
+    of a component is the min of any local subset containing it, so
+    it is its own root in every partition and survives contraction
+    as the component's representative.
+
+    If ``max_contractions`` rounds don't get under the cap (not a
+    spatial-graph shape), falls back to min-label propagation with
+    pointer doubling, on the (much smaller) contracted graph.
+    """
+    sc = ids.sparkSession
+    nparts = int(
+        sc.conf.get("spark.sql.shuffle.partitions", "32") or "32"
+    )
+    cur = _materialize(
         pairs.select(
             F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ).where(F.col("src") != F.col("dst"))
+    )
+    mappings: list[DataFrame] = []
+    labels = None
+    for _ in range(max_contractions):
+        n_edges = cur.count()
+        if n_edges <= driver_cap:
+            break
+        part = cur.withColumn(
+            "part", F.pmod(F.hash("src"), F.lit(nparts))
         )
-        .union(
-            pairs.select(
-                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+        mapping = _materialize(
+            part.groupBy("part")
+            .applyInPandas(_local_uf_mapping(), "node long, root long")
+            .groupBy("node")
+            .agg(F.min("root").alias("root"))
+        )
+        mappings.append(mapping)
+        m_src = mapping.select(
+            F.col("node").alias("src"), F.col("root").alias("r_src")
+        )
+        m_dst = mapping.select(
+            F.col("node").alias("dst"), F.col("root").alias("r_dst")
+        )
+        nxt = _materialize(
+            cur.join(m_src, "src")
+            .join(m_dst, "dst")
+            .select(
+                F.col("r_src").alias("src"), F.col("r_dst").alias("dst")
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        cur.unpersist()
+        cur = nxt
+    n_edges = cur.count()
+    if n_edges <= driver_cap:
+        # bounded driver finish on the quotient graph
+        lbl = _driver_uf(cur.toPandas())
+        if lbl:
+            labels = sc.createDataFrame(
+                list(lbl.items()), "id long, cluster long"
+            )
+        else:
+            labels = sc.createDataFrame([], "id long, cluster long")
+    else:
+        labels = _propagate_labels(cur.select("src", "dst"), max_iter)
+    # unwind through the contraction mappings (deepest first): a
+    # node's cluster is its root's cluster; roots not present in the
+    # quotient labels are their own component min
+    for mapping in reversed(mappings):
+        labels = _materialize(
+            mapping.join(
+                labels.withColumnRenamed("id", "root"), "root", "left"
+            )
+            .select(
+                F.col("node").alias("id"),
+                F.coalesce("cluster", "root").alias("cluster"),
+            )
+        )
+    return ids.join(labels, "id", "left").select(
+        "id", F.coalesce("cluster", "id").alias("cluster")
+    )
+
+
+def _propagate_labels(edge_df: DataFrame, max_iter: int) -> DataFrame:
+    """Fallback fixpoint loop (pointer-doubling min-label
+    propagation) for non-contracting graphs; returns (id, cluster)
+    for every node that appears in ``edge_df``."""
+    ids = _materialize(
+        edge_df.select(F.col("src").alias("id"))
+        .union(edge_df.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    edges = _materialize(
+        edge_df.select("src", "dst").union(
+            edge_df.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
             )
         )
         .distinct()
