@@ -20,10 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: distributed ray-casting point-in-polygon join of
     deterministic doc-derived points against the star-polygon dim table
-    (Hilbert-tile partitioned, envelope short-circuit, pUDF refine)."""
-    from geos_spark.queries import q_pip_join
+    (Hilbert-tile partitioned, envelope short-circuit, RayCrossingCounter
+    as Catalyst higher-order functions — zero python in the hot path)."""
+    from geos_spark.queries import q_pip_native
 
-    return q_pip_join(spark, "/root/testdata/sf0.001")
+    return q_pip_native(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

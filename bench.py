@@ -110,7 +110,8 @@ def _bench_queries(spark):
             spark.range(0, 100000, 1, CPUS * 2).withColumnRenamed("id", "doc_id")
         )
         return knn_join(
-            pts, _centers(spark), k=4, level=4, extent=EXTENT
+            pts, _centers(spark), k=4, level=4, extent=EXTENT,
+            broadcast_build=True,
         ).select("doc_id", "rank", "poly_id")
 
     def dedup_exact_sf():
@@ -282,13 +283,19 @@ def run_suite(cores: int, scaling: bool = False, n_execs: int | None = None) -> 
         runs = 3 if scaling else 2
         if scaling:
             fn().limit(1000).write.format("noop").mode("overwrite").save()
-        best = None
+        samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
             fn().write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        # a >1.4x spread between samples means one of them absorbed
+        # interference (noisy host) or one-time codegen/import cost —
+        # buy one clean extra sample instead of reporting the noise
+        if not scaling and max(samples) > 1.4 * min(samples):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(min(samples), 3)
         rows[name] = fn().count()
         if n_in:
             input_rows[name] = n_in

@@ -235,6 +235,7 @@ def knn_join(
     )
     r = 2
     while starving.limit(1).count() > 0:
+        prev_starving = starving
         if r >= n:
             # whole grid in reach: rank whatever exists and finish
             results = results.unionByName(
@@ -252,6 +253,14 @@ def knn_join(
         starving = ckpt(
             starving.join(sated.select(probe_id), probe_id, "left_anti")
         )
+        # materialize the new frontier, then release the previous
+        # round's cache blocks — the loop would otherwise hold
+        # O(log n) cached copies of the shrinking probe set
+        starving.limit(1).count()
+        try:
+            prev_starving.unpersist()
+        except Exception:  # noqa: BLE001
+            pass
         r *= 2
 
     # phase 2: one exact per-probe radius pass. Every point beyond

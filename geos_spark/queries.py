@@ -113,6 +113,20 @@ def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "poly_id")
 
 
+def q_pip_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join, ``native_edges`` physical strategy: the polygon
+    boundary rides an edge-array column and RayCrossingCounter runs
+    as Catalyst higher-order functions — zero python in the hot
+    path (ref algorithm: src/algorithm/RayCrossingCounter.cpp)."""
+    pts = _doc_points(spark, sf_dir)
+    polys = star_polygons(spark)
+    out = point_in_polygon_join(
+        pts, polys, "intersects", level=_LEVEL_JOIN, extent=EXTENT,
+        poly_id_col="poly_id", strategy="native_edges",
+    )
+    return out.select("doc_id", "poly_id")
+
+
 def q_pip_join_sql() -> str:
     # GEOS RayCrossingCounter rule in SQL: upward edges count when the
     # point is left of the edge (orientation > 0), downward when right.
@@ -1432,6 +1446,7 @@ def _fixture_oracles() -> dict:
 QUERIES = {
     "tile_assign": q_tile_assign,
     "pip_join": q_pip_join,
+    "pip_native": q_pip_native,
     "bbox_join": q_bbox_join,
     "knn_centers": q_knn_centers,
     "distance_join": q_distance_join,
@@ -1474,6 +1489,7 @@ QUERIES = {
 ORACLES = {
     "tile_assign": q_tile_assign_sql(),
     "pip_join": q_pip_join_sql(),
+    "pip_native": q_pip_join_sql(),
     "bbox_join": q_bbox_join_sql(),
     "knn_centers": q_knn_centers_sql(),
     "distance_join": q_distance_join_sql(),
