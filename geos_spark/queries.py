@@ -620,6 +620,103 @@ def q_tile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tile_clip_sql() -> str:
+    """DuckDB oracle for the per-tile clip WITHOUT generating clip
+    vertices: area(P ∩ tile) as a per-edge clamped Green integral.
+    For each directed polygon edge, integrate clamp(y(x), ty0, ty1)
+    over x in [tile.x0, tile.x1] ∩ edge.span — at every x the signed
+    edge sum telescopes to the length of the slice P_x ∩ [ty0, ty1]
+    (the y0 baseline cancels over the closed ring), so the edge sum
+    is exactly the clipped area.  Row emission and covers_fully
+    replicate tile_materialize's three-way classification: boundary =
+    any edge bbox overlaps the tile; interior/exterior by tile-center
+    crossing parity."""
+    # Gpos(a, b, w): integral of max(linear(a->b), 0) over width w
+    def gpos(a: str, b: str) -> str:
+        return (
+            f"(CASE WHEN {a} >= 0 AND {b} >= 0 THEN ({a} + {b}) * w / 2.0 "
+            f"WHEN {a} <= 0 AND {b} <= 0 THEN 0.0 "
+            f"WHEN {b} > 0 THEN {b} * {b} * w / (2.0 * ({b} - {a})) "
+            f"ELSE {a} * {a} * w / (2.0 * ({a} - {b})) END)"
+        )
+
+    ctes, fin = hilbert_sql_ctes(6, "frag", "gx", "gy")
+    return f"""
+WITH {star_params_sql()},
+grid AS (
+    SELECT poly_id,
+           CAST(GREATEST(0, LEAST(63, FLOOR(xmin / 64.0))) AS BIGINT) AS gx0,
+           CAST(GREATEST(0, LEAST(63, FLOOR(xmax / 64.0))) AS BIGINT) AS gx1,
+           CAST(GREATEST(0, LEAST(63, FLOOR(ymin / 64.0))) AS BIGINT) AS gy0,
+           CAST(GREATEST(0, LEAST(63, FLOOR(ymax / 64.0))) AS BIGINT) AS gy1
+    FROM star_bbox
+),
+tx AS (
+    SELECT poly_id, gy0, gy1,
+           unnest(generate_series(gx0, gx1)) AS gx
+    FROM grid
+),
+tiles AS (
+    SELECT poly_id, gx, unnest(generate_series(gy0, gy1)) AS gy
+    FROM tx
+),
+pre AS (
+    SELECT t.poly_id, t.gx, t.gy,
+           e.x1, e.y1, e.x2, e.y2,
+           t.gx * 64.0 AS tx0, t.gy * 64.0 AS ty0,
+           t.gx * 64.0 + 64.0 AS tx1, t.gy * 64.0 + 64.0 AS ty1,
+           GREATEST(t.gx * 64.0, LEAST(e.x1, e.x2)) AS lo,
+           LEAST(t.gx * 64.0 + 64.0, GREATEST(e.x1, e.x2)) AS hi
+    FROM tiles t JOIN star_edges e ON e.poly_id = t.poly_id
+),
+tb AS (
+    SELECT poly_id, gx, gy, tx0, ty0, x1, y1, x2, y2,
+           hi - lo AS w,
+           CASE WHEN x2 = x1 THEN 0.0
+                ELSE y1 + (y2 - y1) * (lo - x1) / (x2 - x1) - ty0
+           END AS ta,
+           CASE WHEN x2 = x1 THEN 0.0
+                ELSE y1 + (y2 - y1) * (hi - x1) / (x2 - x1) - ty0
+           END AS tbv,
+           (LEAST(x1, x2) <= tx0 + 64.0 AND tx0 <= GREATEST(x1, x2)
+            AND LEAST(y1, y2) <= ty0 + 64.0 AND ty0 <= GREATEST(y1, y2))
+               AS seg_touch,
+           ((y1 > ty0 + 32.0 AND y2 <= ty0 + 32.0)
+            OR (y2 > ty0 + 32.0 AND y1 <= ty0 + 32.0))
+           AND (CASE WHEN y2 < y1 THEN -1 ELSE 1 END)
+               * ((x2 - x1) * (ty0 + 32.0 - y1)
+                  - (y2 - y1) * (tx0 + 32.0 - x1)) > 0 AS ctr_cross
+    FROM pre
+),
+per_tile AS (
+    SELECT poly_id, gx, gy,
+           SUM(CASE WHEN x2 = x1 OR w <= 0 THEN 0.0
+                    ELSE -SIGN(x2 - x1) * ({gpos('ta', 'tbv')}
+                         - {gpos('(ta - 64.0)', '(tbv - 64.0)')})
+               END) AS area,
+           BOOL_OR(seg_touch) AS touches,
+           SUM(CASE WHEN ctr_cross THEN 1 ELSE 0 END) % 2 = 1
+               AS ctr_inside
+    FROM tb
+    GROUP BY poly_id, gx, gy
+),
+frag AS (
+    SELECT poly_id, gx, gy,
+           CASE WHEN NOT touches THEN 64.0 * 64.0 ELSE ABS(area) END
+               AS clip_area,
+           (NOT touches AND ctr_inside)
+               OR (touches AND ROUND(ABS(area), 5) = 4096.0)
+               AS covers_fully
+    FROM per_tile
+    WHERE (NOT touches AND ctr_inside) OR (touches AND ABS(area) > 1e-9)
+),
+{ctes}
+SELECT poly_id, CAST(cell AS BIGINT) AS cell,
+       ROUND(clip_area, 5) AS area_r, covers_fully
+FROM {fin}
+"""
+
+
 _POLY_SHIFT = (100.0, 60.0)  # L1 = 160 < 2*96: real intersecting pairs
 
 
@@ -1256,6 +1353,54 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_features_sql() -> str:
+    """DuckDB replication of the deterministic fake decoder: the 8x8x3
+    image is sha256(payload) repeated 6x, so each digest byte lands
+    exactly twice in each channel (gcd(32,3)=1) -> all channel means
+    equal 2*sum(digest)/64/255, and histogram counts are 6x the
+    digest-byte bin counts.  Bin index for integer v is
+    least(12, v*13//255) (verified equal to np.histogram's float edge
+    search for all 256 byte values).  float32 truncation of the
+    feature vector is replicated with CAST(.. AS REAL)."""
+    mean = "CAST(CAST(CAST(2*s AS DOUBLE)/64.0/255.0 AS REAL) AS DOUBLE)"
+    bins = ",\n       ".join(
+        f"COUNT(*) FILTER (WHERE LEAST(12, byte*13//255) = {b}) AS c{b}"
+        for b in range(13)
+    )
+    hist = ", ".join(
+        "CAST(round(CAST(CAST(CAST(6*c{b} AS DOUBLE)/192.0 AS REAL)"
+        " AS DOUBLE) * 1000000) AS BIGINT)".format(b=b)
+        for b in range(13)
+    )
+    return f"""
+WITH hx AS (
+    SELECT doc_id,
+           sha256(COALESCE(text, '')) AS h,
+           octet_length(encode(COALESCE(text, ''))) AS n_bytes
+    FROM documents
+),
+b AS (
+    SELECT doc_id, n_bytes,
+           (strpos('0123456789abcdef', substr(h, 2*i+1, 1))-1)*16
+         + (strpos('0123456789abcdef', substr(h, 2*i+2, 1))-1) AS byte
+    FROM hx, (SELECT unnest(generate_series(0, 31)) AS i)
+),
+agg AS (
+    SELECT doc_id, ANY_VALUE(n_bytes) AS n_bytes, SUM(byte) AS s,
+       {bins}
+    FROM b GROUP BY doc_id
+)
+SELECT doc_id AS media_id,
+       concat_ws(',',
+           CAST(round({mean} * 1000000) AS BIGINT),
+           CAST(round({mean} * 1000000) AS BIGINT),
+           CAST(round({mean} * 1000000) AS BIGINT),
+           {hist}) AS feature_sig,
+       CAST(n_bytes AS BIGINT) AS n_bytes
+FROM agg
+"""
+
+
 
 
 # ----------------------------------------------------------------------
@@ -1517,10 +1662,8 @@ ORACLES = {
     "tile_reunion": q_tile_reunion_sql(),
     "cluster_cc": q_cluster_cc_sql(),
     "cluster_dbscan": q_cluster_dbscan_sql(),
-    # tile_clip / media_features: not SQL-expressible (per-tile
-    # fragment geometry / binary feature plumbing); the driver records
-    # rows-only checks, pytest verifies them exactly against local
-    # kernels.
+    "media_features": q_media_features_sql(),
+    "tile_clip": q_tile_clip_sql(),
 }
 
 ORACLES.update(_fixture_oracles())
