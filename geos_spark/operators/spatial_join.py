@@ -244,6 +244,18 @@ def relate_refine(predicate: str):
             # containment — all numpy (blocked segment matrix +
             # stripe-indexed PIP), no per-pair IM computation
             fn = _polys_intersect_fast
+        elif predicate in ("contains", "covers"):
+            fb = getattr(R, predicate)
+            fn = lambda a, b: _polys_superset_fast(a, b, fb)  # noqa: E731
+        elif predicate in ("within", "coveredby"):
+            fb = getattr(R, predicate)
+            fn = lambda a, b: _polys_superset_fast(  # noqa: E731
+                b, a, lambda x, y: fb(y, x)
+            )
+        elif predicate == "touches":
+            fn = _polys_touches_fast
+        elif predicate == "overlaps":
+            fn = _polys_overlaps_fast
         else:
             fn = getattr(R, "equals_topo" if predicate == "equalstopo" else predicate)
         cache: dict[tuple[int, int], bool] = {}
@@ -290,6 +302,170 @@ def _polys_intersect_fast(ga, gb) -> bool:
     if (R._locate_in_polys(va, pb) != EXTERIOR).any():
         return True
     return bool((R._locate_in_polys(vb, pa) != EXTERIOR).any())
+
+
+def _areal_summary(ga, gb):
+    """Blocked boundary-intersection summary for an areal pair.
+
+    Returns (pa, pb, any_int, any_proper) with pa/pb the polygonal
+    parts, any_int = any segment-pair intersection (incl. touches),
+    any_proper = any transversal crossing (all four orientations
+    strictly nonzero).  None when either operand has no areal part.
+    Reference semantics: IntersectionMatrix.cpp:279-284 via the
+    prepared-geometry shortcuts (PreparedPolygonContains.cpp).
+    """
+    import numpy as np
+
+    from geos_spark.kernels import geom as G
+    from geos_spark.kernels.orientation import orientation_index
+    from geos_spark.kernels.scalars import _segments
+    from geos_spark.kernels.segments import _env_overlap, intersect_pairs
+
+    # GC parts may overlap each other (RelateNG union semantics), so
+    # a segment crossing there can be interior to the union and the
+    # boundary reasoning below is unsound — purely polygonal operands
+    # only (valid MultiPolygon parts have disjoint interiors)
+    if ga.type_id not in (G.POLYGON, G.MULTIPOLYGON) or gb.type_id not in (
+        G.POLYGON,
+        G.MULTIPOLYGON,
+    ):
+        return None
+    pa = [p for p in ga.geoms() if p.type_id == G.POLYGON and p.data]
+    pb = [p for p in gb.geoms() if p.type_id == G.POLYGON and p.data]
+    if not pa or not pb:
+        return None
+    sa = _segments(ga)
+    sb = _segments(gb)
+    any_int = False
+    any_proper = False
+    BLOCK = 512
+    for i in range(0, len(sa), BLOCK):
+        ca = sa[i : i + BLOCK]
+        for j in range(0, len(sb), BLOCK):
+            cb = sb[j : j + BLOCK]
+            ia = np.repeat(np.arange(len(ca)), len(cb))
+            ib = np.tile(np.arange(len(cb)), len(ca))
+            A, B = ca[ia], cb[ib]
+            env = _env_overlap(A, B)
+            if not env.any():
+                continue
+            cls = intersect_pairs(A[env], B[env])
+            if (cls > 0).any():
+                any_int = True
+                Ae, Be = A[env], B[env]
+                o1 = orientation_index(
+                    Ae[:, 0], Ae[:, 1], Ae[:, 2], Ae[:, 3], Be[:, 0], Be[:, 1]
+                )
+                o2 = orientation_index(
+                    Ae[:, 0], Ae[:, 1], Ae[:, 2], Ae[:, 3], Be[:, 2], Be[:, 3]
+                )
+                o3 = orientation_index(
+                    Be[:, 0], Be[:, 1], Be[:, 2], Be[:, 3], Ae[:, 0], Ae[:, 1]
+                )
+                o4 = orientation_index(
+                    Be[:, 0], Be[:, 1], Be[:, 2], Be[:, 3], Ae[:, 2], Ae[:, 3]
+                )
+                if (
+                    (o1.astype(np.int8) * o2.astype(np.int8) < 0)
+                    & (o3.astype(np.int8) * o4.astype(np.int8) < 0)
+                ).any():
+                    any_proper = True
+                    return pa, pb, True, True
+    return pa, pb, any_int, any_proper
+
+
+def _polys_superset_fast(ga, gb, fallback):
+    """Decide gb ⊆ ga (contains/covers for valid areal pairs) without
+    the IM machinery; touch-only pairs fall back to ``fallback``.
+
+    With zero boundary intersections each part of B is wholly inside
+    or outside A (one shell vertex decides), and the only other leak
+    is a hole of A poking into B's interior (one vertex per A hole
+    ring decides).  A transversal boundary crossing puts part of B's
+    closure in ext(A) -> False."""
+    import numpy as np
+
+    from geos_spark.kernels import relate as R
+    from geos_spark.kernels.pip import EXTERIOR, INTERIOR
+
+    s = _areal_summary(ga, gb)
+    if s is None:
+        return fallback(ga, gb)
+    pa, pb, any_int, any_proper = s
+    if any_proper:
+        return False
+    if not any_int:
+        vb = np.asarray([p.data[0][0] for p in pb])
+        locs = R._locate_in_polys(vb, pa)
+        if (locs == EXTERIOR).any():
+            return False
+        hole_pts = [r[0] for p in pa for r in p.data[1:]]
+        if hole_pts and (
+            R._locate_in_polys(np.asarray(hole_pts), pb) == INTERIOR
+        ).any():
+            return False
+        return True
+    return fallback(ga, gb)
+
+
+def _polys_touches_fast(ga, gb):
+    """touches() for areal pairs: a transversal crossing or interior
+    overlap -> False; disjoint/contained with no boundary contact ->
+    False; boundary-contact-only pairs go to the full relate."""
+    from geos_spark.kernels import relate as R
+
+    s = _areal_summary(ga, gb)
+    if s is None:
+        return R.touches(ga, gb)
+    pa, pb, any_int, any_proper = s
+    if any_proper:
+        return False
+    if not any_int:
+        return False
+    return R.touches(ga, gb)
+
+
+def _polys_overlaps_fast(ga, gb):
+    """overlaps() for areal pairs: a transversal crossing proves
+    int∩int, int(B)∩ext(A) and int(A)∩ext(B) all nonempty -> True;
+    with no boundary contact, decide from per-part containment (a
+    hole of one poking into the other's interior breaks subset-ness
+    without any boundary contact)."""
+    import numpy as np
+
+    from geos_spark.kernels import relate as R
+    from geos_spark.kernels.pip import INTERIOR
+
+    s = _areal_summary(ga, gb)
+    if s is None:
+        return R.overlaps(ga, gb)
+    pa, pb, any_int, any_proper = s
+    if any_proper:
+        return True
+    if not any_int:
+        vb = np.asarray([p.data[0][0] for p in pb])
+        va = np.asarray([p.data[0][0] for p in pa])
+        lb = R._locate_in_polys(vb, pa)
+        la = R._locate_in_polys(va, pb)
+        int_int = (lb == INTERIOR).any() or (la == INTERIOR).any()
+        if not int_int:
+            return False
+        a_holes = [r[0] for p in pa for r in p.data[1:]]
+        b_holes = [r[0] for p in pb for r in p.data[1:]]
+        b_sub = (lb == INTERIOR).all() and not (
+            a_holes
+            and (
+                R._locate_in_polys(np.asarray(a_holes), pb) == INTERIOR
+            ).any()
+        )
+        a_sub = (la == INTERIOR).all() and not (
+            b_holes
+            and (
+                R._locate_in_polys(np.asarray(b_holes), pa) == INTERIOR
+            ).any()
+        )
+        return not b_sub and not a_sub
+    return R.overlaps(ga, gb)
 
 
 def polygon_join(

@@ -23,6 +23,7 @@ from geos_spark.operators.spatial_join import point_in_polygon_join
 from geos_spark.sources.pages import (
     EXTENT,
     point_sql,
+    shrunk_star_params_sql,
     star_params_sql,
     star_polygons,
     with_doc_point,
@@ -714,6 +715,69 @@ frag AS (
 SELECT poly_id, CAST(cell AS BIGINT) AS cell,
        ROUND(clip_area, 5) AS area_r, covers_fully
 FROM {fin}
+"""
+
+
+def q_poly_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-polygon containment join over the vectorized
+    non-intersects refine (_polys_superset_fast): full stars vs the
+    512 half-scale stars (one set contained per star, one set shifted
+    into the neighbour cell: crossing/outside)."""
+    from geos_spark.operators.spatial_join import polygon_join
+    from geos_spark.sources.pages import shrunk_star_polygons
+
+    a = star_polygons(spark)
+    b = shrunk_star_polygons(spark)
+    out = polygon_join(
+        a, b, "contains", level=_LEVEL_JOIN, extent=EXTENT
+    )
+    return out.select("poly_id", "b_id")
+
+
+def q_poly_contains_sql() -> str:
+    """Exact BIGINT containment oracle for simple integer-coordinate
+    polygons: no boundary straddle/touch between edge pairs AND all 8
+    inner-star vertices have odd crossing parity (the generated data
+    has no boundary-touch pairs, verified in tests)."""
+    return f"""
+WITH {star_params_sql()},
+{shrunk_star_params_sql()},
+cand AS (
+    SELECT a.poly_id, b.b_id
+    FROM star_bbox a JOIN sh_bbox b
+      ON a.xmin <= b.xmax AND b.xmin <= a.xmax
+     AND a.ymin <= b.ymax AND b.ymin <= a.ymax
+),
+crossed AS (
+    SELECT DISTINCT c.poly_id, c.b_id
+    FROM cand c
+    JOIN star_edges ea ON ea.poly_id = c.poly_id
+    JOIN sh_edges eb ON eb.b_id = c.b_id
+    WHERE SIGN((ea.x2-ea.x1)*(eb.y1-ea.y1) - (ea.y2-ea.y1)*(eb.x1-ea.x1))
+        * SIGN((ea.x2-ea.x1)*(eb.y2-ea.y1) - (ea.y2-ea.y1)*(eb.x2-ea.x1)) <= 0
+      AND SIGN((eb.x2-eb.x1)*(ea.y1-eb.y1) - (eb.y2-eb.y1)*(ea.x1-eb.x1))
+        * SIGN((eb.x2-eb.x1)*(ea.y2-eb.y1) - (eb.y2-eb.y1)*(ea.x2-eb.x1)) <= 0
+),
+inside AS (
+    SELECT poly_id, b_id FROM (
+        SELECT c.poly_id, c.b_id, v.j,
+               SUM(CASE WHEN ((e.y1 > v.vy AND e.y2 <= v.vy)
+                           OR (e.y2 > v.vy AND e.y1 <= v.vy))
+                     AND (CASE WHEN e.y2 < e.y1 THEN -1 ELSE 1 END)
+                         * ((e.x2-e.x1)*(v.vy-e.y1)
+                            - (e.y2-e.y1)*(v.vx-e.x1)) > 0
+                   THEN 1 ELSE 0 END) % 2 AS par
+        FROM cand c
+        JOIN sh_verts v ON v.b_id = c.b_id
+        JOIN star_edges e ON e.poly_id = c.poly_id
+        GROUP BY c.poly_id, c.b_id, v.j
+    )
+    GROUP BY poly_id, b_id
+    HAVING COUNT(*) = 8 AND MIN(par) = 1
+)
+SELECT i.poly_id, i.b_id
+FROM inside i
+ANTI JOIN crossed x ON x.poly_id = i.poly_id AND x.b_id = i.b_id
 """
 
 
@@ -1608,6 +1672,7 @@ QUERIES = {
     "tile_area_sum": q_tile_area_sum,
     "tile_clip": q_tile_clip,
     "poly_join": q_poly_join,
+    "poly_contains": q_poly_contains,
     "hull_agg": q_hull_agg,
     "union_points": q_union_points,
     "simhash": q_simhash,
@@ -1657,6 +1722,7 @@ ORACLES = {
     "jaccard_pairs": q_jaccard_pairs_sql(),
     "rect_overlay": q_rect_overlay_sql(),
     "poly_join": q_poly_join_sql(),
+    "poly_contains": q_poly_contains_sql(),
     "hull_agg": q_hull_agg_sql(),
     "union_area": q_union_area_sql(),
     "tile_reunion": q_tile_reunion_sql(),

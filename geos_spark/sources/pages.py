@@ -174,6 +174,86 @@ def star_polygons(spark: SparkSession) -> DataFrame:
     )
 
 
+def shrunk_star_polygons(spark: SparkSession) -> DataFrame:
+    """512-row test-dim of half-scale stars for containment joins:
+    b_id p in [0,256) = star p scaled 1/2 about its center, shifted
+    (+3,+2) — contained in star p; b_id 256+p = the same shrunk star
+    shifted (+55,+15) — poking out of star p (transversal boundary
+    crossings), contained in nothing.  All coordinates stay integral, so
+    the DuckDB oracle can decide containment in exact BIGINT
+    arithmetic."""
+    from geos_spark.kernels import geom as G
+    from geos_spark.kernels.wkb import write_wkb
+
+    rows = []
+    for p in range(256):
+        v = star_vertices(p)
+        cx = (p % 16) * 256 + 128
+        cy = (p // 16) * 256 + 128
+        half = np.column_stack(
+            [(v[:, 0] - cx) / 2 + cx, (v[:, 1] - cy) / 2 + cy]
+        )
+        for k, (dx, dy) in enumerate(((3.0, 2.0), (55.0, 15.0))):
+            s = half + np.array([dx, dy])
+            wkb = write_wkb(G.Geom(G.POLYGON, [s]))
+            rows.append(
+                (
+                    256 * k + p,
+                    bytearray(wkb),
+                    float(s[:, 0].min()),
+                    float(s[:, 1].min()),
+                    float(s[:, 0].max()),
+                    float(s[:, 1].max()),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "b_id long, bwkb binary, bxmin double, bymin double,"
+        " bxmax double, bymax double",
+    )
+
+
+def shrunk_star_params_sql() -> str:
+    """DuckDB CTE of the shrunk-star vertices/edges (same derivation
+    as shrunk_star_polygons, exact integer ordinates)."""
+    return """
+    sh_params AS (
+        SELECT 256 * k.range + p.range AS b_id,
+               (p.range % 16) * 256 + 128
+                   + CASE k.range WHEN 0 THEN 3 ELSE 55 END AS cx,
+               (p.range // 16) * 256 + 128
+                   + CASE k.range WHEN 0 THEN 2 ELSE 15 END AS cy,
+               (40 + 8 * (p.range % 8)) // 2 AS r,
+               ((40 + 8 * (p.range % 8)) // 4) // 2 AS s
+        FROM range(256) p, range(2) k
+    ),
+    sh_verts AS (
+        SELECT b_id, j.range AS j,
+               CASE j.range
+                   WHEN 0 THEN cx + r WHEN 1 THEN cx + s WHEN 2 THEN cx
+                   WHEN 3 THEN cx - s WHEN 4 THEN cx - r WHEN 5 THEN cx - s
+                   WHEN 6 THEN cx WHEN 7 THEN cx + s END AS vx,
+               CASE j.range
+                   WHEN 0 THEN cy WHEN 1 THEN cy + s WHEN 2 THEN cy + r
+                   WHEN 3 THEN cy + s WHEN 4 THEN cy WHEN 5 THEN cy - s
+                   WHEN 6 THEN cy - r WHEN 7 THEN cy - s END AS vy
+        FROM sh_params, range(8) j
+    ),
+    sh_edges AS (
+        SELECT a.b_id, a.j,
+               a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+        FROM sh_verts a
+        JOIN sh_verts b
+          ON a.b_id = b.b_id AND b.j = (a.j + 1) % 8
+    ),
+    sh_bbox AS (
+        SELECT b_id, cx - r AS xmin, cy - r AS ymin,
+               cx + r AS xmax, cy + r AS ymax
+        FROM sh_params
+    )
+    """
+
+
 # ----------------------------------------------------------------------
 # pages table (FIXTURES.md §1)
 # ----------------------------------------------------------------------
