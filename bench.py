@@ -114,6 +114,37 @@ def _bench_queries(spark):
             broadcast_build=True,
         ).select("doc_id", "rank", "poly_id")
 
+    def ann_matmul_200k():
+        # deterministic synthetic corpus (native exprs; 200k x 64),
+        # 64-query block shipped as a numpy matrix: per-batch BLAS
+        # matmul + local top-k, shuffle O(parts * Q * k)
+        import pandas as pd
+
+        from geos_spark.operators.similarity import cosine_topk_matmul
+
+        vecs = spark.range(0, 200_000, 1, CPUS * 2).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 63), d ->"
+                " pmod(id * 2654435761 + d * 40503, 65536) / 65536.0"
+                " - 0.5)"
+            ).alias("embedding"),
+        )
+        qs = pd.DataFrame(
+            {
+                "q_id": range(64),
+                "q_vec": [
+                    [
+                        ((i * 2654435761 + d * 40503) % 65536) / 65536.0
+                        - 0.5
+                        for d in range(64)
+                    ]
+                    for i in range(64)
+                ],
+            }
+        )
+        return cosine_topk_matmul(vecs, qs, k=5)
+
     def dedup_exact_sf():
         from geos_spark.operators.dedup import exact_dedup_groups
 
@@ -136,6 +167,7 @@ def _bench_queries(spark):
         "rect_join_1m": (rect_join_1m, N_SYNTH),
         "distance_join_1m": (distance_join_1m, N_SYNTH),
         "knn_ring_100k": (knn_ring_100k, 100000),
+        "ann_matmul_200k": (ann_matmul_200k, 200_000),
         "dedup_exact": (dedup_exact_sf, None),
         "token_stats": (token_stats_sf, None),
     }

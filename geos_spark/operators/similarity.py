@@ -178,14 +178,28 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     n_planes: int = 6,
     dim: int = 16,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate all-pairs top-k: candidates share an LSH bucket.
 
     The scale path: each bucket is a tiny local join instead of a full
     cross product. Recall depends on n_planes; exactness is *not*
     guaranteed (approximate by design).
+
+    ``max_bucket`` (rows) caps the self-join fan-out of a hot bucket —
+    the same guard as dedup's banded LSH: one bucket holding m rows
+    produces m² candidate pairs, so a single degenerate bucket (e.g.
+    the all-zeros embedding region) can go quadratic on the whole
+    job. Capped buckets are dropped entirely (approximate by design;
+    raise n_planes to split hot regions instead of raising the cap).
     """
     b = hyperplane_buckets(vectors, vec_col, n_planes, dim)
+    if max_bucket is not None:
+        counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bn"))
+        b = b.join(
+            F.broadcast(counts.where(F.col("__bn") <= max_bucket)),
+            "bucket",
+        ).drop("__bn")
     left = b.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q"),

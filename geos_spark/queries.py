@@ -488,6 +488,7 @@ SELECT q_id, CAST(rank AS INT) AS rank, vec_id FROM ranked WHERE rank <= 5
 _ANN_PLANES = 6
 _ANN_DIM = 64  # embeddings.parquet vector width (all SFs)
 _ANN_SEED = 42
+_ANN_MAX_BUCKET = 1000  # hot-bucket fan-out guard (m rows -> m^2 pairs)
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,7 +500,8 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     out = cosine_topk_lsh(
-        emb, k=5, n_planes=_ANN_PLANES, dim=_ANN_DIM
+        emb, k=5, n_planes=_ANN_PLANES, dim=_ANN_DIM,
+        max_bucket=_ANN_MAX_BUCKET,
     )
     return out.select(
         "q_id", F.col("rank").cast("int").alias("rank"), "vec_id"
@@ -519,11 +521,16 @@ def q_ann_lsh_sql() -> str:
 WITH v AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
 ),
-b AS (
+b0 AS (
     SELECT vec_id, vv,
            sqrt(list_dot_product(vv, vv)) AS nrm,
            {bucket_terms} AS bucket
     FROM v
+),
+b AS (
+    SELECT b0.* FROM b0
+    JOIN (SELECT bucket FROM b0 GROUP BY bucket
+          HAVING COUNT(*) <= {_ANN_MAX_BUCKET}) ok USING (bucket)
 ),
 scored AS (
     SELECT a.vec_id AS q_id, c.vec_id AS vec_id,
