@@ -226,6 +226,61 @@ def st_coverageunion(wkb: pd.Series) -> pd.Series:
     return wkb.map(_one)
 
 
+def st_coverageisvalid(gap_width: float = 0.0):
+    """Factory: GEOSCoverageIsValid (capi/geos_ts_c.cpp:4477) — the
+    input WKB is a collection whose parts form a polygonal coverage;
+    returns whether the coverage is valid."""
+
+    @pandas_udf(T.BooleanType())
+    def _valid(wkb: pd.Series) -> pd.Series:
+        from geos_spark.kernels.coverage_valid import validate_coverage
+
+        def _one(b):
+            if b is None:
+                return None
+            try:
+                g = parse_wkb(b)
+                res = validate_coverage(list(g.geoms()), gap_width)
+                return all(r is None for r in res)
+            except Exception:
+                return None
+
+        return wkb.map(_one)
+
+    return _valid
+
+
+def st_coverageinvalidedges(gap_width: float = 0.0):
+    """Factory: the invalid-edges side of GEOSCoverageIsValid — a
+    GEOMETRYCOLLECTION with one entry per coverage member (its invalid
+    boundary linework, or MULTILINESTRING EMPTY when valid)."""
+
+    @pandas_udf(T.BinaryType())
+    def _edges(wkb: pd.Series) -> pd.Series:
+        from geos_spark.kernels import geom as G
+        from geos_spark.kernels.coverage_valid import validate_coverage
+
+        def _one(b):
+            if b is None:
+                return None
+            try:
+                g = parse_wkb(b)
+                res = validate_coverage(list(g.geoms()), gap_width)
+                parts = [
+                    G.Geom.empty(G.MULTILINESTRING) if r is None else r
+                    for r in res
+                ]
+                return write_wkb(
+                    G.Geom.collection(G.GEOMETRYCOLLECTION, parts)
+                )
+            except Exception:
+                return None
+
+        return wkb.map(_one)
+
+    return _edges
+
+
 def st_offsetcurve(
     distance: float,
     quad_segs: int = 8,

@@ -201,6 +201,10 @@ def tile_materialize(
     e = with_tile_cells_exploded(
         df, bbox_cols, level, extent, out="cell", keep_grid=True
     )
+    # the explode multiplies rows without changing partitioning, so a
+    # dim-sized input would funnel the (expensive, python) clip into a
+    # couple of tasks — spread the per-tile work across the cluster
+    e = e.repartition(F.col("cell"))
     e = (
         e.withColumn("tile_xmin", F.lit(minx) + F.col("gx") * F.lit(sx))
         .withColumn("tile_ymin", F.lit(miny) + F.col("gy") * F.lit(sy))

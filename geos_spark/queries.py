@@ -788,6 +788,54 @@ ANTI JOIN crossed x ON x.poly_id = i.poly_id AND x.b_id = i.b_id
 """
 
 
+def q_coverage_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed coverage validation (CoverageValidator semantics)
+    over the star tile fragments — a valid coverage by construction —
+    plus exact duplicates of every 64th fragment set.  A duplicated
+    member's boundary segments carry the same interior-side
+    orientation twice, so BOTH copies become fully invalid while
+    their neighbours stay matched-valid
+    (CoveragePolygonValidator.h:163-175 checkInvalid)."""
+    from geos_spark.operators.coverage import coverage_validate
+    from geos_spark.operators.tiling import tile_materialize
+
+    frags = tile_materialize(star_polygons(spark), level=6, extent=EXTENT)
+    members = frags.select(
+        (F.col("poly_id") * 10000 + F.col("cell")).alias("id"),
+        F.col("clipped_wkb").alias("wkb"),
+    )
+    dupes = frags.where(F.col("poly_id") % 64 == 0).select(
+        (
+            F.col("poly_id") * 10000 + F.col("cell") + F.lit(10_000_000)
+        ).alias("id"),
+        F.col("clipped_wkb").alias("wkb"),
+    )
+    out = coverage_validate(
+        members.unionByName(dupes), level=6, extent=EXTENT
+    )
+    return out.select("id", "is_valid")
+
+
+def q_coverage_valid_sql() -> str:
+    """Membership oracle: the fragment coverage is valid by
+    construction; exactly the duplicated members (both copies) are
+    invalid.  Reuses the tile_clip fragment derivation for the
+    (poly_id, cell) row set."""
+    inner = q_tile_clip_sql().strip()
+    return f"""
+WITH frag_rows AS (
+    SELECT poly_id, cell FROM ({inner})
+)
+SELECT poly_id * 10000 + cell AS id,
+       (poly_id % 64 <> 0) AS is_valid
+FROM frag_rows
+UNION ALL
+SELECT poly_id * 10000 + cell + 10000000 AS id,
+       FALSE AS is_valid
+FROM frag_rows WHERE poly_id % 64 = 0
+"""
+
+
 _POLY_SHIFT = (100.0, 60.0)  # L1 = 160 < 2*96: real intersecting pairs
 
 
@@ -1680,6 +1728,7 @@ QUERIES = {
     "tile_clip": q_tile_clip,
     "poly_join": q_poly_join,
     "poly_contains": q_poly_contains,
+    "coverage_valid": q_coverage_valid,
     "hull_agg": q_hull_agg,
     "union_points": q_union_points,
     "simhash": q_simhash,
@@ -1730,6 +1779,7 @@ ORACLES = {
     "rect_overlay": q_rect_overlay_sql(),
     "poly_join": q_poly_join_sql(),
     "poly_contains": q_poly_contains_sql(),
+    "coverage_valid": q_coverage_valid_sql(),
     "hull_agg": q_hull_agg_sql(),
     "union_area": q_union_area_sql(),
     "tile_reunion": q_tile_reunion_sql(),
