@@ -281,6 +281,36 @@ def st_coverageinvalidedges(gap_width: float = 0.0):
     return _edges
 
 
+def st_coveragesimplify(tolerance: float, inner_only: bool = False):
+    """Factory: GEOSCoverageSimplifyVW (capi geos_c.h.in) — input WKB
+    is a collection forming a polygonal coverage; returns the
+    collection with every member TPVW-simplified, shared edges kept
+    identical (topology preserved)."""
+
+    @pandas_udf(T.BinaryType())
+    def _simp(wkb: pd.Series) -> pd.Series:
+        from geos_spark.kernels import geom as G
+        from geos_spark.kernels.coverage_simplify import coverage_simplify
+
+        def _one(b):
+            if b is None:
+                return None
+            try:
+                g = parse_wkb(b)
+                out = coverage_simplify(
+                    list(g.geoms()), tolerance, inner_only=inner_only
+                )
+                return write_wkb(
+                    G.Geom.collection(G.GEOMETRYCOLLECTION, out)
+                )
+            except Exception:
+                return None
+
+        return wkb.map(_one)
+
+    return _simp
+
+
 def st_offsetcurve(
     distance: float,
     quad_segs: int = 8,

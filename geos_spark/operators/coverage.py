@@ -149,3 +149,140 @@ def coverage_validate(
     )
     work = work.repartition(nparts, "t_id")
     return work.groupBy("t_id").applyInPandas(_validate, _OUT_SCHEMA)
+
+
+_SIMP_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("simplified_wkb", T.BinaryType()),
+    ]
+)
+
+
+def coverage_simplify_partitioned(
+    df: DataFrame,
+    tolerance: float,
+    id_col: str = "id",
+    wkb_col: str = "wkb",
+    level: int = 4,
+    extent: tuple[float, float, float, float] = DEFAULT_EXTENT,
+) -> DataFrame:
+    """Distributed TPVW coverage simplification (CoverageSimplifier
+    semantics, kernels/coverage_simplify.py) with a deterministic
+    partitioned contract:
+
+    - each member belongs to the cell of its envelope center at
+      ``level`` (its home partition);
+    - members whose envelope intersects a partition's tiles are
+      shipped there as constraint-only halo;
+    - within a partition, edges shared with halo members are pinned
+      (not simplified), everything else simplifies exactly as the
+      single-node kernel would.
+
+    Cross-partition shared edges are therefore preserved verbatim on
+    both sides — the output is a valid coverage at any scale, with
+    simplification applied everywhere except the partition seams.
+    Work per group is bounded by the members per cell, not the table
+    size."""
+    from geos_spark.functions.st import st_envelope_struct
+    from geos_spark.operators.cluster import _materialize
+
+    minx, miny, maxx, maxy = extent
+    n = 1 << level
+    sx = (maxx - minx) / n
+    sy = (maxy - miny) / n
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(wkb_col).alias("wkb"),
+    ).withColumn("env", st_envelope_struct(F.col("wkb")))
+    base = _materialize(
+        base.select(
+            "id",
+            "wkb",
+            F.col("env.xmin").alias("xmin"),
+            F.col("env.ymin").alias("ymin"),
+            F.col("env.xmax").alias("xmax"),
+            F.col("env.ymax").alias("ymax"),
+        )
+    )
+    cx = (F.col("xmin") + F.col("xmax")) / 2
+    cy = (F.col("ymin") + F.col("ymax")) / 2
+    hgx = F.greatest(
+        F.lit(0),
+        F.least(F.lit(n - 1), F.floor((cx - F.lit(minx)) / F.lit(sx))),
+    )
+    hgy = F.greatest(
+        F.lit(0),
+        F.least(F.lit(n - 1), F.floor((cy - F.lit(miny)) / F.lit(sy))),
+    )
+    home = base.withColumn(
+        "part", (hgx * F.lit(n) + hgy).cast("long")
+    )
+    # halo: every partition whose tile range the CLOSED envelope
+    # touches. A member whose envelope ends exactly on a partition
+    # line shares boundary with the tile on the other side — the min
+    # ordinate must reach back one tile when it sits on the line, or
+    # seam edges would be pinned on one side only
+    def lo(col, origin, stride):
+        f = F.floor((col - F.lit(origin)) / F.lit(stride))
+        f = F.when(col == f * F.lit(stride) + F.lit(origin), f - 1).otherwise(f)
+        return F.greatest(F.lit(0), F.least(F.lit(n - 1), f))
+
+    def hi(col, origin, stride):
+        return F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n - 1), F.floor((col - F.lit(origin)) / F.lit(stride))
+            ),
+        )
+
+    gx0 = lo(F.col("xmin"), minx, sx)
+    gx1 = hi(F.col("xmax"), minx, sx)
+    gy0 = lo(F.col("ymin"), miny, sy)
+    gy1 = hi(F.col("ymax"), miny, sy)
+    spread = (
+        home.withColumn("tgx", F.explode(F.sequence(gx0, gx1)))
+        .withColumn("tgy", F.explode(F.sequence(gy0, gy1)))
+        .withColumn(
+            "touch_part", (F.col("tgx") * F.lit(n) + F.col("tgy")).cast("long")
+        )
+        .select("id", "wkb", "part", "touch_part")
+    )
+    work = spread.select(
+        F.col("touch_part").alias("grp"),
+        "id",
+        "wkb",
+        (F.col("part") == F.col("touch_part")).alias("is_owned"),
+    )
+
+    tol = float(tolerance)
+
+    def _simplify(pdf: pd.DataFrame) -> pd.DataFrame:
+        from geos_spark.kernels.coverage_simplify import coverage_simplify
+        from geos_spark.kernels.wkb import parse_wkb, write_wkb
+
+        own = pdf[pdf["is_owned"]]
+        halo = pdf[~pdf["is_owned"]]
+        if len(own) == 0:
+            return pd.DataFrame({"id": [], "simplified_wkb": []})
+        geoms = [parse_wkb(bytes(w)) for w in own["wkb"]] + [
+            parse_wkb(bytes(w)) for w in halo["wkb"]
+        ]
+        out = coverage_simplify(geoms, tol, owned=len(own))
+        return pd.DataFrame(
+            {
+                "id": own["id"].to_numpy(),
+                "simplified_wkb": [write_wkb(g) for g in out],
+            }
+        )
+
+    nparts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        or "32"
+    )
+    return (
+        work.repartition(nparts, "grp")
+        .groupBy("grp")
+        .applyInPandas(_simplify, _SIMP_SCHEMA)
+    )

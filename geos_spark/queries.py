@@ -836,6 +836,78 @@ FROM frag_rows WHERE poly_id % 64 = 0
 """
 
 
+def q_coverage_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TPVW coverage simplification over an 8x8 grid of
+    32x32 rectangles with a redundant midpoint on every edge.
+    Partitioned at level 6 (tile 64 = 2x2 rects per partition):
+    midpoints on free edges are removed (zero-area corners), seam
+    edges between partitions stay pinned on both sides — the
+    partitioned contract makes the output vertex counts closed-form."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from geos_spark.functions.st import st_area
+    from geos_spark.operators.coverage import coverage_simplify_partitioned
+
+    def _rects(spark):
+        from geos_spark.kernels import geom as G
+        from geos_spark.kernels.wkb import write_wkb
+
+        rows = []
+        for gx in range(8):
+            for gy in range(8):
+                x0, y0 = 32.0 * gx, 32.0 * gy
+                x1, y1 = x0 + 32.0, y0 + 32.0
+                xm, ym = x0 + 16.0, y0 + 16.0
+                ring = [
+                    (x0, y0), (xm, y0), (x1, y0), (x1, ym), (x1, y1),
+                    (xm, y1), (x0, y1), (x0, ym), (x0, y0),
+                ]
+                rows.append(
+                    (gx * 8 + gy, bytearray(write_wkb(G.Geom.polygon([ring]))))
+                )
+        return spark.createDataFrame(rows, "id long, wkb binary")
+
+    out = coverage_simplify_partitioned(
+        _rects(spark), tolerance=1.0, level=6, extent=EXTENT
+    )
+
+    def _npts_fn(wkb):
+        from geos_spark.kernels.wkb import parse_wkb
+
+        return pd.Series(
+            [len(parse_wkb(bytes(b)).data[0]) for b in wkb], dtype="int64"
+        )
+
+    # note: no annotations — this module uses future-annotations,
+    # which pyspark's pandas_udf signature inspection rejects
+    _npts = pandas_udf(_npts_fn, T.LongType())
+
+    return out.select(
+        "id",
+        _npts(F.col("simplified_wkb")).alias("n_pts"),
+        F.round(st_area(F.col("simplified_wkb")), 5).alias("area_r"),
+    )
+
+
+def q_coverage_simplify_sql() -> str:
+    """Closed-form oracle: n_pts = 5 ring points + one retained
+    midpoint per pinned seam edge (a rect edge crossing the 2x2
+    partition blocking), area unchanged (midpoints are collinear)."""
+    return """
+SELECT gx.range * 8 + gy.range AS id,
+       CAST(5
+         + (CASE WHEN gx.range > 0 AND gx.range % 2 = 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN gx.range < 7 AND gx.range % 2 = 1 THEN 1 ELSE 0 END)
+         + (CASE WHEN gy.range > 0 AND gy.range % 2 = 0 THEN 1 ELSE 0 END)
+         + (CASE WHEN gy.range < 7 AND gy.range % 2 = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_pts,
+       1024.0 AS area_r
+FROM range(8) gx, range(8) gy
+"""
+
+
 _POLY_SHIFT = (100.0, 60.0)  # L1 = 160 < 2*96: real intersecting pairs
 
 
@@ -1729,6 +1801,7 @@ QUERIES = {
     "poly_join": q_poly_join,
     "poly_contains": q_poly_contains,
     "coverage_valid": q_coverage_valid,
+    "coverage_simplify": q_coverage_simplify,
     "hull_agg": q_hull_agg,
     "union_points": q_union_points,
     "simhash": q_simhash,
@@ -1780,6 +1853,7 @@ ORACLES = {
     "poly_join": q_poly_join_sql(),
     "poly_contains": q_poly_contains_sql(),
     "coverage_valid": q_coverage_valid_sql(),
+    "coverage_simplify": q_coverage_simplify_sql(),
     "hull_agg": q_hull_agg_sql(),
     "union_area": q_union_area_sql(),
     "tile_reunion": q_tile_reunion_sql(),
