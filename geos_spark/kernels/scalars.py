@@ -601,32 +601,45 @@ def geom_distance(a: G.Geom, b: G.Geom) -> float:
     va = np.concatenate([pa, sa[:, :2], sa[:, 2:]]) if len(sa) else pa
     vb = np.concatenate([pb, sb[:, :2], sb[:, 2:]]) if len(sb) else pb
 
-    # point/vertex to segment distances both directions
-    if len(sb) and len(va):
-        d2 = _seg_point_dist2(
-            sb[None, :, 0], sb[None, :, 1], sb[None, :, 2], sb[None, :, 3],
-            va[:, None, 0], va[:, None, 1],
-        )
-        best = min(best, float(np.sqrt(d2.min())))
-    if len(sa) and len(vb):
-        d2 = _seg_point_dist2(
-            sa[None, :, 0], sa[None, :, 1], sa[None, :, 2], sa[None, :, 3],
-            vb[:, None, 0], vb[:, None, 1],
-        )
-        best = min(best, float(np.sqrt(d2.min())))
-    if len(va) and len(vb) and not len(sa) and not len(sb):
-        d2 = (va[:, None, 0] - vb[None, :, 0]) ** 2 + (
-            va[:, None, 1] - vb[None, :, 1]
-        ) ** 2
-        best = min(best, float(np.sqrt(d2.min())))
+    # facet distance: brute vectorized pair matrix for small inputs,
+    # branch-and-bound indexed facet distance for large linework
+    # (IndexedFacetDistance.cpp:32-57 — same exact result,
+    # sub-quadratic work)
+    n_pairs = len(va) * len(sb) + len(vb) * len(sa)
+    use_indexed = n_pairs > 2_000_000
+    if use_indexed:
+        from geos_spark.kernels.facetdist import facet_min_dist, facets_of
 
-    # segment crossings -> distance 0 handled by seg-seg min distance
-    # approximation: crossing detection via orientation
-    if len(sa) and len(sb) and best > 0:
-        from geos_spark.kernels.segments import segments_intersect_any
-
-        if segments_intersect_any(sa, sb):
+        best = min(best, facet_min_dist(facets_of(a), facets_of(b)))
+        if best == 0.0:
             return 0.0
+    else:
+        # point/vertex to segment distances both directions
+        if len(sb) and len(va):
+            d2 = _seg_point_dist2(
+                sb[None, :, 0], sb[None, :, 1], sb[None, :, 2],
+                sb[None, :, 3], va[:, None, 0], va[:, None, 1],
+            )
+            best = min(best, float(np.sqrt(d2.min())))
+        if len(sa) and len(vb):
+            d2 = _seg_point_dist2(
+                sa[None, :, 0], sa[None, :, 1], sa[None, :, 2],
+                sa[None, :, 3], vb[:, None, 0], vb[:, None, 1],
+            )
+            best = min(best, float(np.sqrt(d2.min())))
+        if len(va) and len(vb) and not len(sa) and not len(sb):
+            d2 = (va[:, None, 0] - vb[None, :, 0]) ** 2 + (
+                va[:, None, 1] - vb[None, :, 1]
+            ) ** 2
+            best = min(best, float(np.sqrt(d2.min())))
+
+        # segment crossings -> distance 0 (facet path detects these
+        # inside its leaf comparisons)
+        if len(sa) and len(sb) and best > 0:
+            from geos_spark.kernels.segments import segments_intersect_any
+
+            if segments_intersect_any(sa, sb):
+                return 0.0
 
     # containment: a point/vertex of one inside the other's area
     def _contains_any(poly_geom: G.Geom, pts: np.ndarray) -> bool:
