@@ -40,11 +40,6 @@ BASE = "/root/reference/tests/xmltester/tests"
 # ---------------------------------------------------------------------
 
 SKIP = {
-    # interior-connectivity / vertex-sector analysis (valid.py docstring)
-    "TestValid.xml:22:0",
-    "TestValid.xml:84:0",
-    "TestValid.xml:85:0",
-    "TestValid.xml:86:0",
     # palindromic single-edge representation (snap-rounding noder)
     "TestOverlayLLPrec.xml:0:1",
     # nested-face pairing (polygonize)

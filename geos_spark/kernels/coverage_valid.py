@@ -635,3 +635,51 @@ def validate_coverage(geoms: list, gap_width: float = 0.0) -> list:
         ]
         out.append(validate_coverage_polygon(g, near, gap_width))
     return out
+
+
+def _is_crossing(node, a0, a1, b0, b1) -> bool:
+    """PolygonNodeTopology::isCrossing: do the b-corner arms separate
+    the a-corner arms around the node (rings cross at the vertex)?"""
+
+    def quadrant(o, p):
+        dx, dy = p[0] - o[0], p[1] - o[1]
+        if dx >= 0:
+            return 0 if dy >= 0 else 3
+        return 1 if dy >= 0 else 2
+
+    def compare_angle(o, p, q):
+        qp, qq = quadrant(o, p), quadrant(o, q)
+        if qp > qq:
+            return 1
+        if qp < qq:
+            return -1
+        return _orient(o[0], o[1], q[0], q[1], p[0], p[1])
+
+    def compare_between(o, p, e0, e1):
+        c0 = compare_angle(o, p, e0)
+        if c0 == 0:
+            return 0
+        c1 = compare_angle(o, p, e1)
+        if c1 == 0:
+            return 0
+        return 1 if (c0 > 0 and c1 < 0) else -1
+
+    a_lo, a_hi = a0, a1
+
+    def angle_greater(o, p, q):
+        qp, qq = quadrant(o, p), quadrant(o, q)
+        if qp > qq:
+            return True
+        if qp < qq:
+            return False
+        return _orient(o[0], o[1], q[0], q[1], p[0], p[1]) == 1
+
+    if angle_greater(node, a_lo, a_hi):
+        a_lo, a_hi = a_hi, a_lo
+    c0 = compare_between(node, b0, a_lo, a_hi)
+    if c0 == 0:
+        return False
+    c1 = compare_between(node, b1, a_lo, a_hi)
+    if c1 == 0:
+        return False
+    return c0 != c1

@@ -9,9 +9,12 @@
   (``src/operation/valid/IsValidOp.cpp``): ring size/closure, ring
   self-intersection, ring-ring crossing or collinear overlap, holes
   inside shell, holes not nested, multipolygon shells not nested or
-  overlapping. The interior-connectivity check (holes chaining to
-  split the interior) is NOT implemented; such inputs may be
-  reported valid.
+  overlapping, vertex-touch ring crossings
+  (PolygonNodeTopology::isCrossing), interior connectivity (hole
+  touch-graph cycles per PolygonRing::findHoleCycleLocation), and
+  boundary-incident nesting via the corner-sector test
+  (PolygonTopologyAnalyzer::isRingNested /
+  IndexedNestedPolygonTester).
 """
 
 from __future__ import annotations
@@ -334,6 +337,199 @@ def _pt(v) -> tuple:
     return (float(v[0]), float(v[1]))
 
 
+def _ring_nested(test: np.ndarray, target: np.ndarray) -> bool:
+    """PolygonTopologyAnalyzer::isRingNested: is the test ring inside
+    the region bounded by the target ring, deciding boundary-incident
+    start points by the corner-sector topology
+    (PolygonTopologyAnalyzer.cpp:76-127)."""
+    from geos_spark.kernels.coverage_valid import _is_interior_segment
+
+    p0 = test[0]
+    loc = _point_in_ring(tuple(p0), target)
+    if loc == EXTERIOR:
+        return False
+    if loc == INTERIOR:
+        return True
+    # boundary: find a non-equal follow vertex of the test ring
+    p1 = None
+    for i in range(1, len(test)):
+        if test[i][0] != p0[0] or test[i][1] != p0[1]:
+            p1 = test[i]
+            break
+    if p1 is None:
+        return False
+    # segment of target containing p0
+    idx = None
+    for i in range(len(target) - 1):
+        a, b = target[i], target[i + 1]
+        if (
+            min(a[0], b[0]) <= p0[0] <= max(a[0], b[0])
+            and min(a[1], b[1]) <= p0[1] <= max(a[1], b[1])
+        ):
+            from geos_spark.kernels.orientation import orientation_index
+
+            if (
+                int(
+                    orientation_index(
+                        np.array([a[0]]), np.array([a[1]]),
+                        np.array([b[0]]), np.array([b[1]]),
+                        np.array([p0[0]]), np.array([p0[1]]),
+                    )[0]
+                )
+                == 0
+            ):
+                idx = i
+                break
+    if idx is None:
+        return False
+
+    def vert_prev(i):
+        j = i
+        c = target[j]
+        while c[0] == p0[0] and c[1] == p0[1]:
+            j = len(target) - 2 if j == 0 else j - 1
+            c = target[j]
+        return c
+
+    def vert_next(i):
+        j = i + 1
+        c = target[j]
+        while c[0] == p0[0] and c[1] == p0[1]:
+            j = 0 if j >= len(target) - 2 else j + 1
+            c = target[j]
+        return c
+
+    r_prev = vert_prev(idx)
+    r_next = vert_next(idx)
+    interior_on_right = _ring_signed_area(target) <= 0
+    if not interior_on_right:
+        r_prev, r_next = r_next, r_prev
+    return _is_interior_segment(p0, r_prev, r_next, p1)
+
+
+def _ring_signed_area(pts: np.ndarray) -> float:
+    x, y = pts[:, 0], pts[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def _corner_arms(ring: np.ndarray, pt):
+    """Arms of ``ring``'s corner at contact point ``pt``: prev/next
+    non-equal vertices for a vertex contact, the segment endpoints for
+    an edge-interior contact (PolygonIntersectionAnalyzer.cpp:120-136).
+    Returns None if pt is not on the ring."""
+    from geos_spark.kernels.orientation import orientation_index
+
+    n = len(ring) - 1
+    for i in range(n):
+        if ring[i][0] == pt[0] and ring[i][1] == pt[1]:
+            j = i
+            c = ring[j]
+            while c[0] == pt[0] and c[1] == pt[1]:
+                j = (j - 1) % n
+                c = ring[j]
+            prv = c
+            j = (i + 1) % n
+            c = ring[j]
+            while c[0] == pt[0] and c[1] == pt[1]:
+                j = (j + 1) % n
+                c = ring[j]
+            return prv, c
+    for i in range(n):
+        a, b = ring[i], ring[i + 1]
+        if (
+            min(a[0], b[0]) <= pt[0] <= max(a[0], b[0])
+            and min(a[1], b[1]) <= pt[1] <= max(a[1], b[1])
+            and int(
+                orientation_index(
+                    np.array([a[0]]), np.array([a[1]]),
+                    np.array([b[0]]), np.array([b[1]]),
+                    np.array([pt[0]]), np.array([pt[1]]),
+                )[0]
+            )
+            == 0
+        ):
+            return a, b
+    return None
+
+
+def _vertex_crossing_point(ring_a: np.ndarray, ring_b: np.ndarray, touches):
+    """First touch point where the two rings CROSS at the contact
+    (PolygonNodeTopology::isCrossing), or None."""
+    from geos_spark.kernels.coverage_valid import _is_crossing
+
+    for t in touches:
+        arms_a = _corner_arms(ring_a, t)
+        arms_b = _corner_arms(ring_b, t)
+        if arms_a is None or arms_b is None:
+            continue
+        if _is_crossing(t, arms_a[0], arms_a[1], arms_b[0], arms_b[1]):
+            return t
+    return None
+
+
+def _touch_cycle_point(pair_touches: dict):
+    """PolygonRing::findHoleCycleLocation over single-point ring-pair
+    touches: DFS per touch set; re-reaching a ring through a
+    different point than the entry is a hole cycle
+    (PolygonRing.cpp:147-230)."""
+    adj: dict = {}
+    for (r0, r1), pt in pair_touches.items():
+        adj.setdefault(r0, []).append((r1, pt))
+        adj.setdefault(r1, []).append((r0, pt))
+    root_of: dict = {}
+    for start in adj:
+        if start in root_of:
+            continue
+        root_of[start] = start
+        stack = []
+        for ring, pt in adj[start]:
+            root_of[ring] = start
+            stack.append((ring, pt))
+        while stack:
+            ring, entry_pt = stack.pop()
+            for nring, npt in adj[ring]:
+                if npt == entry_pt:
+                    continue
+                if root_of.get(nring) == start:
+                    return npt
+                root_of[nring] = start
+                stack.append((nring, npt))
+    return None
+
+
+def _nested_shell_point(inner: G.Geom, outer: G.Geom):
+    """IndexedNestedPolygonTester::findNestedPoint: a point of
+    ``inner``'s shell nested in ``outer`` (and not inside one of its
+    holes), or None (IndexedNestedPolygonTester.cpp:84-196)."""
+    shell = inner.data[0]
+    ei = inner.envelope()
+    eo = outer.envelope()
+    if not (
+        eo[0] <= ei[0] and eo[1] <= ei[1] and ei[2] <= eo[2]
+        and ei[3] <= eo[3]
+    ):
+        return None
+    for k in (0, 1):
+        loc = _locate_in_polygon(tuple(shell[k]), outer)
+        if loc == EXTERIOR:
+            return None
+        if loc == INTERIOR:
+            return _pt(shell[k])
+    # both probe points on the boundary: corner-sector topology
+    if not _ring_nested(shell, outer.data[0]):
+        return None
+    for hole in outer.data[1:]:
+        hx0, hy0 = hole[:, 0].min(), hole[:, 1].min()
+        hx1, hy1 = hole[:, 0].max(), hole[:, 1].max()
+        if (
+            hx0 <= ei[0] and hy0 <= ei[1] and ei[2] <= hx1
+            and ei[3] <= hy1
+            and _ring_nested(shell, hole)
+        ):
+            return None
+    return _pt(shell[0])
+
+
 def _poly_valid_detail(p: G.Geom):
     """None if valid, else (message, point) per IsValidOp."""
     rings = [r for r in p.data if len(r) > 0]
@@ -352,16 +548,21 @@ def _poly_valid_detail(p: G.Geom):
             return info
     shell = rings[0]
     holes = rings[1:]
-    uf = _UnionFind()
+    # single-point touches per ring pair; a second distinct point is
+    # an immediate disconnection (PolygonRing::isOnlyTouch), a cycle
+    # through distinct points is found by the touch-set scan
+    pair_touches: dict = {}
     for hi, h in enumerate(holes):
         crosses, touches = _ring_pair_contacts(shell, h)
         if crosses:
             return ("Self-intersection", _pt(h[0]))
-        # a shell-hole pair touching at >1 point (or any cycle in the
-        # touch graph) disconnects the interior — ConnectedInteriorTester
-        for t in touches:
-            if not uf.union(("s",), ("h", hi)):
-                return ("Interior is disconnected", _pt(t))
+        xpt = _vertex_crossing_point(shell, h, touches)
+        if xpt is not None:
+            return ("Self-intersection", _pt(np.asarray(xpt)))
+        if len(touches) > 1:
+            return ("Interior is disconnected", _pt(touches[1]))
+        if touches:
+            pair_touches[(("s",), ("h", hi))] = touches[0]
         # hole inside shell: no vertex outside, some point strictly in
         locs = [_point_in_ring(v, shell) for v in h[:-1]]
         for v, loc in zip(h[:-1], locs):
@@ -374,15 +575,22 @@ def _poly_valid_detail(p: G.Geom):
             crosses, touches = _ring_pair_contacts(holes[i], holes[j])
             if crosses:
                 return ("Self-intersection", _pt(holes[j][0]))
-            for t in touches:
-                if not uf.union(("h", i), ("h", j)):
-                    return ("Interior is disconnected", _pt(t))
+            xpt = _vertex_crossing_point(holes[i], holes[j], touches)
+            if xpt is not None:
+                return ("Self-intersection", _pt(np.asarray(xpt)))
+            if len(touches) > 1:
+                return ("Interior is disconnected", _pt(touches[1]))
+            if touches:
+                pair_touches[(("h", i), ("h", j))] = touches[0]
             li = [_point_in_ring(v, holes[j]) for v in holes[i][:-1]]
             lj = [_point_in_ring(v, holes[i]) for v in holes[j][:-1]]
             if any(loc == INTERIOR for loc in li) or any(
                 loc == INTERIOR for loc in lj
             ):
                 return ("Holes are nested", _pt(holes[i][0]))
+    cyc = _touch_cycle_point(pair_touches)
+    if cyc is not None:
+        return ("Interior is disconnected", _pt(np.asarray(cyc)))
     return None
 
 
@@ -437,15 +645,19 @@ def valid_detail(g: G.Geom):
                     continue
                 for ri in polys[i].data:
                     for rj in polys[j].data:
-                        crosses, _ = _ring_pair_contacts(ri, rj)
+                        crosses, touches = _ring_pair_contacts(ri, rj)
                         if crosses:
                             return ("Self-intersection", _pt(rj[0]))
-                for v in polys[i].data[0][:-1]:
-                    if _locate_in_polygon(tuple(v), polys[j]) == INTERIOR:
-                        return ("Nested shells", _pt(v))
-                for v in polys[j].data[0][:-1]:
-                    if _locate_in_polygon(tuple(v), polys[i]) == INTERIOR:
-                        return ("Nested shells", _pt(v))
+                        xpt = _vertex_crossing_point(ri, rj, touches)
+                        if xpt is not None:
+                            return (
+                                "Self-intersection",
+                                _pt(np.asarray(xpt)),
+                            )
+                for a, b in ((i, j), (j, i)):
+                    info = _nested_shell_point(polys[a], polys[b])
+                    if info is not None:
+                        return ("Nested shells", info)
         return None
     # collection: all parts valid
     for p in g.data:

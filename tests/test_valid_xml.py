@@ -8,16 +8,7 @@ from geos_spark.kernels.xmltester import load_cases
 
 BASE = "/root/reference/tests/xmltester/tests/general"
 
-# interior-connectivity subtleties our touch-graph approximation gets
-# wrong: a shell-hole-hole touch cycle that does NOT disconnect (22),
-# and vertex-vertex contact crossings needing angular-sector analysis
-# (84-86). Documented limitation (valid.py docstring).
-_KNOWN_HARD = {
-    "TestValid.xml:22:0",
-    "TestValid.xml:84:0",
-    "TestValid.xml:85:0",
-    "TestValid.xml:86:0",
-}
+_KNOWN_HARD: set = set()
 
 
 def _cases(fname, op):
