@@ -50,10 +50,133 @@ def _rings_equal_any_direction(r1: np.ndarray, r2: np.ndarray) -> bool:
     return all(a[i] == b[(off - i) % n] for i in range(1, n))
 
 
+def _polygonize_rings(undirected: set) -> list[np.ndarray]:
+    """PolygonizeGraph edge-ring extraction
+    (src/operation/polygonize/PolygonizeGraph.cpp:173-280): delete
+    dangles and cut edges, build maximal rings with the
+    next-CW-edge pairing (sym(out_i).next = out_{i+1} in CCW star
+    order), then convert to minimal rings by re-pairing the ring's
+    edges CCW at nodes it passes through more than once.  The pinch-
+    node sector pairing differs from the overlay tracer's rule — it
+    is what separates island faces from their surrounding face."""
+    import math
+
+    # dangle removal to fixpoint
+    edges = set(undirected)
+    while True:
+        deg: dict = {}
+        for p, q in edges:
+            deg[p] = deg.get(p, 0) + 1
+            deg[q] = deg.get(q, 0) + 1
+        drop = {e for e in edges if deg[e[0]] == 1 or deg[e[1]] == 1}
+        if not drop:
+            break
+        edges -= drop
+    if not edges:
+        return []
+
+    def build(dir_edges):
+        n = len(dir_edges)
+        eid = {e: k for k, e in enumerate(dir_edges)}
+        sym = [eid[(b, a)] for (a, b) in dir_edges]
+        out_at: dict = {}
+        for k, (a, b) in enumerate(dir_edges):
+            out_at.setdefault(a, []).append(k)
+        for a, lst in out_at.items():
+            lst.sort(
+                key=lambda k: math.atan2(
+                    dir_edges[k][1][1] - a[1], dir_edges[k][1][0] - a[0]
+                )
+            )
+        nxt = [None] * n
+        for a, lst in out_at.items():
+            m = len(lst)
+            for i in range(m):
+                nxt[sym[lst[i]]] = lst[(i + 1) % m]
+        # maximal rings
+        label = [-1] * n
+        rings_edges = []
+        for e in range(n):
+            if label[e] != -1:
+                continue
+            lab = len(rings_edges)
+            cur = e
+            path = []
+            while label[cur] == -1:
+                label[cur] = lab
+                path.append(cur)
+                cur = nxt[cur]
+            rings_edges.append(path)
+        return eid, sym, out_at, nxt, label, rings_edges
+
+    dir_edges = []
+    for p, q in edges:
+        dir_edges.append((p, q))
+        dir_edges.append((q, p))
+    _, sym, _, _, label, _ = build(dir_edges)
+    # cut edges: both directions in the same maximal ring
+    cut = {
+        tuple(sorted((a, b)))
+        for k, (a, b) in enumerate(dir_edges)
+        if label[k] == label[sym[k]]
+    }
+    if cut:
+        edges -= {e for e in edges if tuple(sorted(e)) in cut}
+        if not edges:
+            return []
+        dir_edges = []
+        for p, q in edges:
+            dir_edges.append((p, q))
+            dir_edges.append((q, p))
+    eid, sym, out_at, nxt, label, rings_edges = build(dir_edges)
+
+    # minimal conversion: CCW re-pairing at multiply-visited nodes
+    for lab, path in enumerate(rings_edges):
+        counts: dict = {}
+        for e in path:
+            a = dir_edges[e][0]
+            counts[a] = counts.get(a, 0) + 1
+        for node, cnt in counts.items():
+            if cnt <= 1:
+                continue
+            star = out_at[node]
+            first_out = None
+            prev_in = None
+            for de in reversed(star):  # CW iteration over CCW star
+                out_de = de if label[de] == lab else None
+                in_de = sym[de] if label[sym[de]] == lab else None
+                if out_de is None and in_de is None:
+                    continue
+                if in_de is not None:
+                    prev_in = in_de
+                if out_de is not None:
+                    if prev_in is not None:
+                        nxt[prev_in] = out_de
+                        prev_in = None
+                    if first_out is None:
+                        first_out = out_de
+            if prev_in is not None:
+                nxt[prev_in] = first_out
+
+    visited = [False] * len(dir_edges)
+    rings = []
+    for e in range(len(dir_edges)):
+        if visited[e]:
+            continue
+        cur = e
+        pts = []
+        while not visited[cur]:
+            visited[cur] = True
+            pts.append(dir_edges[cur][0])
+            cur = nxt[cur]
+        if cur == e and len(pts) >= 3:
+            pts.append(pts[0])
+            rings.append(np.asarray(pts, dtype=np.float64))
+    return rings
+
+
 def polygonize(g: G.Geom) -> list[G.Geom]:
     """Faces of a noded linework (Polygonizer.getPolygons)."""
-    from geos_spark.kernels.overlay import _trace_rings
-
     # LinearComponentExtracter semantics: lines AND polygon rings
     chains = []
     for part in g.geoms():
@@ -68,14 +191,12 @@ def polygonize(g: G.Geom) -> list[G.Geom]:
             q = (float(line[i + 1, 0]), float(line[i + 1, 1]))
             if p != q:
                 edges.add((p, q) if p < q else (q, p))
-    directed = []
-    for p, q in edges:
-        directed.append((p, q))
-        directed.append((q, p))
-    rings = _trace_rings(directed)
+    rings = _polygonize_rings(edges)
 
-    shells = [r for r in rings if ring_signed_area(r) > 0]
-    holes = [r for r in rings if ring_signed_area(r) < 0]
+    # JTS EdgeRing convention: shells trace CW (isHole == isCCW);
+    # output shells re-oriented CCW for the Geom convention
+    shells = [r[::-1].copy() for r in rings if ring_signed_area(r) < 0]
+    holes = [r for r in rings if ring_signed_area(r) > 0]
     if not shells:
         return []
     shell_area = [abs(ring_signed_area(s)) for s in shells]
