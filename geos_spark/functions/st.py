@@ -321,6 +321,47 @@ def st_concavehullofpolygons(
     return _hull
 
 
+def st_coverageclean(
+    snapping_distance: float = -1.0,
+    overlap_merge_strategy: int = 0,
+    gap_maximum_width: float = 0.0,
+):
+    """Factory: GEOSCoverageClean — snap/node/merge the members of a
+    (possibly invalid) polygonal collection into a valid coverage
+    (CoverageCleaner.cpp). Collapsed/covered members become POLYGON
+    EMPTY; member order is preserved."""
+
+    @pandas_udf(T.BinaryType())
+    def _clean(wkb: pd.Series) -> pd.Series:
+        from geos_spark.kernels import geom as G
+        from geos_spark.kernels.coverage_clean import coverage_clean
+
+        def _one(b):
+            if b is None:
+                return None
+            try:
+                g = parse_wkb(b)
+                out = coverage_clean(
+                    list(g.geoms()),
+                    snapping_distance=snapping_distance,
+                    overlap_merge_strategy=overlap_merge_strategy,
+                    gap_maximum_width=gap_maximum_width,
+                )
+                parts = [
+                    G.Geom.empty(G.POLYGON) if r is None else r
+                    for r in out
+                ]
+                return write_wkb(
+                    G.Geom.collection(G.GEOMETRYCOLLECTION, parts)
+                )
+            except Exception:
+                return None
+
+        return wkb.map(_one)
+
+    return _clean
+
+
 def st_coveragesimplify(tolerance: float, inner_only: bool = False):
     """Factory: GEOSCoverageSimplifyVW (capi geos_c.h.in) — input WKB
     is a collection forming a polygonal coverage; returns the
