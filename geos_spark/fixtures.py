@@ -45,9 +45,6 @@ SKIP = {
     # nested-face pairing (polygonize)
     "buildarea.xml:7:0",
     "makevalid.xml:13:0",
-    # DP simplify expected output requires buffer(0) overlay repair
-    "TestSimplify.xml:10:0",
-    "TestSimplify.xml:13:0",
     # sliver union needs the OverlayNGRobust snapping tier
     "TestUnaryUnionFloating.xml:0:0",
 }

@@ -262,14 +262,70 @@ def _dp_simplify_coords(
     return out
 
 
+def _buffer0_repair(g: G.Geom) -> G.Geom:
+    """DPTransformer::createValidArea buffer(0.0) repair of an
+    invalid rough simplification result: polygonize the ring
+    arrangement and keep faces whose interior point is covered by an
+    odd number of shell rings and an even number of hole rings (the
+    buffer depth rule for a single polygon's curve set), then
+    dissolve (faces form a coverage)."""
+    from geos_spark.kernels.coverage import coverage_union
+    from geos_spark.kernels.overlay import _point_in_ring_parity
+    from geos_spark.kernels.polygonize import polygonize
+
+    shells = []
+    holes = []
+    for p in g.geoms():
+        if p.type_id != G.POLYGON or not p.data:
+            continue
+        shells.append(np.asarray(p.data[0], dtype=np.float64))
+        holes.extend(np.asarray(r, dtype=np.float64) for r in p.data[1:])
+    linework = G.Geom.collection(
+        G.MULTILINESTRING,
+        [G.Geom.linestring(r) for r in shells + holes],
+    )
+    # polygonize expects noded input; buffer's curve set builder nodes
+    # the rings itself — node via the lineal self-union
+    from geos_spark.kernels.polygonize import (
+        _node_line_with_first_coordinate,
+    )
+
+    noded = _node_line_with_first_coordinate(linework)
+    faces = polygonize(noded if noded is not None else linework)
+    keep = []
+    for f in faces:
+        ip = interior_point(f)
+        if ip is None:
+            continue
+        sp = sum(1 for r in shells if _point_in_ring_parity(ip, r)) % 2
+        hp = sum(1 for r in holes if _point_in_ring_parity(ip, r)) % 2
+        if sp == 1 and hp == 0:
+            keep.append(f)
+    if not keep:
+        return G.Geom.empty(G.POLYGON)
+    return coverage_union(
+        G.Geom.collection(G.GEOMETRYCOLLECTION, keep)
+    )
+
+
+def _valid_area(rough: G.Geom) -> G.Geom:
+    """DPTransformer::createValidArea: return the rough result when
+    it is a valid area, else the buffer(0) repair."""
+    from geos_spark.kernels.valid import is_valid
+
+    if rough.dimension() == 2 and not is_valid(rough):
+        return _buffer0_repair(rough)
+    return rough
+
+
 def simplify_dp(g: G.Geom, tol: float) -> G.Geom:
     """DouglasPeuckerSimplifier transformer semantics
     (src/simplify/DouglasPeuckerSimplifier.cpp): degenerate rings are
     removed from polygons (a removed shell empties the polygon), empty
     parts are dropped from multis, and a single surviving part is
-    returned bare (GeometryTransformer::buildGeometry). The
-    createValidArea buffer(0) repair of self-intersecting results is
-    not implemented (overlay) — such inputs return the rough result.
+    returned bare (GeometryTransformer::buildGeometry). Invalid areal
+    results get the createValidArea buffer(0) repair
+    (DouglasPeuckerSimplifier.cpp:100-120).
     """
     if g.type_id == G.POINT:
         return g
@@ -290,7 +346,7 @@ def simplify_dp(g: G.Geom, tol: float) -> G.Geom:
             s = _dp_simplify_coords(r, tol, False)
             if len(s) >= 4:
                 rings.append(s)
-        return G.Geom(G.POLYGON, rings)
+        return _valid_area(G.Geom(G.POLYGON, rings))
     if g.is_collection:
         parts = []
         for p in g.data:
@@ -302,7 +358,10 @@ def simplify_dp(g: G.Geom, tol: float) -> G.Geom:
             return parts[0]
         if not parts:
             return G.Geom.empty(g.type_id)
-        return G.Geom(g.type_id, parts)
+        out = G.Geom(g.type_id, parts)
+        if g.type_id == G.MULTIPOLYGON:
+            out = _valid_area(out)
+        return out
     return g
 
 

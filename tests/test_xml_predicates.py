@@ -116,16 +116,8 @@ def test_convexhull_case(case):
     )
 
 
-# cases whose expected output requires the buffer(0) validity repair
-# (DPTransformer::createValidArea -> overlay); overlay is not yet
-# implemented, tracked for a later round
-_SIMPLIFY_NEEDS_OVERLAY = {"TestSimplify.xml:10:0", "TestSimplify.xml:13:0"}
-
-
 @pytest.mark.parametrize("case", list(_cases("TestSimplify.xml", {"simplifydp"})))
 def test_simplify_case(case):
-    if case.case_id in _SIMPLIFY_NEEDS_OVERLAY:
-        pytest.xfail("expected output requires buffer(0) overlay repair")
     a = parse_wkt(case.wkt_a)
     tol = float(case.args[-1])
     exp = parse_wkt(case.expected)
