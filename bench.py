@@ -191,32 +191,32 @@ def _scaling_queries(spark, cores: int):
 
     parts = 128  # FIXED partition count at both parallelism levels
 
-    def pip_join_16m():
+    def pip_join_48m():
         pts = with_doc_point(
-            spark.range(0, 16_000_000, 1, parts).withColumnRenamed("id", "doc_id")
+            spark.range(0, 48_000_000, 1, parts).withColumnRenamed("id", "doc_id")
         )
         return point_in_polygon_join(
             pts, star_polygons(spark), "intersects", level=6, extent=EXTENT,
             poly_id_col="poly_id",
         ).select("doc_id", "poly_id")
 
-    def pip_native_16m():
+    def pip_native_48m():
         pts = with_doc_point(
-            spark.range(0, 16_000_000, 1, parts).withColumnRenamed("id", "doc_id")
+            spark.range(0, 48_000_000, 1, parts).withColumnRenamed("id", "doc_id")
         )
         return point_in_polygon_join(
             pts, star_polygons(spark), "intersects", level=6, extent=EXTENT,
             poly_id_col="poly_id", strategy="native_edges",
         ).select("doc_id", "poly_id")
 
-    def tile_pipeline_32m():
+    def tile_pipeline_96m():
         # realistic tiling pipeline: derive geometry, level-12 cell
         # assignment, explode doc squares to level-8 tiles with
         # fragment areas (rect fast path), aggregate per tile
         from geos_spark.operators.tiling import tile_materialize_rects
 
         pts = with_doc_point(
-            spark.range(0, 32_000_000, 1, parts).withColumnRenamed("id", "doc_id")
+            spark.range(0, 96_000_000, 1, parts).withColumnRenamed("id", "doc_id")
         )
         g = pts.withColumn(
             "g12x", F.floor(F.col("x")).cast("long")
@@ -237,18 +237,18 @@ def _scaling_queries(spark, cores: int):
             F.sum("cell12").alias("s12"),
         )
 
-    def token_stats_2m():
-        pages = synth_pages(spark, 2_000_000, partitions=parts)
+    def token_stats_6m():
+        pages = synth_pages(spark, 6_000_000, partitions=parts)
         q = with_quality(pages)
         return q.groupBy("lang").agg(
             F.sum("n_tokens").alias("t"), F.sum("stopword_hits").alias("s")
         )
 
     return {
-        "pip_join_16m": (pip_join_16m, 16_000_000),
-        "pip_native_16m": (pip_native_16m, 16_000_000),
-        "tile_pipeline_32m": (tile_pipeline_32m, 32_000_000),
-        "token_stats_2m": (token_stats_2m, 2_000_000),
+        "pip_join_48m": (pip_join_48m, 48_000_000),
+        "pip_native_48m": (pip_native_48m, 48_000_000),
+        "tile_pipeline_96m": (tile_pipeline_96m, 96_000_000),
+        "token_stats_6m": (token_stats_6m, 6_000_000),
     }
 
 
