@@ -42,9 +42,6 @@ BASE = "/root/reference/tests/xmltester/tests"
 SKIP = {
     # palindromic single-edge representation (snap-rounding noder)
     "TestOverlayLLPrec.xml:0:1",
-    # nested-face pairing (polygonize)
-    "buildarea.xml:7:0",
-    "makevalid.xml:13:0",
     # sliver union needs the OverlayNGRobust snapping tier
     "TestUnaryUnionFloating.xml:0:0",
 }
@@ -373,9 +370,9 @@ def run_case(wkt_a, wkt_b, op, args, pm_scale) -> str:
         d = S.geom_distance(a, b)
         return repr(0.0 if math.isnan(d) else d)
     if op == "makevalid":
-        return canon_wkt(make_valid(a))
+        return canon_wkt(make_valid(a, pm_scale))
     if op == "buildarea":
-        return canon_wkt(build_area(a))
+        return canon_wkt(build_area(a, pm_scale))
     if op == "linemerge":
         return canon_wkt(line_merge(a))
 

@@ -51,52 +51,93 @@ def _rings_equal_any_direction(r1: np.ndarray, r2: np.ndarray) -> bool:
 
 
 def _polygonize_rings(undirected: set) -> list[np.ndarray]:
+    """Segment-level entry (each undirected segment its own chain) —
+    used where the linework is a dissolved unit-segment arrangement
+    (coverage cleaning)."""
+    return _polygonize_chains(
+        [np.asarray([p, q], dtype=np.float64) for p, q in undirected]
+    )
+
+
+def _polygonize_chains(chains: list[np.ndarray]) -> list[np.ndarray]:
     """PolygonizeGraph edge-ring extraction
-    (src/operation/polygonize/PolygonizeGraph.cpp:173-280): delete
-    dangles and cut edges, build maximal rings with the
-    next-CW-edge pairing (sym(out_i).next = out_{i+1} in CCW star
-    order), then convert to minimal rings by re-pairing the ring's
-    edges CCW at nodes it passes through more than once.  The pinch-
-    node sector pairing differs from the overlay tracer's rule — it
-    is what separates island faces from their surrounding face."""
+    (src/operation/polygonize/PolygonizeGraph.cpp:173-280).
+
+    Faithful to the reference's graph granularity: one edge per
+    linestring CHAIN, nodes only at chain endpoints
+    (PolygonizeGraph::addEdge) — a chain passing through another
+    chain's endpoint does NOT create a node there, which is what
+    keeps self-touching rings (a ring whose interior vertex lies on
+    another ring's node) from being woven together at the touch
+    point.  Pipeline: delete dangles and cut edges, build maximal
+    rings with the next-CW-edge pairing (sym(out_i).next = out_{i+1}
+    in CCW star order), then convert to minimal rings by re-pairing
+    each ring's edges CCW at nodes it passes through more than
+    once."""
     import math
 
-    # dangle removal to fixpoint
-    edges = set(undirected)
+    def key(p):
+        return (float(p[0]), float(p[1]))
+
+    # removeRepeatedPoints + drop degenerate chains (addEdge guards)
+    alive: list[np.ndarray] = []
+    for c in chains:
+        c = np.asarray(c, dtype=np.float64)
+        if len(c) < 2:
+            continue
+        keep = np.ones(len(c), dtype=bool)
+        keep[1:] = (c[1:] != c[:-1]).any(axis=1)
+        c = c[keep]
+        if len(c) >= 2:
+            alive.append(c)
+
+    # dangle removal to fixpoint (deleteDangles)
     while True:
         deg: dict = {}
-        for p, q in edges:
-            deg[p] = deg.get(p, 0) + 1
-            deg[q] = deg.get(q, 0) + 1
-        drop = {e for e in edges if deg[e[0]] == 1 or deg[e[1]] == 1}
-        if not drop:
+        for c in alive:
+            deg[key(c[0])] = deg.get(key(c[0]), 0) + 1
+            deg[key(c[-1])] = deg.get(key(c[-1]), 0) + 1
+        nxt_alive = [
+            c
+            for c in alive
+            if deg[key(c[0])] > 1 and deg[key(c[-1])] > 1
+        ]
+        if len(nxt_alive) == len(alive):
             break
-        edges -= drop
-    if not edges:
+        alive = nxt_alive
+    if not alive:
         return []
 
-    def build(dir_edges):
-        n = len(dir_edges)
-        eid = {e: k for k, e in enumerate(dir_edges)}
-        sym = [eid[(b, a)] for (a, b) in dir_edges]
+    def build(chs):
+        # directed edge e = 2*chain + d; d=0 forward, d=1 backward
+        n2 = 2 * len(chs)
+
+        def frm(e):
+            c = chs[e >> 1]
+            return key(c[0]) if (e & 1) == 0 else key(c[-1])
+
+        def dirpt(e):
+            c = chs[e >> 1]
+            return key(c[1]) if (e & 1) == 0 else key(c[-2])
+
         out_at: dict = {}
-        for k, (a, b) in enumerate(dir_edges):
-            out_at.setdefault(a, []).append(k)
+        for e in range(n2):
+            out_at.setdefault(frm(e), []).append(e)
         for a, lst in out_at.items():
             lst.sort(
-                key=lambda k: math.atan2(
-                    dir_edges[k][1][1] - a[1], dir_edges[k][1][0] - a[0]
+                key=lambda e: math.atan2(
+                    dirpt(e)[1] - a[1], dirpt(e)[0] - a[0]
                 )
             )
-        nxt = [None] * n
+        nxt = [None] * n2
         for a, lst in out_at.items():
             m = len(lst)
             for i in range(m):
-                nxt[sym[lst[i]]] = lst[(i + 1) % m]
+                nxt[lst[i] ^ 1] = lst[(i + 1) % m]
         # maximal rings
-        label = [-1] * n
+        label = [-1] * n2
         rings_edges = []
-        for e in range(n):
+        for e in range(n2):
             if label[e] != -1:
                 continue
             lab = len(rings_edges)
@@ -107,34 +148,28 @@ def _polygonize_rings(undirected: set) -> list[np.ndarray]:
                 path.append(cur)
                 cur = nxt[cur]
             rings_edges.append(path)
-        return eid, sym, out_at, nxt, label, rings_edges
+        return out_at, nxt, label, rings_edges
 
-    dir_edges = []
-    for p, q in edges:
-        dir_edges.append((p, q))
-        dir_edges.append((q, p))
-    _, sym, _, _, label, _ = build(dir_edges)
+    _, _, label, _ = build(alive)
     # cut edges: both directions in the same maximal ring
     cut = {
-        tuple(sorted((a, b)))
-        for k, (a, b) in enumerate(dir_edges)
-        if label[k] == label[sym[k]]
+        e >> 1 for e in range(2 * len(alive)) if label[e] == label[e ^ 1]
     }
     if cut:
-        edges -= {e for e in edges if tuple(sorted(e)) in cut}
-        if not edges:
+        alive = [c for i, c in enumerate(alive) if i not in cut]
+        if not alive:
             return []
-        dir_edges = []
-        for p, q in edges:
-            dir_edges.append((p, q))
-            dir_edges.append((q, p))
-    eid, sym, out_at, nxt, label, rings_edges = build(dir_edges)
+    out_at, nxt, label, rings_edges = build(alive)
 
     # minimal conversion: CCW re-pairing at multiply-visited nodes
+    def frm(e):
+        c = alive[e >> 1]
+        return key(c[0]) if (e & 1) == 0 else key(c[-1])
+
     for lab, path in enumerate(rings_edges):
         counts: dict = {}
         for e in path:
-            a = dir_edges[e][0]
+            a = frm(e)
             counts[a] = counts.get(a, 0) + 1
         for node, cnt in counts.items():
             if cnt <= 1:
@@ -144,7 +179,7 @@ def _polygonize_rings(undirected: set) -> list[np.ndarray]:
             prev_in = None
             for de in reversed(star):  # CW iteration over CCW star
                 out_de = de if label[de] == lab else None
-                in_de = sym[de] if label[sym[de]] == lab else None
+                in_de = (de ^ 1) if label[de ^ 1] == lab else None
                 if out_de is None and in_de is None:
                     continue
                 if in_de is not None:
@@ -158,16 +193,18 @@ def _polygonize_rings(undirected: set) -> list[np.ndarray]:
             if prev_in is not None:
                 nxt[prev_in] = first_out
 
-    visited = [False] * len(dir_edges)
+    visited = [False] * (2 * len(alive))
     rings = []
-    for e in range(len(dir_edges)):
+    for e in range(2 * len(alive)):
         if visited[e]:
             continue
         cur = e
-        pts = []
+        pts: list = []
         while not visited[cur]:
             visited[cur] = True
-            pts.append(dir_edges[cur][0])
+            c = alive[cur >> 1]
+            seq = c[:-1] if (cur & 1) == 0 else c[::-1][:-1]
+            pts.extend(map(tuple, seq))
             cur = nxt[cur]
         if cur == e and len(pts) >= 3:
             pts.append(pts[0])
@@ -184,14 +221,9 @@ def polygonize(g: G.Geom) -> list[G.Geom]:
             chains.append(part.data)
         elif part.type_id == G.POLYGON:
             chains.extend(r for r in part.data if len(r) > 1)
-    edges: set = set()
-    for line in chains:
-        for i in range(len(line) - 1):
-            p = (float(line[i, 0]), float(line[i, 1]))
-            q = (float(line[i + 1, 0]), float(line[i + 1, 1]))
-            if p != q:
-                edges.add((p, q) if p < q else (q, p))
-    rings = _polygonize_rings(edges)
+    # chain-level graph, nodes at chain endpoints only
+    # (PolygonizeGraph::addEdge); duplicated chains become cut edges
+    rings = _polygonize_chains(chains)
 
     # JTS EdgeRing convention: shells trace CW (isHole == isCCW);
     # output shells re-oriented CCW for the Geom convention
@@ -219,39 +251,63 @@ def polygonize(g: G.Geom) -> list[G.Geom]:
 
 
 def _ring_contains_cycle(shell: np.ndarray, h: np.ndarray) -> bool:
-    """Containment of a hole cycle in a candidate shell, skipping test
-    points that lie ON the shell (hole edges legitimately coincide
-    with the shells of the faces filling them — the reference's
-    EdgeRing::findEdgeRingContaining uses the same
-    point-not-on-candidate search)."""
+    """EdgeRing::findEdgeRingContaining candidate test
+    (src/operation/polygonize/EdgeRing.cpp): reject equal envelopes
+    (self/coincident rings), require envelope containment, then
+    point-in-ring (boundary-inclusive, PointLocation::isInRing) of
+    the first hole VERTEX not present in the shell's coordinate list
+    — an original exact coordinate, so the on-boundary decision is
+    exact, unlike a computed midpoint."""
     from geos_spark.kernels.orientation import orientation_index
     from geos_spark.kernels.overlay import _point_in_ring_parity
 
+    senv = (
+        shell[:, 0].min(), shell[:, 1].min(),
+        shell[:, 0].max(), shell[:, 1].max(),
+    )
+    henv = (
+        h[:, 0].min(), h[:, 1].min(), h[:, 0].max(), h[:, 1].max(),
+    )
+    if senv == henv:
+        return False
+    if not (
+        senv[0] <= henv[0]
+        and senv[1] <= henv[1]
+        and henv[2] <= senv[2]
+        and henv[3] <= senv[3]
+    ):
+        return False
+    sset = {(float(x), float(y)) for x, y in shell}
+    pt = None
+    for x, y in h[:-1]:
+        k = (float(x), float(y))
+        if k not in sset:
+            pt = k
+            break
+    if pt is None:
+        return False  # every hole vertex on the candidate (ptNotInList)
     segs = np.hstack([shell[:-1], shell[1:]])
-    for i in range(len(h) - 1):
-        pt = ((h[i, 0] + h[i + 1, 0]) / 2.0, (h[i, 1] + h[i + 1, 1]) / 2.0)
-        inx = (np.minimum(segs[:, 0], segs[:, 2]) <= pt[0]) & (
-            pt[0] <= np.maximum(segs[:, 0], segs[:, 2])
+    inx = (np.minimum(segs[:, 0], segs[:, 2]) <= pt[0]) & (
+        pt[0] <= np.maximum(segs[:, 0], segs[:, 2])
+    )
+    iny = (np.minimum(segs[:, 1], segs[:, 3]) <= pt[1]) & (
+        pt[1] <= np.maximum(segs[:, 1], segs[:, 3])
+    )
+    cand = np.flatnonzero(inx & iny)
+    if len(cand):
+        s = segs[cand]
+        o = orientation_index(
+            s[:, 0], s[:, 1], s[:, 2], s[:, 3], pt[0], pt[1]
         )
-        iny = (np.minimum(segs[:, 1], segs[:, 3]) <= pt[1]) & (
-            pt[1] <= np.maximum(segs[:, 1], segs[:, 3])
-        )
-        cand = np.flatnonzero(inx & iny)
-        on_bdy = False
-        if len(cand):
-            s = segs[cand]
-            o = orientation_index(
-                s[:, 0], s[:, 1], s[:, 2], s[:, 3], pt[0], pt[1]
-            )
-            on_bdy = bool((np.asarray(o) == 0).any())
-        if on_bdy:
-            continue
-        return _point_in_ring_parity(pt, shell)
-    return False  # every test point on the candidate: coincident rings
+        if bool((np.asarray(o) == 0).any()):
+            return True  # on the ring: isInRing is boundary-inclusive
+    return _point_in_ring_parity(pt, shell)
 
 
-def build_area(g: G.Geom) -> G.Geom:
-    """BuildArea.cpp::build."""
+def build_area(g: G.Geom, scale: float | None = None) -> G.Geom:
+    """BuildArea.cpp::build.  ``scale`` = the input factory's FIXED
+    PrecisionModel scale, inherited by the dissolving cascaded union
+    (OverlayNGRobust.cpp:96-100); None = floating."""
     from geos_spark.kernels.union import cascaded_polygon_union
 
     polys = polygonize(g)
@@ -286,13 +342,16 @@ def build_area(g: G.Geom) -> G.Geom:
     keep = [polys[i] for i in range(n) if ancestors(i) % 2 == 0]
     if not keep:
         return G.Geom(G.GEOMETRYCOLLECTION, [])
-    u = cascaded_polygon_union(keep)
+    u = cascaded_polygon_union(keep, scale)
     return u
 
 
-def _node_line_with_first_coordinate(g: G.Geom) -> G.Geom | None:
+def _node_line_with_first_coordinate(
+    g: G.Geom, scale: float | None = None
+) -> G.Geom | None:
     """MakeValid.cpp nodeLineWithFirstCoordinate: noding union of a
-    lineal geometry with one of its own points."""
+    lineal geometry with one of its own points.  Under a FIXED input
+    PrecisionModel the union snap-rounds (OverlayNGRobust.cpp:96)."""
     if g.is_empty:
         return None
     first = None
@@ -302,7 +361,10 @@ def _node_line_with_first_coordinate(g: G.Geom) -> G.Geom | None:
             break
     if first is None:
         return None
-    return OV.overlay_robust(g, G.Geom.point(first[0], first[1]), OV.UNION)
+    pt = G.Geom.point(first[0], first[1])
+    if scale is not None:
+        return OV.overlay(g, pt, OV.UNION, scale)
+    return OV.overlay_robust(g, pt, OV.UNION)
 
 
 def _unique_points(g: G.Geom) -> G.Geom:
@@ -328,30 +390,35 @@ def _unique_points(g: G.Geom) -> G.Geom:
     return G.Geom.collection(G.MULTIPOINT, pts)
 
 
-def _make_valid_line(g: G.Geom) -> G.Geom | None:
-    return _node_line_with_first_coordinate(g)
+def _make_valid_line(g: G.Geom, scale: float | None = None) -> G.Geom | None:
+    return _node_line_with_first_coordinate(g, scale)
 
 
-def _make_valid_poly(g: G.Geom) -> G.Geom:
+def _make_valid_poly(g: G.Geom, scale: float | None = None) -> G.Geom:
     from geos_spark.kernels.scalars import geom_boundary
 
+    def _ov(x, y, op):
+        if scale is not None:
+            return OV.overlay(x, y, op, scale)
+        return OV.overlay_robust(x, y, op)
+
     bound = geom_boundary(g)
-    cut_edges = _node_line_with_first_coordinate(bound)
+    cut_edges = _node_line_with_first_coordinate(bound, scale)
     if cut_edges is None:
         return G.Geom(G.POLYGON, [])
-    collapse_points = OV.overlay_robust(
+    collapse_points = _ov(
         _unique_points(bound), _unique_points(cut_edges), OV.DIFFERENCE
     )
     area: G.Geom = G.Geom(G.POLYGON, [])
     while not cut_edges.is_empty and any(
         p.type_id == G.LINESTRING for p in cut_edges.geoms()
     ):
-        new_area = build_area(cut_edges)
+        new_area = build_area(cut_edges, scale)
         if new_area.is_empty:
             break
         new_bound = geom_boundary(new_area)
-        area = OV.overlay_robust(area, new_area, OV.SYMDIFFERENCE)
-        cut_edges = OV.overlay_robust(cut_edges, new_bound, OV.DIFFERENCE)
+        area = _ov(area, new_area, OV.SYMDIFFERENCE)
+        cut_edges = _ov(cut_edges, new_bound, OV.DIFFERENCE)
     items = []
     if not area.is_empty:
         items.append(area)
@@ -366,8 +433,10 @@ def _make_valid_poly(g: G.Geom) -> G.Geom:
     return G.Geom.collection(G.GEOMETRYCOLLECTION, items)
 
 
-def make_valid(g: G.Geom) -> G.Geom:
-    """MakeValid::build."""
+def make_valid(g: G.Geom, scale: float | None = None) -> G.Geom:
+    """MakeValid::build.  ``scale`` = the input factory's FIXED
+    PrecisionModel scale — every internal overlay then snap-rounds,
+    matching OverlayNGRobust's fixed-PM dispatch."""
     try:
         if is_valid(g):
             return g
@@ -375,13 +444,13 @@ def make_valid(g: G.Geom) -> G.Geom:
         pass
     t = g.type_id
     if t == G.LINESTRING:
-        out = _make_valid_line(g)
+        out = _make_valid_line(g, scale)
         return out if out is not None else G.Geom.empty(G.LINESTRING)
     if t == G.MULTILINESTRING:
         points = []
         lines = []
         for part in g.geoms():
-            v = _make_valid_line(part)
+            v = _make_valid_line(part, scale)
             if v is None or v.is_empty:
                 continue
             if v.type_id == G.POINT:
@@ -414,9 +483,9 @@ def make_valid(g: G.Geom) -> G.Geom:
             return lrt
         return G.Geom.empty(G.MULTILINESTRING)
     if t in (G.POLYGON, G.MULTIPOLYGON):
-        return _make_valid_poly(g)
+        return _make_valid_poly(g, scale)
     if t == G.GEOMETRYCOLLECTION:
         return G.Geom.collection(
-            G.GEOMETRYCOLLECTION, [make_valid(p) for p in g.data]
+            G.GEOMETRYCOLLECTION, [make_valid(p, scale) for p in g.data]
         )
     return g

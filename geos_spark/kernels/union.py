@@ -149,12 +149,16 @@ def union_lines(g: G.Geom) -> G.Geom:
     return G.Geom(G.MULTILINESTRING, parts)
 
 
-def cascaded_polygon_union(polys: list[G.Geom]) -> G.Geom:
+def cascaded_polygon_union(
+    polys: list[G.Geom], scale: float | None = None
+) -> G.Geom:
     """Balanced binary union merge tree
     (CascadedPolygonUnion::binaryUnion,
     src/operation/union/CascadedPolygonUnion.cpp:89-122) — the same
     partial/final associative-merge shape the distributed aggregate
-    uses per cell."""
+    uses per cell.  ``scale`` runs every merge under a FIXED
+    PrecisionModel, as OverlayNGRobust does when the inputs' factory
+    carries one (OverlayNGRobust.cpp:96-100)."""
     from geos_spark.kernels import overlay as OV
 
     def area_only(g: G.Geom) -> G.Geom:
@@ -167,11 +171,16 @@ def cascaded_polygon_union(polys: list[G.Geom]) -> G.Geom:
             return parts[0]
         return G.Geom.collection(G.MULTIPOLYGON, parts)
 
+    def union2(x: G.Geom, y: G.Geom) -> G.Geom:
+        if scale is not None:
+            return OV.overlay(x, y, OV.UNION, scale)
+        return OV.overlay_robust(x, y, OV.UNION)
+
     def merge(lo: int, hi: int) -> G.Geom:
         if hi - lo == 1:
             return polys[lo]
         mid = (lo + hi) // 2
-        return area_only(OV.overlay_robust(merge(lo, mid), merge(mid, hi), OV.UNION))
+        return area_only(union2(merge(lo, mid), merge(mid, hi)))
 
     if not polys:
         return G.Geom(G.POLYGON, [])

@@ -1,12 +1,15 @@
 """buildArea / makeValid vs the xmltester golden corpus
 (misc/buildarea.xml, misc/makevalid.xml — exact normalized compare).
 
-Two known misses, both multiply-nested-faces structure:
-- buildarea.xml:7:0 — face set for rings touching at a point differs
-  from the reference Polygonizer's edge-ring pairing;
-- makevalid.xml:13:0 — same underlying face decomposition feeds the
-  iterative symdiff, yielding an equivalent-area but differently
-  structured result.
+Full parity.  The two historic misses were recovered by:
+- the chain-granularity PolygonizeGraph (nodes at linestring
+  endpoints only) + the faithful findEdgeRingContaining hole test
+  (buildarea.xml:7:0, self-touching rings);
+- honoring the run-level FIXED precisionModel: OverlayNGRobust
+  dispatches to fixed-PM snap-rounding when the input factory
+  carries one (OverlayNGRobust.cpp:96-100), so every overlay inside
+  MakeValid/BuildArea rounds to the file's grid (makevalid.xml:13:0,
+  scale=10).
 """
 
 import pytest
@@ -18,7 +21,7 @@ from geos_spark.kernels.xmltester import load_cases
 
 BASE = "/root/reference/tests/xmltester/tests/misc"
 
-KNOWN_MISSES = {"buildarea.xml:7:0", "makevalid.xml:13:0"}
+KNOWN_MISSES: set = set()
 
 
 def _cases():
@@ -36,6 +39,10 @@ def _cases():
 @pytest.mark.parametrize("case", list(_cases()))
 def test_buildarea_makevalid(case):
     g = parse_wkt(case.wkt_a)
-    got = build_area(g) if case.op == "buildarea" else make_valid(g)
+    got = (
+        build_area(g, case.pm_scale)
+        if case.op == "buildarea"
+        else make_valid(g, case.pm_scale)
+    )
     exp = parse_wkt(case.expected)
     assert geoms_equal_normalized(got, exp), case.case_id
