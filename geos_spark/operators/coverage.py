@@ -286,3 +286,179 @@ def coverage_simplify_partitioned(
         .groupBy("grp")
         .applyInPandas(_simplify, _SIMP_SCHEMA)
     )
+
+
+_CLEAN_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("cleaned_wkb", T.BinaryType()),
+    ]
+)
+
+
+def coverage_clean_partitioned(
+    df: DataFrame,
+    id_col: str = "id",
+    wkb_col: str = "wkb",
+    snapping_distance: float = -1.0,
+    overlap_merge_strategy: int = 0,
+    gap_maximum_width: float = 0.0,
+    halo_margin: float | None = None,
+    level: int = 4,
+    extent: tuple[float, float, float, float] = DEFAULT_EXTENT,
+) -> DataFrame:
+    """Distributed coverage cleaning (CoverageCleaner semantics,
+    src/coverage/CoverageCleaner.cpp:142-460 via
+    ``kernels/coverage_clean.py``): snap+node the linework, classify
+    resultant faces as face / overlap / gap, merge overlaps by
+    strategy and narrow gaps to the longest-border neighbour, return
+    one cleaned geometry per member (dropped when collapsed/covered).
+
+    Partitioned contract (same shape as
+    ``coverage_simplify_partitioned``):
+
+    - each member is *owned* by the tile of its envelope center at
+      ``level``;
+    - a member ships as halo context to every tile its envelope,
+      expanded by ``halo_margin``, touches;
+    - each group runs the single-node kernel over owned + halo,
+      members ordered by global id (so index-based merge decisions
+      — MERGE_MIN_INDEX, scan-order tie-breaks — are the
+      deterministic id order everywhere), and emits owned results
+      only.
+
+    ``halo_margin`` defaults to ``r_max + snapping_distance +
+    gap_maximum_width`` where ``r_max`` is the largest member
+    half-extent — every member within snap/gap reach of an owned
+    member is then present in its group, so face classification and
+    merge decisions replay identically in every group that sees the
+    same seam.  Caveat (documented, not hidden): a *gap* whose
+    adjacent members are farther apart than the margin (a sliver much
+    longer than ``gap_maximum_width``) can see different candidate
+    sets in different groups; pass an explicit ``halo_margin`` of at
+    least the longest expected gap diameter for strict global parity.
+
+    Passing explicit ``snapping_distance >= 0`` and ``halo_margin``
+    keeps plan construction lazy; otherwise ONE dim-sized agg
+    (4 doubles) runs eagerly to derive them, exactly like the
+    reference's default snap tolerance (diagonal / 1e8,
+    CoverageCleaner.cpp computeDefaultSnappingDistance)."""
+    from geos_spark.functions.st import st_envelope_struct
+    from geos_spark.operators.cluster import _materialize
+
+    minx, miny, maxx, maxy = extent
+    n = 1 << level
+    sx = (maxx - minx) / n
+    sy = (maxy - miny) / n
+
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(wkb_col).alias("wkb"),
+    ).withColumn("env", st_envelope_struct(F.col("wkb")))
+    base = _materialize(
+        base.select(
+            "id",
+            "wkb",
+            F.col("env.xmin").alias("xmin"),
+            F.col("env.ymin").alias("ymin"),
+            F.col("env.xmax").alias("xmax"),
+            F.col("env.ymax").alias("ymax"),
+        )
+    )
+
+    tol = float(snapping_distance)
+    margin = halo_margin
+    if tol < 0 or margin is None:
+        stats = base.agg(
+            F.min("xmin").alias("x0"),
+            F.min("ymin").alias("y0"),
+            F.max("xmax").alias("x1"),
+            F.max("ymax").alias("y1"),
+            F.max(
+                F.greatest(
+                    F.col("xmax") - F.col("xmin"),
+                    F.col("ymax") - F.col("ymin"),
+                )
+            ).alias("ext"),
+        ).collect()[0]
+        if tol < 0:
+            import math
+
+            diag = math.hypot(
+                (stats.x1 or 0.0) - (stats.x0 or 0.0),
+                (stats.y1 or 0.0) - (stats.y0 or 0.0),
+            )
+            tol = diag / 1.0e8
+        if margin is None:
+            margin = (
+                (stats.ext or 0.0) / 2.0 + tol + float(gap_maximum_width)
+            )
+    margin = float(margin)
+
+    cx = (F.col("xmin") + F.col("xmax")) / 2
+    cy = (F.col("ymin") + F.col("ymax")) / 2
+    hgx = F.greatest(
+        F.lit(0),
+        F.least(F.lit(n - 1), F.floor((cx - F.lit(minx)) / F.lit(sx))),
+    )
+    hgy = F.greatest(
+        F.lit(0),
+        F.least(F.lit(n - 1), F.floor((cy - F.lit(miny)) / F.lit(sy))),
+    )
+    home = base.withColumn("part", (hgx * F.lit(n) + hgy).cast("long"))
+
+    def clamp(col):
+        return F.greatest(F.lit(0), F.least(F.lit(n - 1), col))
+
+    gx0 = clamp(F.floor((F.col("xmin") - F.lit(margin) - F.lit(minx)) / F.lit(sx)))
+    gx1 = clamp(F.floor((F.col("xmax") + F.lit(margin) - F.lit(minx)) / F.lit(sx)))
+    gy0 = clamp(F.floor((F.col("ymin") - F.lit(margin) - F.lit(miny)) / F.lit(sy)))
+    gy1 = clamp(F.floor((F.col("ymax") + F.lit(margin) - F.lit(miny)) / F.lit(sy)))
+    work = (
+        home.withColumn("tgx", F.explode(F.sequence(gx0, gx1)))
+        .withColumn("tgy", F.explode(F.sequence(gy0, gy1)))
+        .select(
+            (F.col("tgx") * F.lit(n) + F.col("tgy")).cast("long").alias("grp"),
+            "id",
+            "wkb",
+            (
+                F.col("part") == F.col("tgx") * F.lit(n) + F.col("tgy")
+            ).alias("is_owned"),
+        )
+    )
+
+    strategy = int(overlap_merge_strategy)
+    gap_w = float(gap_maximum_width)
+
+    def _clean(pdf: pd.DataFrame) -> pd.DataFrame:
+        from geos_spark.kernels.coverage_clean import coverage_clean
+        from geos_spark.kernels.wkb import parse_wkb, write_wkb
+
+        pdf = pdf.sort_values("id", kind="mergesort")
+        if not pdf["is_owned"].any():
+            return pd.DataFrame({"id": [], "cleaned_wkb": []})
+        geoms = [parse_wkb(bytes(w)) for w in pdf["wkb"]]
+        out = coverage_clean(
+            geoms,
+            snapping_distance=tol,
+            overlap_merge_strategy=strategy,
+            gap_maximum_width=gap_w,
+        )
+        ids, wkbs = [], []
+        for i, (gid, owned) in enumerate(
+            zip(pdf["id"].to_numpy(), pdf["is_owned"].to_numpy())
+        ):
+            if owned and out[i] is not None:
+                ids.append(int(gid))
+                wkbs.append(write_wkb(out[i]))
+        return pd.DataFrame({"id": ids, "cleaned_wkb": wkbs})
+
+    nparts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        or "32"
+    )
+    return (
+        work.repartition(nparts, "grp")
+        .groupBy("grp")
+        .applyInPandas(_clean, _CLEAN_SCHEMA)
+    )

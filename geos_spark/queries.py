@@ -908,6 +908,91 @@ FROM range(8) gx, range(8) gy
 """
 
 
+def q_coverage_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed coverage cleaning (CoverageCleaner semantics,
+    src/coverage/CoverageCleaner.cpp:142-460) over an 8x8 grid of
+    32x32 rectangles with engineered defects:
+
+    - overlap: cells at (gx%4==1, gy%4==2) are widened 4 units east,
+      overlapping their east neighbour by a 4x32 strip; under
+      MERGE_MAX_AREA the widened cell's remaining face (1024) beats
+      the neighbour's (896), so the strip merges WEST;
+    - gap: cells at (gx%4==3, gy%4==1) are shrunk 2 units on the
+      west edge, leaving a 2x32 sliver gap (inscribed diameter 2 <=
+      gap_maximum_width 3) that merges to the longest-border
+      neighbour — the west rect wins the id-ascending strict-greater
+      scan (CleanCoverage::mergeGap semantics).
+
+    Partitioned at level 6 (tile 64 = 2x2 rects per group) with an
+    explicit halo margin, so the plan stays lazy and every defect is
+    decided identically in every group that sees it.  The cleaned
+    area and perimeter per member are closed-form."""
+    from geos_spark.functions.st import st_area, st_length
+    from geos_spark.operators.coverage import (
+        coverage_clean_partitioned,
+    )
+
+    def _grid(spark):
+        from geos_spark.kernels import geom as G
+        from geos_spark.kernels.wkb import write_wkb
+
+        rows = []
+        for gx in range(8):
+            for gy in range(8):
+                x0, y0 = 32.0 * gx, 32.0 * gy
+                x1, y1 = x0 + 32.0, y0 + 32.0
+                if gx % 4 == 1 and gy % 4 == 2:
+                    x1 += 4.0  # overlap east neighbour
+                if gx % 4 == 3 and gy % 4 == 1:
+                    x0 += 2.0  # sliver gap to west neighbour
+                ring = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+                rows.append(
+                    (gx * 8 + gy,
+                     bytearray(write_wkb(G.Geom.polygon([ring]))))
+                )
+        return spark.createDataFrame(rows, "id long, wkb binary")
+
+    out = coverage_clean_partitioned(
+        _grid(spark),
+        snapping_distance=0.0,
+        overlap_merge_strategy=1,  # MERGE_MAX_AREA
+        gap_maximum_width=3.0,
+        halo_margin=48.0,
+        level=6,
+        extent=EXTENT,
+    )
+    return out.select(
+        "id",
+        F.round(st_area(F.col("cleaned_wkb")), 6).alias("area_r"),
+        F.round(st_length(F.col("cleaned_wkb")), 6).alias("perim_r"),
+    )
+
+
+def q_coverage_clean_sql() -> str:
+    """Closed-form oracle: widened cells absorb the 4x32 overlap
+    (36x32 rect), their east neighbours lose it (28x32); gap donors
+    shrink to 30x32, their west neighbours absorb the 2x32 sliver
+    (34x32); everything else stays 32x32."""
+    return """
+SELECT gx.range * 8 + gy.range AS id,
+       CASE
+         WHEN gx.range % 4 = 1 AND gy.range % 4 = 2 THEN 1152.0
+         WHEN gx.range % 4 = 2 AND gy.range % 4 = 2 THEN 896.0
+         WHEN gx.range % 4 = 3 AND gy.range % 4 = 1 THEN 960.0
+         WHEN gx.range % 4 = 2 AND gy.range % 4 = 1 THEN 1088.0
+         ELSE 1024.0
+       END AS area_r,
+       CASE
+         WHEN gx.range % 4 = 1 AND gy.range % 4 = 2 THEN 136.0
+         WHEN gx.range % 4 = 2 AND gy.range % 4 = 2 THEN 120.0
+         WHEN gx.range % 4 = 3 AND gy.range % 4 = 1 THEN 124.0
+         WHEN gx.range % 4 = 2 AND gy.range % 4 = 1 THEN 132.0
+         ELSE 128.0
+       END AS perim_r
+FROM range(8) gx, range(8) gy
+"""
+
+
 _POLY_SHIFT = (100.0, 60.0)  # L1 = 160 < 2*96: real intersecting pairs
 
 
@@ -1802,6 +1887,7 @@ QUERIES = {
     "poly_contains": q_poly_contains,
     "coverage_valid": q_coverage_valid,
     "coverage_simplify": q_coverage_simplify,
+    "coverage_clean": q_coverage_clean,
     "hull_agg": q_hull_agg,
     "union_points": q_union_points,
     "simhash": q_simhash,
@@ -1854,6 +1940,7 @@ ORACLES = {
     "poly_contains": q_poly_contains_sql(),
     "coverage_valid": q_coverage_valid_sql(),
     "coverage_simplify": q_coverage_simplify_sql(),
+    "coverage_clean": q_coverage_clean_sql(),
     "hull_agg": q_hull_agg_sql(),
     "union_area": q_union_area_sql(),
     "tile_reunion": q_tile_reunion_sql(),
