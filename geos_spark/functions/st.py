@@ -617,6 +617,52 @@ def st_relate(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def st_relatebnr(rule):
+    """DE-9IM matrix under an explicit boundary node rule
+    (GEOSRelateBoundaryNodeRule, capi/geos_c.h.in
+    GEOSRelateBoundaryNodeRules): 1 = Mod-2/OGC (st_relate default),
+    2 = EndPoint, 3 = MultiValentEndPoint, 4 = MonoValentEndPoint.
+    Accepts the int or the name ("mod2", "endpoint", "multivalent",
+    "monovalent")."""
+    from geos_spark.kernels import relate as R
+
+    names = {
+        "mod2": R.BNR_MOD2,
+        "ogc": R.BNR_MOD2,
+        "endpoint": R.BNR_ENDPOINT,
+        "multivalent": R.BNR_MULTIVALENT,
+        "monovalent": R.BNR_MONOVALENT,
+    }
+    bnr = names[rule.lower()] if isinstance(rule, str) else int(rule)
+
+    def fn(wkb_a, wkb_b):
+        from geos_spark.kernels.relate import relate
+
+        ca, ua = pd.factorize(
+            wkb_a.map(lambda b: None if b is None else bytes(b))
+        )
+        cb, ub = pd.factorize(
+            wkb_b.map(lambda b: None if b is None else bytes(b))
+        )
+        ga = [None if u is None else parse_wkb(u) for u in ua]
+        gb = [None if u is None else parse_wkb(u) for u in ub]
+        cache: dict = {}
+        out = []
+        for i, j in zip(ca, cb):
+            if i < 0 or j < 0:
+                out.append(None)
+                continue
+            k = (int(i), int(j))
+            v = cache.get(k)
+            if v is None:
+                v = relate(ga[i], gb[j], bnr)
+                cache[k] = v
+            out.append(v)
+        return pd.Series(out)
+
+    return pandas_udf(fn, T.StringType())
+
+
 @pandas_udf(T.DoubleType())
 def st_distance(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
     return pd.Series(

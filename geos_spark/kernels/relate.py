@@ -111,8 +111,35 @@ def _segments_of_rings(rings):
     return np.concatenate(segs), np.asarray(meta, dtype=int)
 
 
+# Boundary node rules (include/geos/algorithm/BoundaryNodeRule.h:52-129;
+# numbering matches the CAPI GEOSRelateBoundaryNodeRules enum,
+# capi/geos_c.h.in). The rule decides which line endpoints are boundary
+# from their valence (number of incident line-ends); everything else in
+# the relate algebra is unchanged.
+BNR_MOD2 = 1  # OGC SFS: odd valence (the default)
+BNR_ENDPOINT = 2  # any endpoint
+BNR_MULTIVALENT = 3  # valence > 1 (closed rings included)
+BNR_MONOVALENT = 4  # valence == 1
+
+# active rule for the current relate() call tree; kernels run
+# single-threaded per python worker, so a module scalar (set/reset in
+# relate()/relate_pattern() with try/finally) is race-free
+_BNR = BNR_MOD2
+
+
+def _in_boundary(valence: int) -> bool:
+    if _BNR == BNR_MOD2:
+        return valence % 2 == 1
+    if _BNR == BNR_ENDPOINT:
+        return valence > 0
+    if _BNR == BNR_MULTIVALENT:
+        return valence > 1
+    return valence == 1  # BNR_MONOVALENT
+
+
 def _line_boundary_points(lines: list[np.ndarray]) -> np.ndarray:
-    """Mod-2 boundary: endpoints with odd multiplicity."""
+    """Endpoints whose valence the active boundary node rule puts in
+    the boundary (Mod-2 / odd valence by default)."""
     cnt: Counter = Counter()
     pts: dict[tuple, tuple[float, float]] = {}
     for c in lines:
@@ -120,7 +147,7 @@ def _line_boundary_points(lines: list[np.ndarray]) -> np.ndarray:
             k = _key(p[0], p[1])
             cnt[k] += 1
             pts[k] = (float(p[0]), float(p[1]))
-    b = [pts[k] for k, n in cnt.items() if n % 2 == 1]
+    b = [pts[k] for k, n in cnt.items() if _in_boundary(n)]
     return np.asarray(b, dtype=np.float64).reshape(-1, 2)
 
 
@@ -526,8 +553,22 @@ def _relate_mixed(ca: dict, cb: dict) -> str:
     return str(im)
 
 
-def relate(a: G.Geom, b: G.Geom) -> str:
-    """Full DE-9IM matrix string for (a, b)."""
+def relate(a: G.Geom, b: G.Geom, bnr: int | None = None) -> str:
+    """Full DE-9IM matrix string for (a, b).
+
+    ``bnr`` selects the boundary node rule (``BNR_MOD2`` default,
+    ``BNR_ENDPOINT`` / ``BNR_MULTIVALENT`` / ``BNR_MONOVALENT`` —
+    RelateNG::relate(g1, g2, bnRule) semantics). ``None`` inherits the
+    caller's active rule, so internal recursion (GC class
+    decomposition) stays under the rule of the public call."""
+    global _BNR
+    if bnr is not None and bnr != _BNR:
+        prev = _BNR
+        _BNR = bnr
+        try:
+            return relate(a, b)
+        finally:
+            _BNR = prev
     a = _collapse_degenerate_lines(a)
     b = _collapse_degenerate_lines(b)
 
@@ -942,8 +983,10 @@ def matches(im: str, pattern: str) -> bool:
     return True
 
 
-def relate_pattern(a: G.Geom, b: G.Geom, pattern: str) -> bool:
-    return matches(relate(a, b), pattern)
+def relate_pattern(
+    a: G.Geom, b: G.Geom, pattern: str, bnr: int | None = None
+) -> bool:
+    return matches(relate(a, b, bnr), pattern)
 
 
 def intersects(a, b) -> bool:
