@@ -300,6 +300,9 @@ def run_suite(cores: int, scaling: bool = False, n_execs: int | None = None) -> 
     ).write.format("noop").mode("overwrite").save()
 
     qs = _scaling_queries(spark, cores) if scaling else _bench_queries(spark)
+    only = os.environ.get("SPARK_GRAFT_ONLY_QUERY")
+    if only:
+        qs = {only: qs[only]}
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     input_rows: dict[str, int] = {}
@@ -338,23 +341,37 @@ def run_suite(cores: int, scaling: bool = False, n_execs: int | None = None) -> 
 def main() -> None:
     if "--scaling-execs" in sys.argv:
         # N vs 4N EXECUTOR processes (local-cluster[n,2,mem]), each
-        # taskset-pinned to 2*n CPUs so hardware parallelism matches
+        # taskset-pinned to 2*n CPUs so hardware parallelism matches.
+        # Each QUERY gets a fresh cluster: with small (3g) executors,
+        # heap/GC state left by a previous 48m-row query degrades the
+        # next one by 2x+ (measured), polluting the per-query scaling
+        # signal — a fleet running one query per job never sees that.
         n = int(os.environ.get("SPARK_GRAFT_SCALE_EXECS", "1"))
         levels = (n, 4 * n)
+        qnames = ["pip_join_48m", "pip_native_48m", "tile_pipeline_96m",
+                  "token_stats_6m"]
         res = {}
         for execs in levels:
-            env = dict(os.environ)
-            env["SPARK_GRAFT_CPUS"] = str(2 * execs)
-            env["SPARK_GRAFT_EXECS"] = str(execs)
-            cmd = [sys.executable, __file__, "--scaling-single"]
-            import shutil
+            merged: dict = {"queries": {}, "input_rows_per_sec": {}}
+            for qn in qnames:
+                env = dict(os.environ)
+                env["SPARK_GRAFT_CPUS"] = str(2 * execs)
+                env["SPARK_GRAFT_EXECS"] = str(execs)
+                env["SPARK_GRAFT_ONLY_QUERY"] = qn
+                cmd = [sys.executable, __file__, "--scaling-single"]
+                import shutil
 
-            if shutil.which("taskset"):
-                cmd = ["taskset", "-c", f"0-{2 * execs - 1}"] + cmd
-            out = subprocess.run(
-                cmd, env=env, capture_output=True, text=True, check=True
-            )
-            res[execs] = json.loads(out.stdout.strip().splitlines()[-1])
+                if shutil.which("taskset"):
+                    cmd = ["taskset", "-c", f"0-{2 * execs - 1}"] + cmd
+                out = subprocess.run(
+                    cmd, env=env, capture_output=True, text=True, check=True
+                )
+                one = json.loads(out.stdout.strip().splitlines()[-1])
+                merged["queries"].update(one["queries"])
+                merged["input_rows_per_sec"].update(
+                    one["input_rows_per_sec"]
+                )
+            res[execs] = merged
         lo, hi = levels
         eff = {}
         for q in res[lo]["queries"]:
