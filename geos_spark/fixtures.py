@@ -332,7 +332,14 @@ def run_case(wkt_a, wkt_b, op, args, pm_scale) -> str:
 
     base = op[:-2] if op.endswith(("ng", "sr")) else op
     if base in OV_OPS:
-        scale = float(args[-1]) if op.endswith("sr") else pm_scale
+        if op.endswith("sr"):
+            # XMLTester *SR ops: precision defaults to 1.0 without arg3
+            try:
+                scale = float(args[-1])
+            except (ValueError, IndexError):
+                scale = 1.0
+        else:
+            scale = pm_scale
         if scale is not None:
             return canon_wkt(OV.overlay(g1, g2, OV_OPS[base], scale))
         return canon_wkt(OV.overlay_robust(g1, g2, OV_OPS[base]))

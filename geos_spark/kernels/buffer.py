@@ -820,7 +820,13 @@ def _extract_faces(pieces: list):
             ind[d[1]] += 1
 
     balanced = all(outd[n] == ind[n] for n in set(outd) | set(ind))
-    polys = _assemble_polygons(_trace_rings(directed)) if directed else []
+    # lenient tracing: the buffer ladder handles malformed
+    # arrangements itself (retry at reduced precision via `balanced`)
+    polys = (
+        _assemble_polygons(_trace_rings(directed, strict=False))
+        if directed
+        else []
+    )
     return polys, balanced and (bool(polys) or not directed)
 
 

@@ -815,15 +815,97 @@ def _resolve_labels(edges: dict, inputs: list[G.Geom], dims: list[int]) -> None:
                     need_loc[i].append(e)
                 else:
                     e.line_loc[i] = _EXT
+    ambiguous: list[list[_Edge]] = [[], []]
     for i in range(2):
         if not need_loc[i]:
             continue
         pts = np.array([e.mid for e in need_loc[i]], dtype=np.float64)
         loc = _locate_in_polys(pts, polys[i])
         for e, lv in zip(need_loc[i], loc):
-            # post-noding a NOT_PART midpoint is never truly on the
-            # boundary; a BOUNDARY readback is rounding -> INTERIOR
-            e.line_loc[i] = _INT if int(lv) != _EXT else _EXT
+            if int(lv) == int(BOUNDARY):
+                # midpoint reads back ON input i's boundary: the edge
+                # hugs coincident linework and cannot be located
+                # pointwise — resolve topologically below (provisional
+                # INTERIOR kept as the last-resort fallback)
+                e.line_loc[i] = _INT
+                ambiguous[i].append(e)
+            else:
+                e.line_loc[i] = _INT if int(lv) != _EXT else _EXT
+    for i in range(2):
+        if ambiguous[i]:
+            _propagate_area_locations(edges, i, ambiguous[i])
+
+
+def _propagate_area_locations(
+    edges: dict, i: int, ambiguous: list[_Edge]
+) -> None:
+    """Topological fallback for NOT_PART edges whose midpoint reads
+    back ON input i's boundary (near-coincident linework) — the role
+    of OverlayLabeller::propagateAreaLocations
+    (src/operation/overlayng/OverlayLabeller.cpp): walking CCW around
+    a node, the i-location flips exactly at i-boundary edge-ends, so
+    one confidently-labelled end at a node determines every wedge,
+    and each resolved edge seeds its far endpoint in turn."""
+    import math
+    from collections import deque
+
+    unresolved = {id(e): e for e in ambiguous}
+    star: dict = defaultdict(list)
+    for e in edges.values():
+        dx, dy = e.q[0] - e.p[0], e.q[1] - e.p[1]
+        star[e.p].append((math.atan2(dy, dx), e, True))
+        star[e.q].append((math.atan2(-dy, -dx), e, False))
+    for lst in star.values():
+        lst.sort(key=lambda t: t[0])
+
+    def left_is_interior(e: _Edge, away: bool) -> bool:
+        # int_left is stored for the canonical p->q direction; the
+        # outgoing end at q runs the edge backwards
+        return e.int_left[i] if away else (not e.int_left[i])
+
+    queue = deque()
+    seen: set = set()
+    for e in ambiguous:
+        for node in (e.p, e.q):
+            if node not in seen:
+                seen.add(node)
+                queue.append(node)
+    while queue:
+        node = queue.popleft()
+        seen.discard(node)
+        ends = star.get(node)
+        if not ends:
+            continue
+        m = len(ends)
+        start = -1
+        loc = _EXT
+        for k, (_ang, e, away) in enumerate(ends):
+            if e.kind[i] == _BOUNDARY:
+                start = k
+                # wedge CCW-after an outgoing ray is its left side
+                loc = _INT if left_is_interior(e, away) else _EXT
+                break
+            if id(e) not in unresolved:
+                start = k
+                loc = e.line_loc[i]
+                break
+        if start < 0:
+            continue  # fully ambiguous node; revisit when seeded
+        for step in range(1, m + 1):
+            k = (start + step) % m
+            _ang, e, _away = ends[k]
+            if e.kind[i] == _BOUNDARY:
+                loc = _EXT if loc == _INT else _INT
+            elif id(e) in unresolved:
+                # non-boundary edge: same location on both sides
+                e.line_loc[i] = loc
+                del unresolved[id(e)]
+                other = e.q if node == e.p else e.p
+                if other not in seen:
+                    seen.add(other)
+                    queue.append(other)
+        if not unresolved:
+            break
 
 
 def _side_area_loc(e: _Edge, i: int, left: bool, dims: list[int]) -> int:
@@ -839,52 +921,187 @@ def _side_area_loc(e: _Edge, i: int, left: bool, dims: list[int]) -> int:
 # ----------------------------------------------------------------------
 
 
-def _trace_rings(directed: list[tuple]) -> list[np.ndarray]:
+def _quadrant(dx: float, dy: float) -> int:
+    """geom::Quadrant::quadrant — CCW from the +x axis."""
+    if dx >= 0.0:
+        return 0 if dy >= 0.0 else 3
+    return 1 if dy >= 0.0 else 2
+
+
+def _ccw_end_cmp(node):
+    """Exact CCW angular comparator for edge-ends at ``node``
+    (EdgeEnd::compareDirection: quadrant, then robust orientation) —
+    float atan2 comparisons coin-flip on near-parallel ends, which is
+    precisely the geometry of robustness-corpus slivers."""
+    from geos_spark.kernels.orientation import orientation_index
+
+    nx, ny = node
+
+    def cmp(d1, d2):
+        q1 = _quadrant(d1[0] - nx, d1[1] - ny)
+        q2 = _quadrant(d2[0] - nx, d2[1] - ny)
+        if q1 != q2:
+            return -1 if q1 < q2 else 1
+        o = int(orientation_index(nx, ny, d1[0], d1[1], d2[0], d2[1]))
+        # d2 left of node->d1  =>  d1 is CCW-earlier
+        return -o
+
+    return cmp
+
+
+def _trace_rings(
+    directed: list[tuple], strict: bool = True
+) -> list[np.ndarray]:
     """Assemble rings from directed result edges (interior on the
-    left): walk maximal rings with the DCEL rule (at each node take
-    the first outgoing edge clockwise from the reversed incoming
-    direction), then split self-touching maximal rings into minimal
-    rings at repeated vertices — the role of OverlayNG's
-    MaximalEdgeRing::buildMinimalRings."""
-    out_at: dict = defaultdict(list)
+    left) with the reference's per-node linking state machine
+    (MaximalEdgeRing::linkResultAreaMaxRingAtNode,
+    src/operation/overlayng/MaximalEdgeRing.cpp:36-85): sweep the
+    node star CW from just after an out-edge, pairing each in-result
+    edge with the next out-result edge encountered; convert the
+    linked maximal rings to minimal rings by re-pairing at shared
+    nodes (MaximalEdgeRing::linkMinimalRings); walk the cycles.
+    ``strict`` raises on an unpairable node or unclosed ring (the
+    reference's TopologyException) so the overlay robust ladder
+    escalates; the buffer path passes ``strict=False`` (it has its
+    own degree-balance retry) and malformed walks are dropped."""
+    import functools
+
+    # node -> direction point -> [out_idx, in_idx]
+    pos: dict = defaultdict(dict)
     for k, (a, b) in enumerate(directed):
-        ang = math.atan2(b[1] - a[1], b[0] - a[0])
-        out_at[a].append((ang, k))
-    for lst in out_at.values():
-        lst.sort()
-    used = [False] * len(directed)
-    rings = []
-    for start in range(len(directed)):
-        if used[start]:
+        pos[a].setdefault(b, [None, None])[0] = k
+        pos[b].setdefault(a, [None, None])[1] = k
+    nxt: list = [None] * len(directed)
+    sorted_ends: dict = {}
+    for node, dd in pos.items():
+        # CW star order: an in-result edge links to the out-result
+        # edge next CW of it — the wedge between them is the face on
+        # the in-edge's left (interior-left result convention)
+        ends = sorted(
+            dd.items(),
+            key=functools.cmp_to_key(
+                lambda e1, e2, _c=_ccw_end_cmp(node): _c(e1[0], e2[0])
+            ),
+        )[::-1]
+        sorted_ends[node] = ends
+        m = len(ends)
+        start = next(
+            (i for i, (_dp, oi) in enumerate(ends) if oi[0] is not None),
+            None,
+        )
+        if start is None:
+            if strict:
+                raise ValueError(
+                    "no outgoing result edge at node"
+                )  # in-edges present but no outs: malformed
+            continue  # lenient: leave these in-edges unlinked
+        pending_in = None
+        for step in range(1, m + 1):
+            i = (start + step) % m
+            _dp, (out_k, in_k) = ends[i]
+            if pending_in is None:
+                if in_k is not None and nxt[in_k] is None:
+                    pending_in = in_k
+            elif out_k is not None:
+                nxt[pending_in] = out_k
+                pending_in = None
+        if pending_in is not None and strict:
+            raise ValueError("no outgoing edge found (unpaired in-edge)")
+
+    # label maximal rings (cycles of the max links)
+    ring_of = [-1] * len(directed)
+    n_rings = 0
+    for k0 in range(len(directed)):
+        if ring_of[k0] >= 0:
             continue
-        ring = [directed[start][0]]
-        cur = start
-        closed = False
-        while True:
-            used[cur] = True
-            a, b = directed[cur]
-            ring.append(b)
-            rev = math.atan2(a[1] - b[1], a[0] - b[0])
-            cands = out_at.get(b)
-            if not cands:
-                break  # dangling (degenerate input) — drop
-            # first clockwise from rev: largest angle strictly < rev,
-            # wrapping to the overall largest
-            nxt = None
-            for ang, k in reversed(cands):
-                if ang < rev:
-                    nxt = k
-                    break
-            if nxt is None:
-                nxt = cands[-1][1]
-            if nxt == start:
-                closed = True
+        k = k0
+        broken = False
+        while ring_of[k] < 0:
+            ring_of[k] = n_rings
+            k = nxt[k]
+            if k is None:
+                if strict:
+                    raise ValueError("ring edge missing (unlinked)")
+                broken = True
                 break
-            if used[nxt]:
-                break  # safety: malformed graph
-            cur = nxt
+        if not broken and k != k0 and ring_of[k] != n_rings:
+            if strict:
+                raise ValueError("max ring merged into another")
+            broken = True
+        if broken:
+            # lenient: poison the walk so its edges emit no rings
+            k = k0
+            while 0 <= (ring_of[k] if k is not None else -1):
+                if ring_of[k] != n_rings:
+                    break
+                ring_of[k] = -2
+                k = nxt[k]
+                if k is None:
+                    break
+        n_rings += 1
+
+    # convert to minimal rings: re-link at every node each ring
+    # passes, pairing each ring in-edge with the ring out-edge next
+    # CW of it (MaximalEdgeRing::linkMinRingEdgesAtNode — sweep CCW
+    # from a ring out-edge, each ring in-edge consumes the pending
+    # ring out-edge)
+    nxt_min = list(nxt)
+    done: set = set()
+    for k0 in range(len(directed)):
+        rid = ring_of[k0]
+        if rid < 0:
+            continue  # lenient: poisoned walk
+        node = directed[k0][0]  # k0 is an out-edge at its origin
+        key = (rid, node)
+        if key in done:
+            continue
+        done.add(key)
+        ends = sorted_ends[node]
+        m = len(ends)
+        start = next(
+            i
+            for i, (_dp, oi) in enumerate(ends)
+            if oi[0] is not None and ring_of[oi[0]] == rid
+        )
+        pending_out = ends[start][1][0]
+        # sweep excludes the start position: it is pre-consumed as the
+        # initial pending out (linkMinRingEdgesAtNode: endOut =
+        # nodeEdge, loop runs oNext..endOut exclusive)
+        for step in range(1, m):
+            i = (start + step) % m
+            _dp, (out_k, in_k) = ends[i]
+            if pending_out is None:
+                if out_k is not None and ring_of[out_k] == rid:
+                    pending_out = out_k
+            elif in_k is not None and ring_of[in_k] == rid:
+                nxt_min[in_k] = pending_out
+                pending_out = None
+        if pending_out is not None and strict:
+            raise ValueError("unmatched edge during min-ring linking")
+
+    rings = []
+    visited = [False] * len(directed)
+    for k0 in range(len(directed)):
+        if visited[k0] or ring_of[k0] < 0:
+            continue
+        ring = [directed[k0][0]]
+        k = k0
+        closed = True
+        while True:
+            visited[k] = True
+            ring.append(directed[k][1])
+            k = nxt_min[k]
+            if k is None or (k != k0 and visited[k]):
+                if strict:
+                    raise ValueError(
+                        "ring edge missing or visited twice"
+                    )
+                closed = False
+                break
+            if k == k0:
+                break
         if closed and ring[0] == ring[-1] and len(ring) >= 4:
-            rings.extend(_split_minimal(ring))
+            rings.append(np.asarray(ring, dtype=np.float64))
     return rings
 
 
@@ -930,12 +1147,33 @@ def _assemble_polygons(rings: list[np.ndarray]) -> list[G.Geom]:
         return []
     shell_area = [abs(ring_signed_area(s)) for s in shells]
     assigned: list[list[np.ndarray]] = [[] for _ in shells]
+    # EdgeRing::findEdgeRingContaining semantics (PolygonBuilder):
+    # the test point is a hole VERTEX not present in the candidate
+    # shell (ptNotInList) — an exact input coordinate, unlike an edge
+    # midpoint whose float averaging can land an ulp across a
+    # near-coincident shell edge — located with the exact
+    # RayCrossingCounter, boundary-inclusive (isInRing)
+    shell_polys = [G.Geom(G.POLYGON, [s]) for s in shells]
+    shell_sets = [
+        {(float(x), float(y)) for x, y in s} for s in shells
+    ]
     for h in holes:
-        pt = ((h[0, 0] + h[1, 0]) / 2.0, (h[0, 1] + h[1, 1]) / 2.0)
         best = -1
         best_area = math.inf
         for si, s in enumerate(shells):
-            if shell_area[si] < best_area and _point_in_ring_parity(pt, s):
+            if shell_area[si] >= best_area:
+                continue
+            pt = None
+            for x, y in h[:-1]:
+                if (float(x), float(y)) not in shell_sets[si]:
+                    pt = (float(x), float(y))
+                    break
+            if pt is None:
+                continue  # coincident rings: not a hole of this shell
+            loc = _locate_in_polys(
+                np.array([pt], dtype=np.float64), [shell_polys[si]]
+            )[0]
+            if int(loc) != int(EXTERIOR):
                 best = si
                 best_area = shell_area[si]
         if best >= 0:

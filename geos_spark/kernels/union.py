@@ -42,7 +42,28 @@ def union_lines(g: G.Geom) -> G.Geom:
     every intersection node with any line (including itself); original
     vertices between nodes are preserved; duplicate (collinear-
     dissolved) pieces collapse. No chain re-merging — the reference
-    output keeps noded pieces as-is (TestUnaryUnion.xml cases 3-6)."""
+    output keeps noded pieces as-is (TestUnaryUnion.xml cases 3-6).
+
+    The fast dissolve shares the float noder's blind spot on
+    near-degenerate crossings; validate its noding like the overlay
+    float tier does and, on failure, route through the overlay robust
+    ladder (union with an empty operand — UnaryUnionOp::unionNoOpt),
+    whose snapping tiers collapse near-duplicate linework the way the
+    reference's historical-bug corpus expects (e.g. geos#600)."""
+    from geos_spark.kernels import overlay as OV
+
+    try:
+        out = _union_lines_dissolve(g)
+        segs, _sz, _rf, _sid = OV._collect_segments(out, 0, 0)
+        OV._validate_noding(segs)
+        return out
+    except Exception:
+        return OV.overlay_robust(
+            g, G.Geom.empty(G.LINESTRING), OV.UNION
+        )
+
+
+def _union_lines_dissolve(g: G.Geom) -> G.Geom:
     from geos_spark.kernels.relate import _line_parts, _param_on_seg
     from geos_spark.kernels.segments import (
         COLLINEAR_INTERSECTION,

