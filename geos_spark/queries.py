@@ -1840,6 +1840,16 @@ def q_xt_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FX.buffer_query(spark, FX.buffer_cases())
 
 
+def q_xt_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robustness overlay corpus (tests/xmltester/tests/robust/overlay
+    — historical JTS/GEOS failure geometries): area-identity checks
+    (overlayAreaTest), unary-union scalars under the reference's own
+    1e-3 tolerance, exact intersection/differenceSR/isValid cases."""
+    from geos_spark import fixtures as FX
+
+    return FX.fixture_query(spark, FX.robust_cases())
+
+
 def q_xt_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operators the xmltester corpus lacks, against the reference's
     unit-test expectations: snap, sharedPaths, isValidReason,
@@ -1859,6 +1869,7 @@ def _fixture_oracles() -> dict:
         "xt_valid": FX.oracle_for(FX.valid_cases()),
         "xt_overlay": FX.oracle_for(FX.overlay_cases()),
         "xt_overlay_prec": FX.oracle_for(FX.overlay_prec_cases()),
+        "xt_robust": FX.oracle_for(FX.robust_cases()),
         "xt_construct": FX.oracle_for(FX.construct_cases()),
         "xt_buffer": FX.oracle_all_match(FX.buffer_cases()),
     }
@@ -1909,6 +1920,7 @@ QUERIES = {
     "xt_construct": q_xt_construct,
     "xt_buffer": q_xt_buffer,
     "xt_unit": q_xt_unit,
+    "xt_robust": q_xt_robust,
 }
 
 ORACLES = {
