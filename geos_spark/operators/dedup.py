@@ -299,3 +299,146 @@ def simhash64(text: Column, shingle_k: int = 2) -> Column:
     for x in bits[1:]:
         out = out + x
     return out
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+    bands: int = 4,
+    max_bucket: int | None = 10_000,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a_id < b_id, cosine >=
+    threshold) — the embedding-space member of the dedup family.
+
+    Two plans:
+
+    - exact baseline (``n_planes=None``): self-join with the cosine
+      as a native zip_with/aggregate expression. Quadratic by nature
+      — the ground-truth path for oracles and small dims.
+    - LSH scale path: ``n_planes`` deterministic hyperplane signs per
+      row, split into ``bands``; candidates are pairs sharing any
+      full band (band-value equijoin — the minhash-LSH shape, no
+      cross product), hot buckets capped at ``max_bucket`` rows, then
+      the exact cosine verifies. Recall < 1 by construction (a
+      near-dup pair is missed iff every band has a flipped plane) —
+      raise ``n_planes``/``bands`` for tighter recall; candidate
+      generation stays a bucketed equijoin at any scale.
+
+    All arithmetic is double-precision JVM expressions; python never
+    touches the hot path.
+    """
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).withColumn("__n", norm(F.col("__v")))
+
+    if n_planes is None:
+        a = base.select(
+            F.col("__id").alias("a_id"),
+            F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"),
+        )
+        b = base.select(
+            F.col("__id").alias("b_id"),
+            F.col("__v").alias("__vb"),
+            F.col("__n").alias("__nb"),
+        )
+        cos = dot(F.col("__va"), F.col("__vb")) / (
+            F.col("__na") * F.col("__nb")
+        )
+        return (
+            a.join(b, F.col("a_id") < F.col("b_id"))
+            .withColumn("cos", cos)
+            .where(F.col("cos") >= F.lit(float(threshold)))
+            .select("a_id", "b_id", "cos")
+        )
+
+    import numpy as np
+
+    if dim is None:
+        # one-row probe; pass dim explicitly to keep planning lazy
+        dim = len(df.select(vec_col).first()[0])
+    per_band = n_planes // bands
+    rs = np.random.RandomState(20260817)
+    planes = rs.standard_normal((n_planes, dim))
+    sig = base
+    band_cols = []
+    for bi in range(bands):
+        bits = None
+        for pi in range(per_band):
+            plane = F.array(
+                *[
+                    F.lit(float(x))
+                    for x in planes[bi * per_band + pi]
+                ]
+            )
+            proj = dot(F.col("__v"), plane)
+            bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+            bits = bit if bits is None else bits * 2 + bit
+        c = f"__band{bi}"
+        sig = sig.withColumn(c, bits.cast("long"))
+        band_cols.append(c)
+    exploded = sig.select(
+        "__id",
+        "__v",
+        "__n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("b"), F.col(c).alias("h")
+                    )
+                    for bi, c in enumerate(band_cols)
+                ]
+            )
+        ).alias("__bk"),
+    ).select("__id", "__v", "__n", "__bk.b", "__bk.h")
+    if max_bucket is not None:
+        counts = exploded.groupBy("b", "h").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        exploded = exploded.join(
+            F.broadcast(counts.where(F.col("__bn") <= max_bucket)),
+            ["b", "h"],
+        )
+    l = exploded.select(
+        F.col("__id").alias("a_id"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        "b",
+        "h",
+    )
+    r = exploded.select(
+        F.col("__id").alias("b_id"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "b",
+        "h",
+    )
+    cand = (
+        l.join(r, ["b", "h"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.first("__va").alias("__va"),
+            F.first("__na").alias("__na"),
+            F.first("__vb").alias("__vb"),
+            F.first("__nb").alias("__nb"),
+        )
+    )
+    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return (
+        cand.withColumn("cos", cos)
+        .where(F.col("cos") >= F.lit(float(threshold)))
+        .select("a_id", "b_id", "cos")
+    )

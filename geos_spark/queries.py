@@ -447,6 +447,42 @@ FROM ranked WHERE rn = 1
 # ----------------------------------------------------------------------
 
 
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over the embeddings
+    table, with exact clones of every 10th vector planted (cloned ids
+    offset by 100000) so the operator demonstrably finds true dupes
+    (cosine 1.0) alongside the near-threshold background pairs.
+    Exact-baseline path (ground truth; the banded-LSH scale path of
+    the same operator is approximate by design and benchmarked
+    separately).  tau=0.454 sits 1.3e-3 clear of the nearest pair on
+    either side, so double-precision accumulation-order noise cannot
+    flip membership."""
+    from geos_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dupes = emb.where(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    out = embedding_neardup_pairs(emb.unionByName(dupes), 0.454)
+    return out.select("a_id", "b_id")
+
+
+def q_embed_neardup_sql() -> str:
+    return """
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings
+    WHERE vec_id % 10 = 0
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(b.v, b.v))) >= 0.454
+"""
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geos_spark.operators.similarity import cosine_topk
 
@@ -1890,6 +1926,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "lang_guess": q_lang_guess,
     "ann_topk": q_ann_topk,
+    "embed_neardup": q_embed_neardup,
     "ann_lsh": q_ann_lsh,
     "rect_join": q_rect_join,
     "tile_area_sum": q_tile_area_sum,
@@ -1938,6 +1975,7 @@ ORACLES = {
     "token_stats": q_token_stats_sql(),
     "lang_guess": q_lang_guess_sql(),
     "ann_topk": q_ann_topk_sql(),
+    "embed_neardup": q_embed_neardup_sql(),
     "ann_lsh": q_ann_lsh_sql(),
     "rect_join": q_rect_join_sql(),
     "tile_area_sum": q_tile_area_sum_sql(),
