@@ -1105,30 +1105,6 @@ def _trace_rings(
     return rings
 
 
-def _split_minimal(ring: list) -> list[np.ndarray]:
-    """Split a closed vertex path at repeated vertices into simple
-    minimal rings."""
-    path: list = []
-    at: dict = {}
-    out = []
-    for v in ring[:-1]:
-        if v in at:
-            i = at[v]
-            cyc = path[i:] + [v]
-            if len(cyc) >= 4:
-                out.append(np.asarray(cyc, dtype=np.float64))
-            for w in path[i + 1:]:
-                at.pop(w, None)
-            del path[i + 1:]
-        else:
-            at[v] = len(path)
-            path.append(v)
-    path.append(ring[0])
-    if len(path) >= 4:
-        out.append(np.asarray(path, dtype=np.float64))
-    return out
-
-
 def _point_in_ring_parity(pt, ring: np.ndarray) -> bool:
     segs = np.hstack([ring[:-1], ring[1:]])
     return _parity_locate(pt, segs) == _INT
