@@ -1895,6 +1895,16 @@ def q_xt_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FX.unit_query(spark)
 
 
+def q_xt_issue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOS issue-regression corpus (tests/xmltester/tests/issue):
+    union under the reference's tolerant checkUnionResult matcher,
+    areatest absolute identity checks, plus exact intersection/
+    difference/symdifference/predicate/isValid/centroid rows."""
+    from geos_spark import fixtures as FX
+
+    return FX.fixture_query(spark, FX.issue_cases())
+
+
 def _fixture_oracles() -> dict:
     from geos_spark import fixtures as FX
 
@@ -1906,6 +1916,7 @@ def _fixture_oracles() -> dict:
         "xt_overlay": FX.oracle_for(FX.overlay_cases()),
         "xt_overlay_prec": FX.oracle_for(FX.overlay_prec_cases()),
         "xt_robust": FX.oracle_for(FX.robust_cases()),
+        "xt_issue": FX.oracle_for(FX.issue_cases()),
         "xt_construct": FX.oracle_for(FX.construct_cases()),
         "xt_buffer": FX.oracle_all_match(FX.buffer_cases()),
     }
@@ -1958,6 +1969,7 @@ QUERIES = {
     "xt_buffer": q_xt_buffer,
     "xt_unit": q_xt_unit,
     "xt_robust": q_xt_robust,
+    "xt_issue": q_xt_issue,
 }
 
 ORACLES = {
