@@ -30,6 +30,22 @@ def token_count(text: Column) -> Column:
     return F.size(F.split(F.trim(text), r"\s+"))
 
 
+# GPT-2-style pretokenizer, lookahead-free so Java regex (Spark,
+# whole-stage codegen) and RE2 (DuckDB oracle) tokenize identically:
+# contractions | space?+letters | space?+digits | space?+other | ws-run
+BPE_PRETOKEN_RE = (
+    r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: non-overlapping matches of the GPT-2
+    pretokenizer pattern — the standard proxy for LLM token budgets
+    when the merge table isn't in play. Pure JVM regexp_count, no
+    python."""
+    return F.regexp_count(text, F.lit(BPE_PRETOKEN_RE))
+
+
 def substr_count(text: Column, sub: str) -> Column:
     """Occurrences of a literal substring (length-difference trick —
     identical semantics in any SQL engine, used by the oracle)."""

@@ -403,6 +403,33 @@ FROM documents
 """
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: non-overlapping matches of the GPT-2
+    pretokenizer pattern (lookahead-free variant so the Java and RE2
+    engines tokenize identically) — the LLM-token-budget proxy, all
+    JVM regexp_count."""
+    from geos_spark.operators.text import bpe_token_count, token_count
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).cast("long").alias("n_bpe"),
+        token_count(F.col("text")).cast("long").alias("n_ws"),
+    )
+
+
+def q_bpe_tokens_sql() -> str:
+    from geos_spark.operators.text import BPE_PRETOKEN_RE
+
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe,
+       CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws
+FROM documents
+"""
+
+
 def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geos_spark.operators.text import with_lang_guess
 
@@ -1935,6 +1962,7 @@ QUERIES = {
     "hilbert_topk": q_hilbert_topk,
     "dedup_exact": q_dedup_exact,
     "token_stats": q_token_stats,
+    "bpe_tokens": q_bpe_tokens,
     "lang_guess": q_lang_guess,
     "ann_topk": q_ann_topk,
     "embed_neardup": q_embed_neardup,
@@ -1985,6 +2013,7 @@ ORACLES = {
     "hilbert_topk": q_hilbert_topk_sql(),
     "dedup_exact": q_dedup_exact_sql(),
     "token_stats": q_token_stats_sql(),
+    "bpe_tokens": q_bpe_tokens_sql(),
     "lang_guess": q_lang_guess_sql(),
     "ann_topk": q_ann_topk_sql(),
     "embed_neardup": q_embed_neardup_sql(),
