@@ -467,19 +467,7 @@ def _node_segments_snapping(
     arr = np.array(
         [[s.p[0], s.p[1], s.q[0], s.q[1]] for s in segs], dtype=np.float64
     )
-    m = 2.0 * tol
-    x0 = np.minimum(arr[:, 0], arr[:, 2]) - m
-    x1 = np.maximum(arr[:, 0], arr[:, 2]) + m
-    y0 = np.minimum(arr[:, 1], arr[:, 3]) - m
-    y1 = np.maximum(arr[:, 1], arr[:, 3]) + m
-    ii, jj = np.triu_indices(n, k=1)
-    ov = (
-        (x0[ii] <= x1[jj])
-        & (x0[jj] <= x1[ii])
-        & (y0[ii] <= y1[jj])
-        & (y0[jj] <= y1[ii])
-    )
-    ii, jj = ii[ov], jj[ov]
+    ii, jj = _overlap_pairs(arr, margin=2.0 * tol)
     if len(ii) == 0:
         return nodes
 
@@ -624,6 +612,46 @@ def _validate_noding(segs: list[_SrcSeg]) -> None:
         raise ValueError("invalid noding (interior intersection)")
 
 
+def _overlap_pairs(arr: np.ndarray, margin: float = 0.0):
+    """Envelope-overlapping segment pairs (i < j) via an x-sweep —
+    the MCIndexNoder's candidate-generation role.  triu_indices over
+    n segments materializes O(n^2) index arrays (1.6 GB at 10k
+    segments); the sweep is O(n log n + k).  Worst case (everything
+    x-overlapping) degrades to the same all-pairs set."""
+    n = len(arr)
+    x0 = np.minimum(arr[:, 0], arr[:, 2]) - margin
+    x1 = np.maximum(arr[:, 0], arr[:, 2]) + margin
+    y0 = np.minimum(arr[:, 1], arr[:, 3]) - margin
+    y1 = np.maximum(arr[:, 1], arr[:, 3]) + margin
+    order = np.argsort(x0, kind="mergesort")
+    X0 = x0[order]
+    X1 = x1[order]
+    # for sorted position i, candidates are positions i+1..hi_i-1
+    # with X0 <= X1[i]
+    hi = np.searchsorted(X0, X1, side="right")
+    starts = np.arange(n) + 1
+    counts = np.maximum(hi - starts, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return (
+            np.zeros(0, dtype=np.int64),
+            np.zeros(0, dtype=np.int64),
+        )
+    si = np.repeat(np.arange(n), counts)
+    offs = np.arange(total) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    sj = np.repeat(starts, counts) + offs
+    ii = order[si]
+    jj = order[sj]
+    keep = (y0[ii] <= y1[jj]) & (y0[jj] <= y1[ii])
+    ii, jj = ii[keep], jj[keep]
+    swap = ii > jj
+    ii2 = np.where(swap, jj, ii)
+    jj2 = np.where(swap, ii, jj)
+    return ii2, jj2
+
+
 def _node_segments(segs: list[_SrcSeg], sizes: dict, ringflag: dict) -> set:
     """Split every segment at its intersections with every other
     segment (both inputs together — the reference nodes all edges in
@@ -641,18 +669,7 @@ def _node_segments(segs: list[_SrcSeg], sizes: dict, ringflag: dict) -> set:
     arr = np.array(
         [[s.p[0], s.p[1], s.q[0], s.q[1]] for s in segs], dtype=np.float64
     )
-    x0 = np.minimum(arr[:, 0], arr[:, 2])
-    x1 = np.maximum(arr[:, 0], arr[:, 2])
-    y0 = np.minimum(arr[:, 1], arr[:, 3])
-    y1 = np.maximum(arr[:, 1], arr[:, 3])
-    ii, jj = np.triu_indices(n, k=1)
-    ov = (
-        (x0[ii] <= x1[jj])
-        & (x0[jj] <= x1[ii])
-        & (y0[ii] <= y1[jj])
-        & (y0[jj] <= y1[ii])
-    )
-    ii, jj = ii[ov], jj[ov]
+    ii, jj = _overlap_pairs(arr)
     if len(ii) == 0:
         return nodes
     cls = intersect_pairs(arr[ii], arr[jj])

@@ -49,18 +49,30 @@ def union_lines(g: G.Geom) -> G.Geom:
     float tier does and, on failure, route through the overlay robust
     ladder (union with an empty operand — UnaryUnionOp::unionNoOpt),
     whose snapping tiers collapse near-duplicate linework the way the
-    reference's historical-bug corpus expects (e.g. geos#600)."""
+    reference's historical-bug corpus expects (e.g. geos#600).
+
+    Above ~2,000 segments the per-chain dissolve's python split loop
+    goes quadratic (133 s on a 10k-segment corpus case) while the
+    ladder's vectorized noder handles the same input in seconds — big
+    inputs route to the ladder directly (identical semantics; the
+    dissolve exists for exact piece-granularity parity on the small
+    TestUnaryUnion corpus outputs)."""
     from geos_spark.kernels import overlay as OV
 
-    try:
-        out = _union_lines_dissolve(g)
-        segs, _sz, _rf, _sid = OV._collect_segments(out, 0, 0)
-        OV._validate_noding(segs)
-        return out
-    except Exception:
-        return OV.overlay_robust(
-            g, G.Geom.empty(G.LINESTRING), OV.UNION
-        )
+    n_seg = sum(
+        len(p.data) - 1
+        for p in g.geoms()
+        if p.type_id == G.LINESTRING and len(p.data) > 1
+    )
+    if n_seg <= 2000:
+        try:
+            out = _union_lines_dissolve(g)
+            segs, _sz, _rf, _sid = OV._collect_segments(out, 0, 0)
+            OV._validate_noding(segs)
+            return out
+        except Exception:
+            pass
+    return OV.overlay_robust(g, G.Geom.empty(G.LINESTRING), OV.UNION)
 
 
 def _union_lines_dissolve(g: G.Geom) -> G.Geom:
