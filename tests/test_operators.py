@@ -162,3 +162,29 @@ def test_cosine_topk_lsh_recall(spark):
     a = {(r.q_id, r.vec_id) for r in approx.collect()}
     # bucketed candidates are a subset; recall must be meaningful
     assert len(a & e) / len(e) > 0.2
+
+
+def test_cosine_topk_matmul_agrees_with_fold(spark):
+    """The BLAS-matmul throughput variant must reproduce the exact
+    sequential-fold path: identical (q_id, rank, vec_id) triples and
+    cosines within 1e-9 (summation order differs only in the last
+    ulp; the corpus's smallest adjacent-rank gap is ~1e-4)."""
+    from geos_spark.operators.similarity import cosine_topk, cosine_topk_matmul
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    ).where(F.col("q_id") % 20 == 0)
+    exact = {
+        (r.q_id, r.rank): (r.vec_id, r.cosine)
+        for r in cosine_topk(emb, q, k=5).collect()
+    }
+    blas = {
+        (r.q_id, r.rank): (r.vec_id, r.cosine)
+        for r in cosine_topk_matmul(emb, q.toPandas(), k=5).collect()
+    }
+    assert set(exact) == set(blas) and len(exact) > 0
+    for key, (vid, cos) in exact.items():
+        bvid, bcos = blas[key]
+        assert bvid == vid
+        assert abs(bcos - cos) < 1e-9
