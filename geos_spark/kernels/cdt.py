@@ -192,78 +192,136 @@ def constrained_delaunay_polygon(
         tris.append([ia, ib, ic])
     pts_arr = np.asarray(pts, dtype=np.float64)
 
-    # constrained edges: boundary edges of shell + holes
+    # constrained edges: boundary edges of shell + holes, keyed ONLY to
+    # ids already assigned while registering triangles (pts_arr is
+    # frozen — allocating here would key constraints to points the
+    # triangulation doesn't have, leaving real boundary edges
+    # unconstrained). A ring vertex absent from pt_ids appears only in
+    # dropped degenerate (collinear) triangles, so the triangulation's
+    # actual boundary segment connects its surviving neighbors: mark
+    # consecutive *known* ring vertices, skipping through unknowns.
     constrained = set()
+    n_ids_frozen = len(pts)
 
     def mark(rpts):
-        for i in range(len(rpts) - 1):
-            a = pid(tuple(rpts[i]))
-            b = pid(tuple(rpts[i + 1]))
-            constrained.add((min(a, b), max(a, b)))
+        ids = [pt_ids.get((float(p[0]), float(p[1]))) for p in rpts[:-1]]
+        known = [i for i in ids if i is not None]
+        if len(known) < 2:
+            return
+        m = len(known)
+        for i in range(m):
+            a, b = known[i], known[(i + 1) % m]
+            if a != b:
+                constrained.add((min(a, b), max(a, b)))
 
     sh = shell if (shell[0] == shell[-1]).all() else np.vstack([shell, shell[:1]])
     mark(sh)
     for h in holes:
         hh = h if (h[0] == h[-1]).all() else np.vstack([h, h[:1]])
         mark(hh)
+    assert len(pts) == n_ids_frozen, "mark() must not allocate point ids"
 
     _lawson_flips(pts_arr, tris, constrained)
     return pts_arr, [tuple(t) for t in tris]
 
 
 def _lawson_flips(pts, tris, constrained) -> None:
-    """Flip non-constrained diagonals until locally Delaunay."""
-    # edge -> list of (tri_index, opposite_vertex)
-    def build_edges():
-        em: dict = {}
-        for ti, (a, b, c) in enumerate(tris):
-            for u, v, w in ((a, b, c), (b, c, a), (c, a, b)):
-                em.setdefault((min(u, v), max(u, v)), []).append((ti, w))
-        return em
+    """Flip non-constrained diagonals until locally Delaunay.
 
-    for _round in range(200):
-        em = build_edges()
-        flipped = False
-        for (u, v), users in em.items():
-            if len(users) != 2 or (u, v) in constrained:
+    Work-queue Lawson: every interior edge starts suspect; a flip
+    re-enqueues only the four quad boundary edges, and the edge map is
+    updated incrementally — no full-pass rebuilds, no fixed round cap.
+    With exact incircle/orient predicates Lawson terminates (each flip
+    strictly decreases the triangulation's angle vector), so the
+    O(n^2)-proportional iteration bound is a pure safety net; hitting
+    it raises rather than silently returning a non-Delaunay result.
+    """
+    from collections import deque
+
+    em: dict = {}
+
+    def ekey(u, v):
+        return (u, v) if u < v else (v, u)
+
+    def add_tri(ti):
+        a, b, c = tris[ti]
+        for u, v in ((a, b), (b, c), (c, a)):
+            em.setdefault(ekey(u, v), set()).add(ti)
+
+    def remove_tri(ti):
+        a, b, c = tris[ti]
+        for u, v in ((a, b), (b, c), (c, a)):
+            k = ekey(u, v)
+            s = em.get(k)
+            if s is not None:
+                s.discard(ti)
+                if not s:
+                    del em[k]
+
+    for ti in range(len(tris)):
+        add_tri(ti)
+
+    queue = deque(k for k in em if k not in constrained)
+    in_queue = set(queue)
+    max_iter = 1000 + 6 * len(tris) * len(tris)
+    it = 0
+    while queue:
+        it += 1
+        if it > max_iter:
+            raise RuntimeError(
+                "constrained Delaunay flips did not converge "
+                f"({it} iterations, {len(tris)} triangles)"
+            )
+        key = queue.popleft()
+        in_queue.discard(key)
+        users = em.get(key)
+        if users is None or len(users) != 2:
+            continue
+        u, v = key
+        t1, t2 = sorted(users)
+        w1 = next(x for x in tris[t1] if x != u and x != v)
+        w2 = next(x for x in tris[t2] if x != u and x != v)
+        # incircle: flip if w2 inside circumcircle of (u, v, w1)
+        a, b, c, d = pts[u], pts[v], pts[w1], pts[w2]
+        # orient the (u,v,w1) triangle CCW for incircle sign
+        if _orient(a[0], a[1], b[0], b[1], c[0], c[1]) < 0:
+            a, b = b, a
+            u2, v2 = v, u
+        else:
+            u2, v2 = u, v
+        if _incircle(a[0], a[1], b[0], b[1], c[0], c[1], d[0], d[1]) > 0:
+            # check flip quad convex: w1 and w2 on opposite sides
+            o1 = _orient(
+                pts[w1][0], pts[w1][1], pts[w2][0], pts[w2][1],
+                pts[u][0], pts[u][1],
+            )
+            o2 = _orient(
+                pts[w1][0], pts[w1][1], pts[w2][0], pts[w2][1],
+                pts[v][0], pts[v][1],
+            )
+            if o1 == 0 or o2 == 0 or o1 == o2:
                 continue
-            (t1, w1), (t2, w2) = users
-            # incircle: flip if w2 inside circumcircle of (u, v, w1)
-            a, b, c, d = pts[u], pts[v], pts[w1], pts[w2]
-            # orient the (u,v,w1) triangle CCW for incircle sign
-            if _orient(a[0], a[1], b[0], b[1], c[0], c[1]) < 0:
-                a, b = b, a
-                u2, v2 = v, u
-            else:
-                u2, v2 = u, v
-            if _incircle(
-                a[0], a[1], b[0], b[1], c[0], c[1], d[0], d[1]
-            ) > 0:
-                # check flip quad convex: w1 and w2 on opposite sides
-                o1 = _orient(
-                    pts[w1][0], pts[w1][1], pts[w2][0], pts[w2][1],
-                    pts[u][0], pts[u][1],
-                )
-                o2 = _orient(
-                    pts[w1][0], pts[w1][1], pts[w2][0], pts[w2][1],
-                    pts[v][0], pts[v][1],
-                )
-                if o1 == 0 or o2 == 0 or o1 == o2:
-                    continue
-                tris[t1] = [w1, w2, u2]
-                tris[t2] = [w2, w1, v2]
-                # normalize orientation CCW
-                for ti in (t1, t2):
-                    x, y, z = tris[ti]
-                    if (
-                        _orient(
-                            pts[x][0], pts[x][1], pts[y][0], pts[y][1],
-                            pts[z][0], pts[z][1],
-                        )
-                        < 0
-                    ):
-                        tris[ti] = [x, z, y]
-                flipped = True
-                break  # rebuild edge map (simple, input sizes are small)
-        if not flipped:
-            return
+            remove_tri(t1)
+            remove_tri(t2)
+            tris[t1] = [w1, w2, u2]
+            tris[t2] = [w2, w1, v2]
+            # normalize orientation CCW
+            for ti in (t1, t2):
+                x, y, z = tris[ti]
+                if (
+                    _orient(
+                        pts[x][0], pts[x][1], pts[y][0], pts[y][1],
+                        pts[z][0], pts[z][1],
+                    )
+                    < 0
+                ):
+                    tris[ti] = [x, z, y]
+            add_tri(t1)
+            add_tri(t2)
+            # the quad's outer edges become suspect again
+            for q in (
+                ekey(u, w1), ekey(u, w2), ekey(v, w1), ekey(v, w2)
+            ):
+                if q not in constrained and q not in in_queue:
+                    queue.append(q)
+                    in_queue.add(q)

@@ -164,7 +164,11 @@ def _is_adjacent(area_polys: list, gap: G.Geom) -> bool:
 
 
 def _gap_is_mergable(gap: G.Geom, max_width: float) -> bool:
-    """MaximumInscribedCircle::isRadiusWithin(gap, w/2)."""
+    """MaximumInscribedCircle::isRadiusWithin(gap, w/2)
+    (MaximumInscribedCircle.cpp:185-208): envelope short-circuit
+    (width or height < 2*maxRadius => within), then the MIC computed
+    at tolerance maxRadius * MAX_RADIUS_FRACTION (1e-4,
+    MaximumInscribedCircle.h:204)."""
     import math
 
     from geos_spark.kernels.circles import maximum_inscribed_circle
@@ -172,8 +176,11 @@ def _gap_is_mergable(gap: G.Geom, max_width: float) -> bool:
     if max_width <= 0:
         return False
     max_r = max_width / 2.0
+    x0, y0, x1, y1 = gap.envelope()
+    if (x1 - x0) < 2 * max_r or (y1 - y0) < 2 * max_r:
+        return True
     try:
-        c, rp = maximum_inscribed_circle(gap, max_r / 10.0)
+        c, rp = maximum_inscribed_circle(gap, max_r * 1e-4)
     except Exception:
         return False
     r = math.hypot(c[0] - rp[0], c[1] - rp[1])

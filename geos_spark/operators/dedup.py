@@ -40,18 +40,31 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Array of k-word shingles (space-joined token windows)."""
+    """Array of k-word shingles (space-joined token windows).
+
+    NULL or whitespace-only text has no tokens and yields an EMPTY
+    array (not ``['']``: concat_ws never returns NULL and greatest
+    ignores NULLs, so without the guard a token-less doc would hash
+    an empty shingle and every such doc would collide into one
+    dedup bucket). Downstream explode_outer then emits the row with
+    a NULL shingle, and minhash/simhash surface NULL signatures.
+    """
     toks = F.split(F.trim(text), r"\s+")
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
     # try_element_at: a doc shorter than k words yields one shingle of
     # the words it has (ANSI element_at would abort the whole job)
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.try_element_at(toks, i + j) for j in range(k)]
-            ),
+    return F.when(
+        text.isNull() | (F.trim(text) == ""),
+        F.array().cast("array<string>"),
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.try_element_at(toks, i + j) for j in range(k)]
+                ),
+            )
         )
     )
 
@@ -120,7 +133,12 @@ def minhash_lsh_pairs(
     ``max_bucket`` are dropped (boilerplate guard — logged upstream).
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    # token-less docs carry NULL signatures (word_shingles contract);
+    # concat_ws would fold them all into one "" bucket and emit every
+    # empty-doc pair as a candidate — exclude them up front
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k
+    ).where(F.element_at(F.col("sig"), 1).isNotNull())
     banded = sigs.select(
         "id",
         F.explode(
@@ -232,8 +250,11 @@ def simhash64_df(
     hot path.
     """
     sh = word_shingles(F.col(text_col), shingle_k)
+    # explode_outer: a NULL-text / no-shingle doc keeps its row (with a
+    # NULL shingle) and comes out with a NULL simhash — same per-row
+    # contract as minhash_signatures, instead of silently vanishing.
     e = df.select(
-        F.col(id_col).alias("__id"), F.explode(sh).alias("__s")
+        F.col(id_col).alias("__id"), F.explode_outer(sh).alias("__s")
     ).select(
         "__id",
         F.conv(F.substring(F.md5("__s"), 1, 8), 16, 10)
@@ -245,22 +266,30 @@ def simhash64_df(
     )
     votes = [
         F.sum(
-            F.when(
+            # the NULL guard keeps the all-NULL group's SUM at NULL
+            # (CASE would route a NULL condition to the -1 branch);
+            # explode_outer groups are all-NULL or all-non-NULL, so
+            # real votes are never diluted
+            F.when(F.col("__lo").isNull(), F.lit(None))
+            .when(
                 F.shiftright(
                     F.col("__lo" if b < 32 else "__hi"), b % 32
                 ).bitwiseAND(F.lit(1))
                 == 1,
                 1,
-            ).otherwise(-1)
+            )
+            .otherwise(-1)
         ).alias(f"__b{b}")
         for b in range(64)
     ]
     v = e.groupBy("__id").agg(*votes)
     return v.select(
         F.col("__id").alias(id_col),
-        _simhash_combine([F.col(f"__b{b}") for b in range(64)]).alias(
-            out_col
-        ),
+        F.when(F.col("__b0").isNull(), F.lit(None).cast("long"))
+        .otherwise(
+            _simhash_combine([F.col(f"__b{b}") for b in range(64)])
+        )
+        .alias(out_col),
     )
 
 

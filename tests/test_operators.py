@@ -128,6 +128,22 @@ def test_simhash_close_for_near_dups(spark):
     assert hamming(vals[0], vals[1]) < hamming(vals[0], vals[2])
 
 
+def test_simhash_df_null_text_row_kept(spark):
+    """NULL-text / whitespace-only docs keep their row and get a NULL
+    simhash (per-row contract, matching minhash_signatures); non-null
+    docs are unaffected."""
+    from geos_spark.operators.dedup import simhash64_df
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, None), (3, "the quick brown fox")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.simhash for r in simhash64_df(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2] is None
+    assert out[1] == out[3] and out[1] is not None
+
+
 def test_pages_generator_invariants(spark):
     from geos_spark.sources.pages import synth_pages
 
