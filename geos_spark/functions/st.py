@@ -588,6 +588,48 @@ def st_snap(tolerance: float):
     return _snap
 
 
+def st_linemerge(directed: bool = False):
+    """GEOSLineMerge / GEOSLineMergeDirected (capi
+    geos_c.h.in:5053-5079): merge linework at cardinality-2 nodes;
+    ``directed=True`` never reverses line direction."""
+    from geos_spark.kernels.linear import line_merge
+
+    @pandas_udf(T.BinaryType())
+    def _merge(wkb: pd.Series) -> pd.Series:
+        def _one(b):
+            if b is None:
+                return None
+            try:
+                return write_wkb(
+                    line_merge(parse_wkb(b), directed=directed)
+                )
+            except Exception:
+                return None
+
+        return pd.Series([_one(b) for b in wkb])
+
+    return _merge
+
+
+@pandas_udf(T.BooleanType())
+def st_equalsidentical(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
+    """GEOSEqualsIdentical (capi geos_c.h.in:5431): pointwise equality
+    — type, structure, vertex order, values; NaN == NaN."""
+    from geos_spark.kernels.scalars import equals_identical
+
+    def _one(a, b):
+        if a is None or b is None:
+            return None
+        try:
+            return bool(equals_identical(parse_wkb(a), parse_wkb(b)))
+        except Exception:
+            return None
+
+    return pd.Series(
+        [_one(a, b) for a, b in zip(wkb_a, wkb_b)], dtype=object
+    )
+
+
 @pandas_udf(T.StringType())
 def st_relate(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
     """Full DE-9IM matrix string per pair (per-batch decode cache)."""

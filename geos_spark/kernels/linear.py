@@ -134,14 +134,23 @@ def _key(x, y):
     return (round(float(x), 9), round(float(y), 9))
 
 
-def line_merge(g: G.Geom) -> G.Geom:
+def line_merge(g: G.Geom, directed: bool = False) -> G.Geom:
     """Merge maximal chains through degree-2 nodes (LineMerger).
-    Input linework is assumed noded (as the reference requires)."""
+    Input linework is assumed noded (as the reference requires).
+
+    ``directed=True`` is GEOSLineMergeDirected
+    (capi/geos_c.h.in:5066-5079, LineMerger.cpp:59 ``isDirected``):
+    lines are never reversed, and a degree-2 node only merges when one
+    line ends there and the other starts there (a node where both
+    edges are incoming or both outgoing is a chain boundary,
+    LineMerger.cpp:196-202)."""
     from geos_spark.kernels.relate import _line_parts
 
     lines = [c for c in _line_parts(g)]
     if not lines:
         return G.Geom.empty(G.MULTILINESTRING)
+    if directed:
+        return _line_merge_directed(lines)
     # graph: node -> list of (line_idx, direction)
     adj: dict[tuple, list[tuple[int, bool]]] = {}
     for li, c in enumerate(lines):
@@ -178,6 +187,51 @@ def line_merge(g: G.Geom) -> G.Geom:
     for li in range(len(lines)):
         if not used[li]:
             merged.append(chain_from(li, True))
+    if len(merged) == 1:
+        return G.Geom(G.LINESTRING, merged[0])
+    return G.Geom(
+        G.MULTILINESTRING, [G.Geom(G.LINESTRING, m) for m in merged]
+    )
+
+
+def _line_merge_directed(lines: list) -> G.Geom:
+    """Directed merge: no reversals; a chain continues through a node
+    only if exactly one line ends and exactly one starts there."""
+    outs: dict[tuple, list[int]] = {}
+    ins: dict[tuple, list[int]] = {}
+    for li, c in enumerate(lines):
+        outs.setdefault(_key(*c[0]), []).append(li)
+        ins.setdefault(_key(*c[-1]), []).append(li)
+    used = [False] * len(lines)
+
+    def _through(node: tuple) -> bool:
+        return len(outs.get(node, [])) == 1 and len(ins.get(node, [])) == 1
+
+    def chain_from(li: int) -> np.ndarray:
+        coords = list(map(tuple, lines[li]))
+        used[li] = True
+        while True:
+            end = _key(*coords[-1])
+            if not _through(end):
+                break
+            lj = outs[end][0]
+            if used[lj]:
+                break
+            used[lj] = True
+            coords.extend(map(tuple, lines[lj][1:]))
+        return np.asarray(coords, dtype=np.float64)
+
+    merged = []
+    for node in set(outs) | set(ins):
+        if _through(node):
+            continue
+        for li in outs.get(node, []):
+            if not used[li]:
+                merged.append(chain_from(li))
+    # leftover directed cycles
+    for li in range(len(lines)):
+        if not used[li]:
+            merged.append(chain_from(li))
     if len(merged) == 1:
         return G.Geom(G.LINESTRING, merged[0])
     return G.Geom(

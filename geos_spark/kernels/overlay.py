@@ -23,9 +23,14 @@ machinery; the *semantics* follow the reference with citations:
   nearest-endpoint fallback (see ``kernels/dd.py``) — this is what
   makes output vertices bit-identical to the reference
 
-Float (FLOATING) precision model only; the snap-rounding ladder
-(``OverlayNGRobust.cpp:100-295``) is not implemented — robust-corpus
-cases that need it are tracked as known misses.
+Precision handling: this module's entry points run the FLOATING
+model; the full robustness ladder of the reference
+(``OverlayNGRobust.cpp:100-295``: plain float, then snapping at
+geometry-derived tolerances, then snap-rounding on a fixed grid) is
+implemented by ``overlay_robust`` at the bottom of this file, with the
+fixed-precision snap-round overlay itself in ``kernels/snapround.py``.
+The robust/overlay xmltester corpus (xt_robust) and the
+fixed-precision corpus (xt_overlay_prec) score those paths.
 
 Scalar kernel over ``Geom`` values: in the engine this runs inside a
 pandas-UDF batch loop per Arrow batch (one overlay per row pair); the

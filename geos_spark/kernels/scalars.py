@@ -635,6 +635,34 @@ def equals_exact(a: G.Geom, b: G.Geom, tol: float = 0.0) -> bool:
     return all(equals_exact(x, y, tol) for x, y in zip(a.data, b.data))
 
 
+def equals_identical(a: G.Geom, b: G.Geom) -> bool:
+    """GEOSEqualsIdentical (capi/geos_c.h.in:5431, Geometry.h
+    equalsIdentical): pointwise equality — identical type, structure,
+    vertex order and coordinate values. Unlike ``equals_exact(tol=0)``,
+    NaN compares equal to NaN (value semantics); IEEE gives
+    -0.0 == 0.0. This engine is XY-only, so the reference's Z/M
+    dimension-mismatch cases are out of representational scope."""
+
+    def _coords(x: np.ndarray, y: np.ndarray) -> bool:
+        if x.shape != y.shape:
+            return False
+        if x.size == 0:
+            return True
+        return bool(((x == y) | (np.isnan(x) & np.isnan(y))).all())
+
+    if a.type_id != b.type_id:
+        return False
+    if a.type_id in (G.POINT, G.LINESTRING):
+        return _coords(a.data, b.data)
+    if a.type_id == G.POLYGON:
+        if len(a.data) != len(b.data):
+            return False
+        return all(_coords(x, y) for x, y in zip(a.data, b.data))
+    if len(a.data) != len(b.data):
+        return False
+    return all(equals_identical(x, y) for x, y in zip(a.data, b.data))
+
+
 def geom_distance(a: G.Geom, b: G.Geom) -> float:
     """Minimum distance. Zero if they intersect (area containment
     checked via PIP for polygon operands)."""

