@@ -111,6 +111,18 @@ def _bench_queries(spark):
             pts_1m, _centers(spark), 50.0, level=6, extent=EXTENT
         ).select("doc_id", "poly_id")
 
+    def distance_native_1m():
+        # point-to-POLYGON within-distance, zero-python HOF refine
+        # (same physical shape as pip_native_1m)
+        from geos_spark.operators.spatial_join import (
+            within_distance_join_polygons,
+        )
+
+        return within_distance_join_polygons(
+            pts_1m, stars, 40.0, level=6, extent=EXTENT,
+            poly_id_col="poly_id",
+        ).select("doc_id", "poly_id")
+
     def rect_join_1m():
         sq = (
             pts_1m.withColumn("sxmin", F.col("x") - 8)
@@ -202,6 +214,7 @@ def _bench_queries(spark):
         "tile_rects_1m": (tile_rects_1m, N_SYNTH),
         "rect_join_1m": (rect_join_1m, N_SYNTH),
         "distance_join_1m": (distance_join_1m, N_SYNTH),
+        "distance_native_1m": (distance_native_1m, N_SYNTH),
         "knn_ring_100k": (knn_ring_100k, 100000),
         "ann_matmul_200k": (ann_matmul_200k, 200_000),
         "dedup_exact": (dedup_exact_sf, None),

@@ -219,6 +219,114 @@ def _native_pip_location(px: Column, py: Column, edges: Column) -> Column:
     )
 
 
+def _native_within_distance(
+    px: Column, py: Column, edges: Column, distance: float
+) -> Column:
+    """Point within ``distance`` of a polygon, as pure Catalyst
+    higher-order functions over the same ``__edges`` arrays the
+    native_edges PIP strategy uses: ray-crossing parity (interior)
+    OR some boundary segment within distance (point-to-segment
+    squared distance with the closest-point parameterization of
+    ``geos::algorithm::Distance::pointToSegment``,
+    src/algorithm/Distance.cpp:60-100). Every multiply is written in
+    exactly the order the SQL oracle uses, so membership decisions
+    at the d^2 threshold agree bit-for-bit."""
+    d2 = F.lit(float(distance) * float(distance))
+
+    def crossing(e):
+        upward = (e["y1"] > py) & (e["y2"] <= py)
+        downward = (e["y2"] > py) & (e["y1"] <= py)
+        orient = (e["x2"] - e["x1"]) * (py - e["y1"]) - (
+            e["y2"] - e["y1"]
+        ) * (px - e["x1"])
+        sign = F.when(e["y2"] < e["y1"], -orient).otherwise(orient)
+        return (upward | downward) & (sign > 0)
+
+    def seg_near(e):
+        # projection form: dist^2 = |p-a|^2 - t_raw^2/len2 inside the
+        # segment span, |p-a|^2 / |p-b|^2 past the ends. One CASE, no
+        # repeated closest-point subtree (Catalyst lambdas don't CSE,
+        # so the naive clamp+closest-point form evaluates t four
+        # times per edge).
+        dx = e["x2"] - e["x1"]
+        dy = e["y2"] - e["y1"]
+        len2 = dx * dx + dy * dy
+        t_raw = (px - e["x1"]) * dx + (py - e["y1"]) * dy
+        pa2 = (px - e["x1"]) * (px - e["x1"]) + (py - e["y1"]) * (
+            py - e["y1"]
+        )
+        pb2 = (px - e["x2"]) * (px - e["x2"]) + (py - e["y2"]) * (
+            py - e["y2"]
+        )
+        dist2 = (
+            F.when(t_raw <= 0, pa2)
+            .when(t_raw >= len2, pb2)
+            .otherwise(pa2 - t_raw * t_raw / len2)
+        )
+        return dist2 <= d2
+
+    n_cross = F.size(F.filter(edges, crossing))
+    return (F.pmod(n_cross, F.lit(2)) == 1) | F.exists(edges, seg_near)
+
+
+def within_distance_join_polygons(
+    points: DataFrame,
+    polygons: DataFrame,
+    distance: float,
+    *,
+    x_col: str = "x",
+    y_col: str = "y",
+    wkb_col: str = "wkb",
+    bbox_cols: tuple[str, str, str, str] = ("xmin", "ymin", "xmax", "ymax"),
+    level: int = 6,
+    extent=DEFAULT_EXTENT,
+    poly_id_col: str | None = None,
+    broadcast_build: bool = True,
+) -> DataFrame:
+    """Within-distance join of points to POLYGONS — the native_edges
+    zero-python strategy extended to distance (GEOSDistanceWithin for
+    point-vs-polygonal operands, capi geos_c.h.in DistanceWithin).
+
+    Global phase: each polygon explodes to every tile its d-expanded
+    envelope overlaps; points join on their containing tile; a codegen
+    expanded-bbox filter prunes. Refine: ``_native_within_distance``
+    higher-order expressions over the boundary edge arrays — the whole
+    plan stays inside whole-stage codegen, so it scales like
+    pip_native (no Arrow boundary, no python workers)."""
+    xmin, ymin, xmax, ymax = bbox_cols
+    pts = with_tile_cell(points, x_col, y_col, level, extent, out="__cell")
+    build = polygons.select(
+        *([poly_id_col] if poly_id_col else []),
+        *bbox_cols,
+        _wkb_edges(F.col(wkb_col)).alias("__edges"),
+    )
+    polys = with_tile_cells_exploded(
+        build, bbox_cols, level, extent, out="__cell", pad=distance
+    )
+    if broadcast_build:
+        # the explode defeats size estimation (see point_in_polygon_join)
+        polys = F.broadcast(polys)
+    d = F.lit(float(distance))
+    cand = pts.join(polys, "__cell").where(
+        (F.col(x_col) >= F.col(xmin) - d)
+        & (F.col(x_col) <= F.col(xmax) + d)
+        & (F.col(y_col) >= F.col(ymin) - d)
+        & (F.col(y_col) <= F.col(ymax) + d)
+    )
+    out = cand.where(
+        _native_within_distance(
+            F.col(x_col), F.col(y_col), F.col("__edges"), distance
+        )
+    ).drop("__cell", "__edges")
+    if poly_id_col is not None:
+        # re-attach remaining polygon columns (incl. wkb): output
+        # contract matches point_in_polygon_join
+        rest = polygons.drop(*bbox_cols)
+        if len(rest.columns) > 1:
+            out = out.join(F.broadcast(rest), poly_id_col)
+    return out
+
+
 def relate_refine(predicate: str):
     """Factory: pUDF evaluating a named DE-9IM predicate on WKB pairs.
 

@@ -246,6 +246,70 @@ WHERE (p.px - c.cx) * (p.px - c.cx) + (p.py - c.cy) * (p.py - c.cy) <= {_DIST * 
 """
 
 
+_DIST_POLY = 40.0
+
+
+def q_distance_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-distance join of points to the star POLYGONS with the
+    zero-python native_edges strategy: ray-crossing parity + point-to-
+    segment distance as Catalyst higher-order functions over the
+    boundary edge arrays (ref: Distance::pointToSegment,
+    src/algorithm/Distance.cpp:60-100; same physical shape as
+    pip_native)."""
+    from geos_spark.operators.spatial_join import (
+        within_distance_join_polygons,
+    )
+
+    pts = _doc_points(spark, sf_dir)
+    polys = star_polygons(spark)
+    out = within_distance_join_polygons(
+        pts, polys, _DIST_POLY, level=_LEVEL_JOIN, extent=EXTENT,
+        poly_id_col="poly_id",
+    )
+    return out.select("doc_id", "poly_id")
+
+
+def q_distance_native_sql() -> str:
+    # identical arithmetic (projection form, same multiply order) as
+    # _native_within_distance.seg_near so the d^2-threshold decision
+    # is bit-identical
+    d = _DIST_POLY
+    dx = "(e.x2 - e.x1)"
+    dy = "(e.y2 - e.y1)"
+    len2 = f"({dx} * {dx} + {dy} * {dy})"
+    t_raw = f"((c.px - e.x1) * {dx} + (c.py - e.y1) * {dy})"
+    pa2 = "((c.px - e.x1) * (c.px - e.x1) + (c.py - e.y1) * (c.py - e.y1))"
+    pb2 = "((c.px - e.x2) * (c.px - e.x2) + (c.py - e.y2) * (c.py - e.y2))"
+    dist2 = (
+        f"(CASE WHEN {t_raw} <= 0 THEN {pa2}"
+        f" WHEN {t_raw} >= {len2} THEN {pb2}"
+        f" ELSE {pa2} - {t_raw} * {t_raw} / {len2} END)"
+    )
+    return f"""
+WITH {_POINTS_CTE},
+{star_params_sql()},
+cand AS (
+    SELECT p.doc_id, bb.poly_id, p.px, p.py
+    FROM points p
+    JOIN star_bbox bb
+      ON p.px >= bb.xmin - {d} AND p.px <= bb.xmax + {d}
+     AND p.py >= bb.ymin - {d} AND p.py <= bb.ymax + {d}
+),
+ev AS (
+    SELECT c.doc_id, c.poly_id,
+           COUNT(*) FILTER (
+               WHERE ((e.y1 > c.py AND e.y2 <= c.py) OR (e.y2 > c.py AND e.y1 <= c.py))
+                 AND (CASE WHEN e.y2 < e.y1 THEN -1 ELSE 1 END)
+                     * ((e.x2 - e.x1) * (c.py - e.y1) - (e.y2 - e.y1) * (c.px - e.x1)) > 0
+           ) AS n_cross,
+           BOOL_OR({dist2} <= {d * d}) AS near
+    FROM cand c JOIN star_edges e ON e.poly_id = c.poly_id
+    GROUP BY c.doc_id, c.poly_id
+)
+SELECT doc_id, poly_id FROM ev WHERE n_cross % 2 = 1 OR near
+"""
+
+
 # ----------------------------------------------------------------------
 # scalar constructions: area + centroid over the star polygons
 # ----------------------------------------------------------------------
@@ -1981,6 +2045,7 @@ QUERIES = {
     "bbox_join": q_bbox_join,
     "knn_centers": q_knn_centers,
     "distance_join": q_distance_join,
+    "distance_native": q_distance_native,
     "star_area": q_star_area,
     "star_centroid": q_star_centroid,
     "extent_agg": q_extent_agg,
@@ -2033,6 +2098,7 @@ ORACLES = {
     "bbox_join": q_bbox_join_sql(),
     "knn_centers": q_knn_centers_sql(),
     "distance_join": q_distance_join_sql(),
+    "distance_native": q_distance_native_sql(),
     "star_area": q_star_area_sql(),
     "star_centroid": q_star_centroid_sql(),
     "extent_agg": q_extent_agg_sql(),

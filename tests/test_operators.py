@@ -128,6 +128,47 @@ def test_simhash_close_for_near_dups(spark):
     assert hamming(vals[0], vals[1]) < hamming(vals[0], vals[2])
 
 
+def test_within_distance_join_polygons_matches_kernel(spark):
+    """The zero-python HOF refine must agree with the scalar kernel's
+    geom_distance on every (point, star) pair — inside counts as 0."""
+    from geos_spark.kernels.geom import Geom
+    from geos_spark.kernels.scalars import geom_distance
+    from geos_spark.kernels.wkb import parse_wkb
+    from geos_spark.operators.spatial_join import (
+        within_distance_join_polygons,
+    )
+    from geos_spark.sources.pages import (
+        EXTENT,
+        star_polygons,
+        with_doc_point,
+    )
+
+    d = 40.0
+    pts = with_doc_point(
+        spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    )
+    stars = star_polygons(spark)
+    got = {
+        (r.doc_id, r.poly_id)
+        for r in within_distance_join_polygons(
+            pts, stars, d, level=6, extent=EXTENT, poly_id_col="poly_id"
+        ).collect()
+    }
+    polys = {
+        r.poly_id: parse_wkb(bytes(r.wkb)) for r in stars.collect()
+    }
+    want = set()
+    for r in pts.collect():
+        p = Geom.point(r.x, r.y)
+        for pid, g in polys.items():
+            x0, y0, x1, y1 = g.envelope()
+            if not (x0 - d <= r.x <= x1 + d and y0 - d <= r.y <= y1 + d):
+                continue
+            if geom_distance(p, g) <= d:
+                want.add((r.doc_id, pid))
+    assert got == want and len(want) > 0
+
+
 def test_simhash_df_null_text_row_kept(spark):
     """NULL-text / whitespace-only docs keep their row and get a NULL
     simhash (per-row contract, matching minhash_signatures); non-null
