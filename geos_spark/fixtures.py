@@ -45,8 +45,7 @@ SKIP = {
     # sliver union needs the OverlayNGRobust snapping tier
     "TestUnaryUnionFloating.xml:0:0",
     # robust corpus (documented in PARITY.md / test_overlay_robust_xml):
-    # SD strip collapsed by the snap-round tier that rescues the case
-    "TestOverlay-geos-737.xml:0:0",
+    # (geos-737 recovered round 4 — SD area lower bound in the ladder)
     # snapping-ladder last-ulp divergence
     "TestOverlay-misc-3.xml:4:0",
     # reference emits ulp-area polygon shards; we emit the linework

@@ -1599,7 +1599,13 @@ def _area_consistent(a, b, op, result, tol) -> bool:
     if op == DIFFERENCE:
         return le(area_r, area_a) and ge(area_r, area_a - area_b)
     if op == SYMDIFFERENCE:
-        return le(area_r, area_a + area_b)
+        # lower bound: SD = A + B - 2I and I <= min(A, B), so
+        # area(SD) >= |A - B|. A snapping tier that collapses a strip
+        # of the larger operand (geos-737) violates this and must fall
+        # through to the snap-round tier.
+        return le(area_r, area_a + area_b) and ge(
+            area_r, abs(area_a - area_b)
+        )
     if op == UNION:
         return (
             le(area_a, area_r) and le(area_b, area_r)
@@ -1610,13 +1616,33 @@ def _area_consistent(a, b, op, result, tol) -> bool:
 
 def _snap_self(g: G.Geom, tol: float) -> G.Geom:
     """OverlayNGRobust::snapSelf — clean one input by unioning it with
-    an empty operand under the snapping noder."""
+    an empty operand under the snapping noder. The reference runs this
+    with setStrictMode(true) (OverlayNGRobust.cpp:228-244): the result
+    must not be mixed-dimension, since it feeds further overlay —
+    keep only the input-dimension components (or, if snapping
+    collapsed everything, the highest dimension that survived)."""
     other = (
         G.Geom(G.POLYGON, [])
         if _geom_dim(g) == 2
         else G.Geom.empty(G.LINESTRING)
     )
-    return overlay(g, other, UNION, snap_tol=tol)
+    r = overlay(g, other, UNION, snap_tol=tol)
+    if not r.is_collection:
+        return r
+    parts = [p for p in r.geoms() if not p.is_empty]
+    if not parts:
+        return r
+    target = _geom_dim(g)
+    keep = [p for p in parts if p.dimension() == target]
+    if not keep:
+        maxd = max(p.dimension() for p in parts)
+        keep = [p for p in parts if p.dimension() == maxd]
+    if len(keep) == len(parts):
+        return r
+    polys = [p for p in keep if p.type_id == G.POLYGON]
+    lines = [p for p in keep if p.type_id == G.LINESTRING]
+    pts = [p for p in keep if p.type_id == G.POINT]
+    return _build_result(polys, lines, pts, keep[0].dimension())
 
 
 def _ordinate_magnitude(g: G.Geom) -> float:

@@ -11,11 +11,11 @@ Ops covered:
   normalized-exact geometry compare;
 - isvalid on the referenced operand.
 
-Known misses (documented in PARITY.md), 4 of 185:
-- geos-737 overlayareatest: the float symDifference throws invalid
-  noding (correctly) and the snap-round tier that finally succeeds
-  collapses a 0.28-area strip, leaving the SD identity off by 2.8e-5
-  relative (bar: 1e-6);
+Known misses (documented in PARITY.md), 3 of 185:
+(geos-737 RECOVERED round 4: the symDifference lower bound
+area(SD) >= |A - B| in _area_consistent rejects the snapping tier
+that collapsed a 0.28-area strip, and the snap-round tier it now
+falls through to is identity-exact — delta 2.5e-12.)
 - misc-3:4 intersectionSIN: snapping-ladder last-ulp divergence;
 - pg-list:0/:1 intersection: the reference emits ulp-area polygon
   shards for fully-degenerate overlaps; we emit the equivalent
@@ -35,7 +35,6 @@ from geos_spark.kernels.xmltester import load_cases, parse_geom_text
 BASE = "/root/reference/tests/xmltester/tests/robust/overlay"
 
 KNOWN_MISSES = {
-    "TestOverlay-geos-737.xml:0:0",
     "TestOverlay-misc-3.xml:4:0",
     "TestOverlay-pg-list.xml:0:0",
     "TestOverlay-pg-list.xml:1:0",
