@@ -1,12 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)  -> flagship point-in-polygon spatial join at sf0.001.
-queries()     -> operator catalog (geos_spark.queries.QUERIES): 44
+queries()     -> operator catalog (geos_spark.queries.QUERIES): 50
                  queries — synthetic-table operators (joins, tiling,
                  kNN, clustering, coverage validate/simplify/clean,
                  dedup/ANN/text) plus the xmltester corpus promoted
                  as xt_* fixture queries.
-oracle_sql()  -> per-query DuckDB ANSI-SQL oracles (44 of 44; the
+oracle_sql()  -> per-query DuckDB ANSI-SQL oracles (50 of 50; the
                  xt_* oracles are VALUES tables of the reference's
                  own XML/unit-test expectations).
 """

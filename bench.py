@@ -207,6 +207,38 @@ def _bench_queries(spark):
             "doc_id", "n_chars", "n_tokens", "stopword_hits"
         )
 
+    # 10x tier: the three headline joins at the next scale decade
+    # (10m rows) — direct evidence the plans grow ~linearly. Timed
+    # once each (single run; the 1m tier carries the variance-managed
+    # numbers, this tier carries the growth ratio).
+    pts_10m = with_doc_point(
+        spark.range(0, 10 * N_SYNTH, 1, CPUS * 8).withColumnRenamed(
+            "id", "doc_id"
+        )
+    )
+
+    def pip_join_10m():
+        return point_in_polygon_join(
+            pts_10m, stars, "intersects", level=6, extent=EXTENT,
+            poly_id_col="poly_id",
+        ).select("doc_id", "poly_id")
+
+    def pip_native_10m():
+        return point_in_polygon_join(
+            pts_10m, stars, "intersects", level=6, extent=EXTENT,
+            poly_id_col="poly_id", strategy="native_edges",
+        ).select("doc_id", "poly_id")
+
+    def distance_native_10m():
+        from geos_spark.operators.spatial_join import (
+            within_distance_join_polygons,
+        )
+
+        return within_distance_join_polygons(
+            pts_10m, stars, 40.0, level=6, extent=EXTENT,
+            poly_id_col="poly_id",
+        ).select("doc_id", "poly_id")
+
     return {
         "pip_join_1m": (pip_join_1m, N_SYNTH),
         "pip_native_1m": (pip_native_1m, N_SYNTH),
@@ -219,6 +251,9 @@ def _bench_queries(spark):
         "ann_matmul_200k": (ann_matmul_200k, 200_000),
         "dedup_exact": (dedup_exact_sf, None),
         "token_stats": (token_stats_sf, None),
+        "pip_join_10m": (pip_join_10m, 10 * N_SYNTH),
+        "pip_native_10m": (pip_native_10m, 10 * N_SYNTH),
+        "distance_native_10m": (distance_native_10m, 10 * N_SYNTH),
     }
 
 
@@ -363,8 +398,10 @@ def run_suite(cores: int, scaling: bool = False, n_execs: int | None = None) -> 
         # hollowed-out job.
         # scaling mode: 3 timed runs with min — the sandbox host has
         # noisy neighbors and the small-N phase is hypersensitive to
-        # them; headline mode keeps 2 (fixed costs <3% of runtime)
-        runs = 3 if scaling else 2
+        # them; headline mode keeps 2 (fixed costs <3% of runtime);
+        # the 10x growth tier runs once (it measures scale ratio, not
+        # a variance-managed headline)
+        runs = 3 if scaling else (1 if name.endswith("_10m") else 2)
         if scaling:
             fn().limit(1000).write.format("noop").mode("overwrite").save()
         samples = []
@@ -399,6 +436,9 @@ def main() -> None:
         levels = (n, 4 * n)
         qnames = ["pip_join_48m", "pip_native_48m", "tile_pipeline_96m",
                   "token_stats_6m"]
+        subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+        if subset:
+            qnames = [q for q in qnames if q in subset.split(",")]
         res = {}
         for execs in levels:
             merged: dict = {"queries": {}, "input_rows_per_sec": {}}
