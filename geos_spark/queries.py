@@ -2021,6 +2021,55 @@ def q_xt_issue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FX.fixture_query(spark, FX.issue_cases())
 
 
+# ----------------------------------------------------------------------
+# Structured Streaming twins — run to completion (availableNow) into a
+# memory sink; the final table equals the batch result of the same
+# native expressions, so the DuckDB oracles stay hash-binding.
+# ----------------------------------------------------------------------
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the batch hash-group operator applied to
+    a file-source stream and driven to completion. Same output
+    contract — and same oracle — as ``dedup_exact``."""
+    from geos_spark.streaming import (
+        read_documents_stream,
+        run_stream_to_memory,
+        streaming_dedup_exact,
+    )
+
+    s = read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    out, _ = run_stream_to_memory(streaming_dedup_exact(s), spark)
+    return out
+
+
+def q_stream_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-tile rollup (level-12 Hilbert cells): native
+    point-derivation + bitwise cell chain + keyed aggregation on a
+    file-source stream, run to completion."""
+    from geos_spark.streaming import (
+        read_documents_stream,
+        run_stream_to_memory,
+        streaming_tile_rollup,
+    )
+
+    s = read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    out, _ = run_stream_to_memory(streaming_tile_rollup(s), spark)
+    return out.select(
+        "cell", "n_docs", F.col("sum_doc").cast("long").alias("sum_doc")
+    )
+
+
+def q_stream_tiles_sql() -> str:
+    return f"""
+SELECT cell,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc
+FROM ({q_tile_assign_sql()})
+GROUP BY cell
+"""
+
+
 def _fixture_oracles() -> dict:
     from geos_spark import fixtures as FX
 
@@ -2089,6 +2138,8 @@ QUERIES = {
     "xt_unit": q_xt_unit,
     "xt_robust": q_xt_robust,
     "xt_issue": q_xt_issue,
+    "stream_dedup": q_stream_dedup,
+    "stream_tiles": q_stream_tiles,
 }
 
 ORACLES = {
@@ -2132,6 +2183,8 @@ ORACLES = {
     "cluster_dbscan": q_cluster_dbscan_sql(),
     "media_features": q_media_features_sql(),
     "tile_clip": q_tile_clip_sql(),
+    "stream_dedup": q_dedup_exact_sql(),
+    "stream_tiles": q_stream_tiles_sql(),
 }
 
 ORACLES.update(_fixture_oracles())

@@ -1,0 +1,185 @@
+"""Structured Streaming surface for the engine.
+
+The reference (GEOS, a per-call batch library) has no streaming story;
+a 100 TB training-data pipeline ingests continuously. This module
+extends the engine's operators to unbounded inputs the Spark-first
+way: every streaming operator is built from the SAME native Catalyst
+column expressions as its batch twin (Catalyst expressions are
+trigger-agnostic), so the batch-verified semantics — and the DuckDB
+oracles — remain binding. The catalog runs each stream to completion
+with ``trigger(availableNow=True)`` into a memory sink and the driver
+hash-compares the result against the identical ANSI SQL.
+
+Production shape at 100 TB:
+
+- the file/Kafka source bounds per-micro-batch work
+  (``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger``); state lives in
+  the executor state store partitioned by the grouping key, so state
+  size per executor is bounded by key cardinality, not input size;
+- aggregations run in **update** mode into an idempotent keyed sink
+  (Delta/Iceberg MERGE via ``foreachBatch``) — the memory sink +
+  complete mode used by the catalog queries is the small-scale test
+  harness, not the deployment path;
+- event-time windows carry a watermark so state for closed windows is
+  reclaimed and late data beyond the horizon is dropped (bounded
+  state = the only way an unbounded stream survives).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geos_spark.functions.hilbert_native import with_hilbert_cell
+from geos_spark.sources.pages import with_doc_point
+
+_qname_counter = itertools.count()
+
+
+def read_documents_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a documents parquet directory.
+
+    The schema is pinned from a batch read (streaming file sources
+    require an explicit schema — inference at 100 TB would list the
+    whole input). ``max_files_per_trigger`` bounds micro-batch size.
+
+    A single-file input (the sandbox testdata ships one .parquet file
+    per table) is exposed through a one-symlink directory: the file
+    source is a directory *lister* by contract. Production inputs are
+    directories already.
+    """
+    schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        d = tempfile.mkdtemp(prefix="geos_stream_src_")
+        os.symlink(
+            os.path.abspath(path), os.path.join(d, os.path.basename(path))
+        )
+        path = d
+    r = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return r.parquet(path)
+
+
+def streaming_tile_rollup(
+    docs: DataFrame,
+    level: int = 12,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-tile document rollup — streaming twin of the tile-assign +
+    aggregate pipeline (HilbertEncoder midpoint rule, level-``level``
+    cells; reference src/shape/fractal/HilbertEncoder.cpp:29-55).
+
+    Pure native expressions end-to-end: point derivation, grid
+    snapping, and the bitwise Hilbert chain are the exact Column
+    expressions the batch path uses, so this runs identically under
+    any trigger. Returns (cell, n_docs, sum_doc) — an update-mode
+    aggregation keyed by cell (state = one row per occupied tile,
+    bounded by 4^level, not by stream length).
+    """
+    stride = 4096.0 / ((1 << level) - 1)
+    pts = with_doc_point(docs.select(id_col), id_col=id_col)
+    gx = F.when(
+        F.col("x") > 0, F.floor(F.col("x") / F.lit(stride))
+    ).otherwise(F.lit(0)).cast("long")
+    gy = F.when(
+        F.col("y") > 0, F.floor(F.col("y") / F.lit(stride))
+    ).otherwise(F.lit(0)).cast("long")
+    g = pts.withColumn("gx", gx).withColumn("gy", gy)
+    g = with_hilbert_cell(g, "gx", "gy", level, out="cell")
+    return g.groupBy(F.col("cell").cast("long").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(id_col).alias("sum_doc"),
+    )
+
+
+def streaming_dedup_exact(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Streaming content-hash dedup groups (fingerprint, n_dups,
+    keeper_id) — literally the batch operator
+    (:func:`geos_spark.operators.dedup.exact_dedup_groups`) applied to
+    a streaming DataFrame: a hash-keyed aggregation is
+    streaming-legal as-is. State is one row per distinct content
+    hash; ``min(doc_id)`` as the keeper is arrival-order-independent,
+    so the streaming result is deterministic and equals the batch
+    result on the same input.
+    """
+    from geos_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(docs, text_col=text_col, id_col=id_col)
+
+
+def streaming_windowed_tile_counts(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    level: int = 8,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Event-time tumbling-window per-tile counts with a watermark —
+    the continuous-ingest production shape.
+
+    Rows later than ``watermark`` behind the observed max event time
+    are dropped; windows emit (append mode) once the watermark passes
+    their end, after which their state is reclaimed. Returns
+    (win_start, win_end, cell, n_docs).
+    """
+    stride = 4096.0 / ((1 << level) - 1)
+    pts = with_doc_point(docs.select(id_col, ts_col), id_col=id_col)
+    gx = F.when(
+        F.col("x") > 0, F.floor(F.col("x") / F.lit(stride))
+    ).otherwise(F.lit(0)).cast("long")
+    gy = F.when(
+        F.col("y") > 0, F.floor(F.col("y") / F.lit(stride))
+    ).otherwise(F.lit(0)).cast("long")
+    g = pts.withColumn("gx", gx).withColumn("gy", gy)
+    g = with_hilbert_cell(g, "gx", "gy", level, out="cell")
+    w = g.withWatermark(ts_col, watermark).groupBy(
+        F.window(F.col(ts_col), window).alias("win"),
+        F.col("cell").cast("long").alias("cell"),
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    return w.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        "cell",
+        "n_docs",
+    )
+
+
+def run_stream_to_memory(
+    sdf: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "complete",
+    name: str | None = None,
+):
+    """Drive a streaming DataFrame to completion (availableNow) into a
+    memory sink and return (result DataFrame, finished query handle).
+
+    The harness path: availableNow processes exactly the data present
+    at start and terminates, so the final table equals the batch
+    result of the same expressions — which is how the driver's DuckDB
+    oracle can hash-check a streaming operator. The query handle
+    exposes ``recentProgress`` so tests can assert the run was
+    actually incremental (n micro-batches > 1 under
+    ``maxFilesPerTrigger``).
+    """
+    qn = name or f"geos_stream_{next(_qname_counter)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(qn)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qn), q

@@ -1,0 +1,160 @@
+"""Structured Streaming surface: streaming twins equal their batch
+operators (availableNow run-to-completion), micro-batching is real
+(incremental under maxFilesPerTrigger), and watermark semantics drop
+late rows / close windows as specified."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+DOCS = f"{SF_DIR}/documents.parquet"
+
+
+def _collect_sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_dedup_equals_batch(spark):
+    from geos_spark.operators.dedup import exact_dedup_groups
+    from geos_spark.streaming import (
+        read_documents_stream,
+        run_stream_to_memory,
+        streaming_dedup_exact,
+    )
+
+    s = read_documents_stream(spark, DOCS)
+    assert s.isStreaming
+    out, q = run_stream_to_memory(streaming_dedup_exact(s), spark)
+    batch = exact_dedup_groups(spark.read.parquet(DOCS))
+    assert _collect_sorted(out) == _collect_sorted(batch)
+    assert not q.isActive  # availableNow terminated
+
+
+def test_stream_tile_rollup_equals_batch(spark):
+    from geos_spark.streaming import (
+        read_documents_stream,
+        run_stream_to_memory,
+        streaming_tile_rollup,
+    )
+
+    s = read_documents_stream(spark, DOCS)
+    out, _ = run_stream_to_memory(streaming_tile_rollup(s), spark)
+    batch = streaming_tile_rollup(spark.read.parquet(DOCS))
+    assert _collect_sorted(out) == _collect_sorted(batch)
+    # state cardinality = occupied tiles, not input rows
+    assert out.count() <= spark.read.parquet(DOCS).count()
+
+
+def test_stream_is_incremental(spark, tmp_path):
+    """maxFilesPerTrigger=1 over 3 files -> >= 3 micro-batches, same
+    final result as batch (the aggregation is arrival-order
+    independent)."""
+    from geos_spark.streaming import (
+        read_documents_stream,
+        run_stream_to_memory,
+        streaming_dedup_exact,
+    )
+
+    src = str(tmp_path / "docs")
+    base = spark.read.parquet(DOCS).select("doc_id", "text")
+    for i in range(3):
+        base.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    s = read_documents_stream(spark, src, max_files_per_trigger=1)
+    out, q = run_stream_to_memory(streaming_dedup_exact(s), spark)
+    batches = [p for p in q.recentProgress if p.numInputRows > 0]
+    assert len(batches) >= 3
+    batch = streaming_dedup_exact(base)
+    assert _collect_sorted(out) == _collect_sorted(batch)
+
+
+def _write_ts_file(spark, path, rows):
+    """One parquet file of (doc_id, ts) rows; bump mtime of only the
+    NEW files so the file source (earliest-mtime-first) lists them in
+    write order."""
+    before = set(os.listdir(path)) if os.path.isdir(path) else set()
+    spark.createDataFrame(rows, "doc_id long, ts timestamp").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    for f in set(os.listdir(path)) - before:
+        if f.endswith(".parquet"):
+            os.utime(os.path.join(path, f))
+
+
+def test_windowed_watermark_drops_late_rows(spark, tmp_path):
+    """A row arriving >= 2 micro-batches after the watermark passed
+    its window is dropped (Spark's late-events filter uses the
+    previous batch's start watermark, so a late row in the batch
+    immediately after the watermark advance is still admitted — the
+    SPARK-24634 two-watermark model), then a far-future flush row
+    closes all windows of interest. Append mode emits exactly the
+    closed windows, late row uncounted."""
+    from datetime import datetime, timedelta
+
+    from geos_spark.streaming import (
+        read_documents_stream,
+        run_stream_to_memory,
+        streaming_windowed_tile_counts,
+    )
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    src = str(tmp_path / "ts_docs")
+    # batch 0: four rows in window [12:00, 12:10), doc_ids 1..4
+    _write_ts_file(
+        spark, src, [(i, t0 + timedelta(minutes=i)) for i in (1, 2, 3, 4)]
+    )
+    time.sleep(1.1)
+    # batch 1: on-time doc 6; watermark (12:04 - 30min = 11:34) now
+    # known for a full batch
+    _write_ts_file(spark, src, [(6, t0 + timedelta(minutes=5))])
+    time.sleep(1.1)
+    # batch 2: doc 5 at 09:00 is ~2.5h behind the 11:34 late-events
+    # watermark -> dropped
+    _write_ts_file(spark, src, [(5, t0 - timedelta(hours=3))])
+    time.sleep(1.1)
+    # batch 3: flush row far in the future pushes the watermark past
+    # every window above so append mode emits them
+    _write_ts_file(spark, src, [(99, t0 + timedelta(days=1))])
+
+    s = read_documents_stream(spark, src, max_files_per_trigger=1)
+    out, _ = run_stream_to_memory(
+        streaming_windowed_tile_counts(
+            s, ts_col="ts", level=8, window="10 minutes",
+            watermark="30 minutes",
+        ),
+        spark,
+        output_mode="append",
+    )
+    rows = out.where(F.col("win_start") == t0).collect()
+    # docs 1,2,3,4,6 counted; late doc 5 is beyond the watermark
+    assert sum(r.n_docs for r in rows) == 5
+    # doc 5's own window was never created
+    assert (
+        out.where(F.col("win_start") == t0 - timedelta(hours=3)).count()
+        == 0
+    )
+    # the flush window itself is NOT emitted (the watermark never
+    # passed its end before the stream terminated)
+    assert (
+        out.where(F.col("win_start") > t0 + timedelta(hours=1)).count()
+        == 0
+    )
+
+
+def test_catalog_stream_queries_match_oracle_shape(spark):
+    """The two catalog entries return the documented columns and are
+    non-empty at the smallest SF (full hash parity vs DuckDB is the
+    driver gate's job)."""
+    from geos_spark.queries import q_stream_dedup, q_stream_tiles
+
+    d = q_stream_dedup(spark, SF_DIR)
+    assert d.columns == ["fingerprint", "n_dups", "keeper_id"]
+    assert d.count() > 0
+    t = q_stream_tiles(spark, SF_DIR)
+    assert t.columns == ["cell", "n_docs", "sum_doc"]
+    assert t.count() > 0
