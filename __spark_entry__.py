@@ -1,13 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)  -> flagship point-in-polygon spatial join at sf0.001.
-queries()     -> operator catalog (geos_spark.queries.QUERIES): 52
+queries()     -> operator catalog (geos_spark.queries.QUERIES): 53
                  queries — synthetic-table operators (joins, tiling,
                  kNN, clustering, coverage validate/simplify/clean,
                  dedup/ANN/text), Structured-Streaming twins run to
-                 completion (stream_dedup, stream_tiles), plus the
+                 completion (stream_dedup, stream_tiles, stream_sessions), plus the
                  xmltester corpus promoted as xt_* fixture queries.
-oracle_sql()  -> per-query DuckDB ANSI-SQL oracles (52 of 52; the
+oracle_sql()  -> per-query DuckDB ANSI-SQL oracles (53 of 53; the
                  xt_* oracles are VALUES tables of the reference's
                  own XML/unit-test expectations).
 """

@@ -2070,6 +2070,53 @@ GROUP BY cell
 """
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user session windows over the events stream
+    (gap 30min, watermark 1h, append mode): the emitted set after an
+    availableNow run is exactly the sessions the watermark closed —
+    sess_end < max(ts) - 1h — reproduced by the gaps-and-islands
+    oracle below."""
+    from geos_spark.streaming import (
+        read_documents_stream,
+        run_stream_to_memory,
+        streaming_user_sessions,
+    )
+
+    s = read_documents_stream(spark, f"{sf_dir}/events.parquet")
+    out, _ = run_stream_to_memory(
+        streaming_user_sessions(s), spark, output_mode="append"
+    )
+    return out
+
+
+def q_stream_sessions_sql() -> str:
+    return """
+WITH br AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+),
+g AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+    FROM br
+),
+s AS (
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS sess_start_us,
+           epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS sess_end_us,
+           COUNT(*) AS n_events,
+           SUM(value) AS sum_value
+    FROM g GROUP BY user_id, sid
+)
+SELECT user_id, sess_start_us, sess_end_us, n_events, sum_value
+FROM s
+WHERE sess_end_us < (SELECT epoch_us(MAX(ts) - INTERVAL 1 HOUR) FROM events)
+"""
+
+
 def _fixture_oracles() -> dict:
     from geos_spark import fixtures as FX
 
@@ -2140,6 +2187,7 @@ QUERIES = {
     "xt_issue": q_xt_issue,
     "stream_dedup": q_stream_dedup,
     "stream_tiles": q_stream_tiles,
+    "stream_sessions": q_stream_sessions,
 }
 
 ORACLES = {
@@ -2185,6 +2233,7 @@ ORACLES = {
     "tile_clip": q_tile_clip_sql(),
     "stream_dedup": q_dedup_exact_sql(),
     "stream_tiles": q_stream_tiles_sql(),
+    "stream_sessions": q_stream_sessions_sql(),
 }
 
 ORACLES.update(_fixture_oracles())

@@ -156,6 +156,53 @@ def streaming_windowed_tile_counts(
     )
 
 
+def streaming_user_sessions(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-user session windows (gap-based, Spark-native
+    ``session_window`` — merged while consecutive events arrive within
+    ``gap`` of the running session end) with counts and value sums.
+
+    Works identically on batch and streaming inputs. Streaming
+    contract (append mode): a session emits once the watermark passes
+    its end, so after an availableNow run the emitted set is exactly
+    the sessions with ``sess_end < max(ts) - watermark`` — a pure
+    function of the input, which is what makes the streaming result
+    SQL-oracle-able (gaps-and-islands + the same cutoff). Session
+    bounds are returned as epoch microseconds so external engines
+    compare exactly. State per key is one open session, reclaimed on
+    emission — bounded by concurrently-active users, not stream
+    length.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    w = (
+        events.select(
+            F.col(user_col), ts.alias("__ts"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .withWatermark("__ts", watermark)
+        .groupBy(
+            F.col(user_col), F.session_window(F.col("__ts"), gap).alias("sess")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__v").alias("sum_value"),
+        )
+    )
+    return w.select(
+        user_col,
+        F.unix_micros(F.col("sess.start")).alias("sess_start_us"),
+        F.unix_micros(F.col("sess.end")).alias("sess_end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def run_stream_to_memory(
     sdf: DataFrame,
     spark: SparkSession,

@@ -158,3 +158,39 @@ def test_catalog_stream_queries_match_oracle_shape(spark):
     t = q_stream_tiles(spark, SF_DIR)
     assert t.columns == ["cell", "n_docs", "sum_doc"]
     assert t.count() > 0
+
+
+def test_stream_sessions_cutoff_and_batch_parity(spark):
+    """Streaming sessions (append, availableNow) = batch sessions
+    filtered to those the final watermark closed."""
+    from pyspark.sql import functions as F
+
+    from geos_spark.streaming import (
+        read_documents_stream,
+        run_stream_to_memory,
+        streaming_user_sessions,
+    )
+
+    path = f"{SF_DIR}/events.parquet"
+    out, _ = run_stream_to_memory(
+        streaming_user_sessions(read_documents_stream(spark, path)),
+        spark,
+        output_mode="append",
+    )
+    ev = spark.read.parquet(path)
+    batch = streaming_user_sessions(ev)  # watermark is a no-op in batch
+    cutoff = ev.agg(
+        F.max(
+            F.unix_micros(
+                F.col("ts").cast("timestamp") - F.expr("INTERVAL 1 HOUR")
+            )
+        )
+    ).collect()[0][0]
+    expected = batch.where(F.col("sess_end_us") < cutoff)
+    key = lambda r: (r[0], r[1])  # noqa: E731
+    got = sorted((tuple(r) for r in out.collect()), key=key)
+    exp = sorted((tuple(r) for r in expected.collect()), key=key)
+    assert len(got) == len(exp) > 0
+    for a, b in zip(got, exp):
+        assert a[:4] == b[:4]
+        assert abs(a[4] - b[4]) < 1e-6
