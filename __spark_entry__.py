@@ -1,13 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)  -> flagship point-in-polygon spatial join at sf0.001.
-queries()     -> operator catalog (geos_spark.queries.QUERIES): 53
+queries()     -> operator catalog (geos_spark.queries.QUERIES): 54
                  queries — synthetic-table operators (joins, tiling,
                  kNN, clustering, coverage validate/simplify/clean,
                  dedup/ANN/text), Structured-Streaming twins run to
-                 completion (stream_dedup, stream_tiles, stream_sessions), plus the
+                 completion (stream_dedup, stream_tiles, stream_sessions,
+                 stream_first_seen), plus the
                  xmltester corpus promoted as xt_* fixture queries.
-oracle_sql()  -> per-query DuckDB ANSI-SQL oracles (53 of 53; the
+oracle_sql()  -> per-query DuckDB ANSI-SQL oracles (54 of 54; the
                  xt_* oracles are VALUES tables of the reference's
                  own XML/unit-test expectations).
 """

@@ -2070,6 +2070,33 @@ GROUP BY cell
 """
 
 
+def q_stream_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    first-seen dedup. The catalog input is a single file -> a single
+    micro-batch, where first-seen keeper == global min(doc_id) — the
+    SQL below; cross-batch arrival-order semantics are pinned in
+    tests/test_streaming.py."""
+    from geos_spark.streaming import (
+        read_documents_stream,
+        run_stream_to_memory,
+        streaming_first_seen,
+    )
+
+    s = read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    out, _ = run_stream_to_memory(
+        streaming_first_seen(s), spark, output_mode="update"
+    )
+    return out
+
+
+def q_stream_first_seen_sql() -> str:
+    return """
+SELECT md5(text) AS fingerprint, MIN(doc_id) AS keeper_id
+FROM documents
+GROUP BY md5(text)
+"""
+
+
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-user session windows over the events stream
     (gap 30min, watermark 1h, append mode): the emitted set after an
@@ -2188,6 +2215,7 @@ QUERIES = {
     "stream_dedup": q_stream_dedup,
     "stream_tiles": q_stream_tiles,
     "stream_sessions": q_stream_sessions,
+    "stream_first_seen": q_stream_first_seen,
 }
 
 ORACLES = {
@@ -2234,6 +2262,7 @@ ORACLES = {
     "stream_dedup": q_dedup_exact_sql(),
     "stream_tiles": q_stream_tiles_sql(),
     "stream_sessions": q_stream_sessions_sql(),
+    "stream_first_seen": q_stream_first_seen_sql(),
 }
 
 ORACLES.update(_fixture_oracles())

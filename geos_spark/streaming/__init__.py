@@ -31,6 +31,7 @@ import itertools
 import os
 import tempfile
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -200,6 +201,59 @@ def streaming_user_sessions(
         F.unix_micros(F.col("sess.end")).alias("sess_end_us"),
         "n_events",
         "sum_value",
+    )
+
+
+def streaming_first_seen(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Streaming first-seen dedup — a CUSTOM stateful operator via
+    ``applyInPandasWithState``: each content fingerprint is emitted
+    exactly once, on the first micro-batch where it appears (ties
+    inside that batch broken by min id, so the result is
+    deterministic for a fixed batch sequence); later arrivals of the
+    same fingerprint are suppressed by a per-key state flag.
+
+    This is the streaming-native "keep the first copy" contract
+    (arrival-order semantics), complementing
+    :func:`streaming_dedup_exact` whose ``min(doc_id)`` keeper is
+    arrival-order-independent. On a SINGLE-batch input (e.g. the
+    catalog's one-file tables) the two coincide: first-seen keeper ==
+    global min id, which is what the SQL oracle checks; the
+    multi-batch semantics are pinned by tests/test_streaming.py.
+
+    State is one boolean per distinct fingerprint. Unbounded streams
+    would bound it with a state TTL
+    (``GroupStateTimeout.ProcessingTimeTimeout`` + a dedup horizon,
+    the same trade Spark's own ``dropDuplicatesWithinWatermark``
+    makes); the catalog/test harness runs finite availableNow inputs
+    where NoTimeout is exact.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = docs.select(
+        F.md5(F.col(text_col)).alias("fingerprint"),
+        F.col(id_col).alias("keeper_id"),
+    )
+
+    def first_seen(key, pdfs, state):
+        if state.exists:
+            return  # fingerprint already emitted in an earlier batch
+        best = None
+        for pdf in pdfs:
+            m = pdf["keeper_id"].min()
+            best = m if best is None or m < best else best
+        state.update((True,))
+        yield pd.DataFrame(
+            {"fingerprint": [key[0]], "keeper_id": [best]}
+        )
+
+    return keyed.groupBy("fingerprint").applyInPandasWithState(
+        first_seen,
+        outputStructType="fingerprint string, keeper_id long",
+        stateStructType="seen boolean",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

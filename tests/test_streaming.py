@@ -194,3 +194,71 @@ def test_stream_sessions_cutoff_and_batch_parity(spark):
     for a, b in zip(got, exp):
         assert a[:4] == b[:4]
         assert abs(a[4] - b[4]) < 1e-6
+
+
+def test_first_seen_single_batch_equals_keepers(spark):
+    """One file -> one micro-batch: first-seen == dedup keepers
+    (incl. the NULL-fingerprint group for NULL text)."""
+    from geos_spark.operators.dedup import exact_dedup_groups
+    from geos_spark.streaming import (
+        read_documents_stream,
+        run_stream_to_memory,
+        streaming_first_seen,
+    )
+
+    out, _ = run_stream_to_memory(
+        streaming_first_seen(read_documents_stream(spark, DOCS)),
+        spark,
+        output_mode="update",
+    )
+    exp = exact_dedup_groups(spark.read.parquet(DOCS)).select(
+        "fingerprint", "keeper_id"
+    )
+    key = lambda t: (t[0] is None, t)  # noqa: E731
+    assert sorted((tuple(r) for r in out.collect()), key=key) == sorted(
+        (tuple(r) for r in exp.collect()), key=key
+    )
+
+
+def test_first_seen_state_across_batches(spark, tmp_path):
+    """A fingerprint appearing in batch 0 (doc 10) and again in batch
+    2 (doc 2) is emitted ONCE with the batch-0 keeper — the per-key
+    state suppresses the later, smaller id (arrival-order semantics,
+    unlike min-keeper dedup)."""
+    from geos_spark.streaming import (
+        read_documents_stream,
+        run_stream_to_memory,
+        streaming_first_seen,
+    )
+
+    src = str(tmp_path / "fs")
+
+    def wf(rows):
+        before = set(os.listdir(src)) if os.path.isdir(src) else set()
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        for f in set(os.listdir(src)) - before:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(src, f))
+
+    wf([(10, "aaa"), (11, "bbb")])
+    time.sleep(1.1)
+    wf([(20, "ccc")])
+    time.sleep(1.1)
+    wf([(2, "aaa"), (3, "ddd")])
+
+    s = read_documents_stream(spark, src, max_files_per_trigger=1)
+    out, q = run_stream_to_memory(
+        streaming_first_seen(s), spark, output_mode="update"
+    )
+    got = {r.fingerprint: r.keeper_id for r in out.collect()}
+    import hashlib
+
+    h = lambda t: hashlib.md5(t.encode()).hexdigest()  # noqa: E731
+    assert got[h("aaa")] == 10  # batch-0 arrival wins over doc 2
+    assert got[h("bbb")] == 11
+    assert got[h("ccc")] == 20
+    assert got[h("ddd")] == 3
+    assert len(got) == 4  # "aaa" emitted exactly once
+    assert len([p for p in q.recentProgress if p.numInputRows > 0]) >= 3
