@@ -70,22 +70,19 @@ def read_documents_stream(
     return r.parquet(path)
 
 
-def streaming_tile_rollup(
+def streaming_tile_assign(
     docs: DataFrame,
     level: int = 12,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Per-tile document rollup — streaming twin of the tile-assign +
-    aggregate pipeline (HilbertEncoder midpoint rule, level-``level``
-    cells; reference src/shape/fractal/HilbertEncoder.cpp:29-55).
-
-    Pure native expressions end-to-end: point derivation, grid
-    snapping, and the bitwise Hilbert chain are the exact Column
+    """Stateless per-document tile assignment (HilbertEncoder midpoint
+    rule, level-``level`` cells; reference
+    src/shape/fractal/HilbertEncoder.cpp:29-55) — the streaming twin
+    of ``q_tile_assign``. Pure native expressions: point derivation,
+    grid snapping, and the bitwise Hilbert chain are the exact Column
     expressions the batch path uses, so this runs identically under
-    any trigger. Returns (cell, n_docs, sum_doc) — an update-mode
-    aggregation keyed by cell (state = one row per occupied tile,
-    bounded by 4^level, not by stream length).
-    """
+    any trigger, and being stateless it appends straight to a file
+    sink (the checkpointed exactly-once ingest shape)."""
     stride = 4096.0 / ((1 << level) - 1)
     pts = with_doc_point(docs.select(id_col), id_col=id_col)
     gx = F.when(
@@ -96,7 +93,21 @@ def streaming_tile_rollup(
     ).otherwise(F.lit(0)).cast("long")
     g = pts.withColumn("gx", gx).withColumn("gy", gy)
     g = with_hilbert_cell(g, "gx", "gy", level, out="cell")
-    return g.groupBy(F.col("cell").cast("long").alias("cell")).agg(
+    return g.select(id_col, F.col("cell").cast("long").alias("cell"))
+
+
+def streaming_tile_rollup(
+    docs: DataFrame,
+    level: int = 12,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-tile document rollup — :func:`streaming_tile_assign`
+    followed by a keyed aggregation. Returns (cell, n_docs, sum_doc)
+    — an update-mode aggregation keyed by cell (state = one row per
+    occupied tile, bounded by 4^level, not by stream length).
+    """
+    g = streaming_tile_assign(docs, level=level, id_col=id_col)
+    return g.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(id_col).alias("sum_doc"),
     )
@@ -284,3 +295,26 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return spark.table(qn), q
+
+
+def stream_to_parquet(sdf: DataFrame, path: str, checkpoint: str):
+    """Drive a (stateless/append) streaming DataFrame into a parquet
+    sink with a checkpoint, availableNow, and block until done.
+
+    The checkpoint's source offsets + sink commit log give
+    exactly-once file output across restarts: re-invoking with the
+    same ``checkpoint`` after new input arrived processes ONLY the
+    new files (the north rule's resumability contract, realized by
+    the engine's streaming tier — complementing the batch manifest in
+    ``plans/checkpoint.py``). Returns the finished query handle.
+    """
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

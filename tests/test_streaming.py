@@ -262,3 +262,52 @@ def test_first_seen_state_across_batches(spark, tmp_path):
     assert got[h("ddd")] == 3
     assert len(got) == 4  # "aaa" emitted exactly once
     assert len([p for p in q.recentProgress if p.numInputRows > 0]) >= 3
+
+
+def test_stream_resume_from_checkpoint(spark, tmp_path):
+    """Exactly-once resumability: run 1 checkpoints after ingesting
+    file A; run 2 (same checkpoint) after file B arrives processes
+    ONLY B — the output holds each doc exactly once."""
+    from geos_spark.streaming import (
+        read_documents_stream,
+        stream_to_parquet,
+        streaming_tile_assign,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def wf(ids):
+        before = set(os.listdir(src)) if os.path.isdir(src) else set()
+        spark.createDataFrame(
+            [(i,) for i in ids], "doc_id long"
+        ).coalesce(1).write.mode("append").parquet(src)
+        for f in set(os.listdir(src)) - before:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(src, f))
+
+    wf(range(0, 10))
+    q1 = stream_to_parquet(
+        streaming_tile_assign(read_documents_stream(spark, src)),
+        sink,
+        ckpt,
+    )
+    assert sum(p.numInputRows for p in q1.recentProgress) == 10
+    time.sleep(1.1)
+    wf(range(10, 25))
+    q2 = stream_to_parquet(
+        streaming_tile_assign(read_documents_stream(spark, src)),
+        sink,
+        ckpt,
+    )
+    # run 2 read only the new file
+    assert sum(p.numInputRows for p in q2.recentProgress) == 15
+    out = spark.read.parquet(sink)
+    assert out.count() == 25
+    assert out.select("doc_id").distinct().count() == 25  # exactly once
+    # and the assignment equals the batch expression on the union
+    from geos_spark.streaming import streaming_tile_assign as sta
+
+    batch = sta(spark.read.parquet(src))
+    assert _collect_sorted(out) == _collect_sorted(batch)
