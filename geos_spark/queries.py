@@ -2116,6 +2116,33 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_stream_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the flagship spatial join: a file-source
+    stream of document points joined stream-static against the star
+    polygons with the ``native_edges`` strategy (zero python, no state
+    store — each micro-batch joins independently against the broadcast
+    edge table), driven to completion in append mode. Same 46-row
+    oracle as ``pip_join``/``pip_native``."""
+    from geos_spark.sources.pages import with_doc_point
+    from geos_spark.streaming import (
+        read_documents_stream,
+        run_stream_to_memory,
+        streaming_pip_join,
+    )
+
+    s = read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    pts = with_doc_point(s.select("doc_id"))
+    out, _ = run_stream_to_memory(
+        streaming_pip_join(
+            pts, star_polygons(spark), "intersects",
+            level=_LEVEL_JOIN, extent=EXTENT,
+        ),
+        spark,
+        output_mode="append",
+    )
+    return out.select("doc_id", "poly_id")
+
+
 def q_stream_sessions_sql() -> str:
     return """
 WITH br AS (
@@ -2216,6 +2243,7 @@ QUERIES = {
     "stream_tiles": q_stream_tiles,
     "stream_sessions": q_stream_sessions,
     "stream_first_seen": q_stream_first_seen,
+    "stream_pip": q_stream_pip,
 }
 
 ORACLES = {
@@ -2263,6 +2291,7 @@ ORACLES = {
     "stream_tiles": q_stream_tiles_sql(),
     "stream_sessions": q_stream_sessions_sql(),
     "stream_first_seen": q_stream_first_seen_sql(),
+    "stream_pip": q_pip_join_sql(),
 }
 
 ORACLES.update(_fixture_oracles())

@@ -268,6 +268,52 @@ def streaming_first_seen(
     )
 
 
+def streaming_pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    predicate: str = "intersects",
+    *,
+    level: int = 6,
+    extent: tuple[float, float, float, float] = (0.0, 0.0, 4096.0, 4096.0),
+    poly_id_col: str = "poly_id",
+) -> DataFrame:
+    """Stream-static point-in-polygon join — the flagship spatial join
+    over an unbounded probe side.
+
+    ``points`` is a STREAMING DataFrame of (id, x, y); ``polygons`` a
+    static dim table. This is literally the batch operator
+    (:func:`geos_spark.operators.spatial_join.point_in_polygon_join`)
+    with the ``native_edges`` physical strategy: the static build side
+    becomes a broadcast edge-array table at plan time, the probe's
+    tile-cell key and the RayCrossingCounter locate are stateless
+    Catalyst expressions, and the cell equijoin is a stream-static
+    broadcast join — streaming-legal in append mode with NO state
+    store at all (each micro-batch joins independently; nothing is
+    buffered across batches).
+
+    That statelessness is the scale story: an unbounded 10^12-row
+    probe stream joins against the dim side at file-source pace with
+    per-executor memory bounded by the broadcast build (+ one Arrow
+    batch), and the result can flow straight to a checkpointed
+    exactly-once file sink (:func:`stream_to_parquet`). Semantics and
+    oracle are the batch join's (reference algorithm:
+    src/algorithm/RayCrossingCounter.cpp); equality with the batch
+    result on the same input is pinned by the driver gate and
+    tests/test_streaming.py (multi-batch).
+    """
+    from geos_spark.operators.spatial_join import point_in_polygon_join
+
+    return point_in_polygon_join(
+        points,
+        polygons,
+        predicate,
+        level=level,
+        extent=extent,
+        poly_id_col=poly_id_col,
+        strategy="native_edges",
+    )
+
+
 def run_stream_to_memory(
     sdf: DataFrame,
     spark: SparkSession,

@@ -73,6 +73,52 @@ def test_stream_is_incremental(spark, tmp_path):
     assert _collect_sorted(out) == _collect_sorted(batch)
 
 
+def test_stream_pip_join_multibatch_equals_batch(spark, tmp_path):
+    """Stream-static native spatial join: 3 micro-batches over a split
+    input produce exactly the batch join's rows (stateless join =>
+    arrival-order independent), with zero state store rows."""
+    from geos_spark.operators.spatial_join import point_in_polygon_join
+    from geos_spark.queries import EXTENT, _LEVEL_JOIN, star_polygons
+    from geos_spark.sources.pages import with_doc_point
+    from geos_spark.streaming import (
+        read_documents_stream,
+        run_stream_to_memory,
+        streaming_pip_join,
+    )
+
+    src = str(tmp_path / "docs")
+    base = spark.read.parquet(DOCS).select("doc_id")
+    for i in range(3):
+        base.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    polys = star_polygons(spark)
+    s = read_documents_stream(spark, src, max_files_per_trigger=1)
+    out, q = run_stream_to_memory(
+        streaming_pip_join(
+            with_doc_point(s.select("doc_id")), polys,
+            level=_LEVEL_JOIN, extent=EXTENT,
+        ).select("doc_id", "poly_id"),
+        spark,
+        output_mode="append",
+    )
+    batches = [p for p in q.recentProgress if p.numInputRows > 0]
+    assert len(batches) >= 3
+    # stateless: no streaming state rows at all
+    assert all(
+        not p.stateOperators or sum(
+            s_.numRowsTotal for s_ in p.stateOperators
+        ) == 0
+        for p in q.recentProgress
+    )
+    batch = point_in_polygon_join(
+        with_doc_point(base), polys, "intersects",
+        level=_LEVEL_JOIN, extent=EXTENT,
+        poly_id_col="poly_id", strategy="native_edges",
+    ).select("doc_id", "poly_id")
+    assert _collect_sorted(out) == _collect_sorted(batch)
+
+
 def _write_ts_file(spark, path, rows):
     """One parquet file of (doc_id, ts) rows; bump mtime of only the
     NEW files so the file source (earliest-mtime-first) lists them in
