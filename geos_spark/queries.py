@@ -643,6 +643,85 @@ _ANN_SEED = 42
 _ANN_MAX_BUCKET = 1000  # hot-bucket fan-out guard (m rows -> m^2 pairs)
 
 
+_IVF_LISTS = 16
+_IVF_PROBE = 4
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (coarse-quantize + probe, the Faiss-IVFFlat
+    layout): deterministic pivot centroids (the 16 lowest-id vectors),
+    zero-shuffle HOF assignment, n_probe=4 bucketed equijoin search.
+    Same query selection as ``ann_topk``; approximate by design — the
+    oracle reproduces the same assignment/probe/search exactly."""
+    from geos_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = cosine_topk_ivf(
+        emb, queries, k=5, n_lists=_IVF_LISTS, n_probe=_IVF_PROBE
+    )
+    return out.select(
+        "q_id", F.col("rank").cast("int").alias("rank"), "vec_id"
+    )
+
+
+def q_ann_ivf_sql() -> str:
+    return f"""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+),
+c AS (
+    SELECT vec_id AS cid, vv AS cv,
+           sqrt(list_dot_product(vv, vv)) AS cn
+    FROM v ORDER BY vec_id LIMIT {_IVF_LISTS}
+),
+cscore AS (
+    SELECT v.vec_id, c.cid,
+           list_dot_product(v.vv, c.cv)
+             / (sqrt(list_dot_product(v.vv, v.vv)) * c.cn) AS cs
+    FROM v CROSS JOIN c
+),
+assign AS (
+    SELECT vec_id, cid AS list_id FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY cs DESC, cid ASC
+               ) AS rn
+        FROM cscore
+    ) WHERE rn = 1
+),
+probe AS (
+    SELECT vec_id AS q_id, cid AS list_id FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY cs DESC, cid ASC
+               ) AS rn
+        FROM cscore WHERE vec_id % 50 = 0
+    ) WHERE rn <= {_IVF_PROBE}
+),
+scored AS (
+    SELECT p.q_id, a.vec_id,
+           list_dot_product(qv.vv, av.vv)
+             / (sqrt(list_dot_product(qv.vv, qv.vv))
+                * sqrt(list_dot_product(av.vv, av.vv))) AS cosine
+    FROM probe p
+    JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.q_id
+    JOIN v qv ON qv.vec_id = p.q_id
+    JOIN v av ON av.vec_id = a.vec_id
+),
+ranked AS (
+    SELECT q_id, vec_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC
+           ) AS rank
+    FROM scored
+)
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id FROM ranked WHERE rank <= 5
+"""
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed cosine top-k — the 100 TB scale path
     (bucket equijoin instead of the Q x N product). Deterministic
@@ -2208,6 +2287,7 @@ QUERIES = {
     "ann_matmul": q_ann_matmul,
     "embed_neardup": q_embed_neardup,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "rect_join": q_rect_join,
     "tile_area_sum": q_tile_area_sum,
     "tile_clip": q_tile_clip,
@@ -2266,6 +2346,7 @@ ORACLES = {
     "ann_matmul": q_ann_topk_sql(),
     "embed_neardup": q_embed_neardup_sql(),
     "ann_lsh": q_ann_lsh_sql(),
+    "ann_ivf": q_ann_ivf_sql(),
     "rect_join": q_rect_join_sql(),
     "tile_area_sum": q_tile_area_sum_sql(),
     "union_points": q_union_points_sql(),

@@ -221,6 +221,50 @@ def test_cosine_topk_lsh_recall(spark):
     assert len(a & e) / len(e) > 0.2
 
 
+def test_cosine_topk_ivf_recall_and_exact_limit(spark):
+    """IVF ANN: (a) full-probe (n_probe == n_lists) degenerates to the
+    exact result — every list is searched, so approximation comes ONLY
+    from unprobed lists; (b) partial probe keeps meaningful recall and
+    returns a subset of the searched universe; (c) the assignment adds
+    no shuffle (no Exchange before the probe join on the corpus side)."""
+    from geos_spark.operators.similarity import cosine_topk, cosine_topk_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    ).where(F.col("q_id") % 100 == 0)
+
+    exact = {
+        (r.q_id, r.rank): r.vec_id for r in cosine_topk(emb, q, k=3).collect()
+    }
+    full = {
+        (r.q_id, r.rank): r.vec_id
+        for r in cosine_topk_ivf(
+            emb, q, k=3, n_lists=8, n_probe=8
+        ).collect()
+    }
+    assert full == exact and len(exact) > 0
+
+    part = cosine_topk_ivf(emb, q, k=3, n_lists=8, n_probe=2)
+    p = {(r.q_id, r.vec_id) for r in part.collect()}
+    e = {(qr, v) for (qr, _), v in exact.items()}
+    assert len(p & e) / len(e) > 0.2
+
+    # zero-shuffle assignment: quantizing the corpus is a pure
+    # projection — its physical plan has no Exchange at all
+    from geos_spark.operators.similarity import ivf_assign
+
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.orderBy("vec_id").limit(8).collect()
+    ]
+    plan = (
+        ivf_assign(emb, cents)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_cosine_topk_matmul_agrees_with_fold(spark):
     """The BLAS-matmul throughput variant must reproduce the exact
     sequential-fold path: identical (q_id, rank, vec_id) triples and
