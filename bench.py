@@ -193,6 +193,20 @@ def _bench_queries(spark):
         vecs = spark.read.parquet(ann_path)
         return cosine_topk_matmul(vecs, ann_qs, k=5)
 
+    def ann_ivf_200k():
+        # the IVF scale path on the same 200k corpus: BLAS batch
+        # assignment (no shuffle), corpus repartitioned BY LIST (the
+        # amortized indexing step), per-list matmul against only the
+        # queries probing it — compute ~n_probe/n_lists (1/8) of brute
+        # force. Oracle coverage: catalog query `ann_ivf` (hash-exact
+        # fold variant) + rank-agreement tests (test_operators.py).
+        from geos_spark.operators.similarity import cosine_topk_ivf_blas
+
+        vecs = spark.read.parquet(ann_path)
+        return cosine_topk_ivf_blas(
+            vecs, ann_qs, k=5, n_lists=64, n_probe=8
+        )
+
     # streaming-ingest corpus: 1m doc_ids cached to parquet once
     # (outside timed regions), so the stream line measures the
     # streaming run, not the generator
@@ -282,6 +296,7 @@ def _bench_queries(spark):
         "distance_native_1m": (distance_native_1m, N_SYNTH),
         "knn_ring_100k": (knn_ring_100k, 100000),
         "ann_matmul_200k": (ann_matmul_200k, 200_000),
+        "ann_ivf_200k": (ann_ivf_200k, 200_000),
         "stream_assign_1m": (stream_assign_1m, N_SYNTH),
         "dedup_exact": (dedup_exact_sf, None),
         "token_stats": (token_stats_sf, None),

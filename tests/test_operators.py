@@ -265,6 +265,35 @@ def test_cosine_topk_ivf_recall_and_exact_limit(spark):
     assert "Exchange" not in plan
 
 
+def test_cosine_topk_ivf_blas_agrees_with_fold_ivf(spark):
+    """The list-partitioned BLAS IVF reproduces the exact fold IVF at
+    the same (n_lists, n_probe): identical (q_id, rank, vec_id) —
+    same pivot centroids => same assignment => same candidates; BLAS
+    differs only in the last ulp of the scores."""
+    from geos_spark.operators.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_ivf_blas,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    ).where(F.col("q_id") % 50 == 0)
+    fold = {
+        (r.q_id, r.rank): r.vec_id
+        for r in cosine_topk_ivf(
+            emb, q, k=5, n_lists=8, n_probe=3
+        ).collect()
+    }
+    blas = {
+        (r.q_id, r.rank): r.vec_id
+        for r in cosine_topk_ivf_blas(
+            emb, q.toPandas(), k=5, n_lists=8, n_probe=3
+        ).collect()
+    }
+    assert fold == blas and len(fold) > 0
+
+
 def test_cosine_topk_matmul_agrees_with_fold(spark):
     """The BLAS-matmul throughput variant must reproduce the exact
     sequential-fold path: identical (q_id, rank, vec_id) triples and
