@@ -240,6 +240,28 @@ def _bench_queries(spark):
         )
         return spark.read.parquet(f"{d}/sink")
 
+    def stream_pip_1m():
+        # streaming spatial join end-to-end: file source -> point
+        # derivation -> stream-static native_edges join (stateless,
+        # broadcast build) -> checkpointed parquet sink. The headline
+        # "unbounded probe" throughput number.
+        import tempfile
+
+        from geos_spark.sources.pages import with_doc_point as _wdp
+        from geos_spark.streaming import (
+            read_documents_stream,
+            stream_to_parquet,
+            streaming_pip_join,
+        )
+
+        d = tempfile.mkdtemp(prefix="bench_stream_pip_")
+        s = read_documents_stream(spark, stream_src)
+        j = streaming_pip_join(
+            _wdp(s.select("doc_id")), stars, level=6, extent=EXTENT
+        ).select("doc_id", "poly_id")
+        stream_to_parquet(j, f"{d}/sink", f"{d}/ckpt")
+        return spark.read.parquet(f"{d}/sink")
+
     def dedup_exact_sf():
         from geos_spark.operators.dedup import exact_dedup_groups
 
@@ -298,6 +320,7 @@ def _bench_queries(spark):
         "ann_matmul_200k": (ann_matmul_200k, 200_000),
         "ann_ivf_200k": (ann_ivf_200k, 200_000),
         "stream_assign_1m": (stream_assign_1m, N_SYNTH),
+        "stream_pip_1m": (stream_pip_1m, N_SYNTH),
         "dedup_exact": (dedup_exact_sf, None),
         "token_stats": (token_stats_sf, None),
         "pip_join_10m": (pip_join_10m, 10 * N_SYNTH),
