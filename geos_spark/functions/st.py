@@ -50,38 +50,106 @@ def st_astext(wkb: pd.Series) -> pd.Series:
     return wkb.map(_one)
 
 
+def _row_nullout(fn):
+    """Wrap a per-value kernel call with the engine contract: any
+    per-row failure (malformed value, or an operation the reference
+    defines as throwing — e.g. area of an unclosed curve ring) yields
+    NULL, never a failed task."""
+
+    def _one(b):
+        if b is None:
+            return None
+        try:
+            return fn(b)
+        except Exception:
+            return None
+
+    return _one
+
+
 @pandas_udf(T.DoubleType())
 def st_area(wkb: pd.Series) -> pd.Series:
-    return wkb.map(lambda b: None if b is None else S.geom_area(parse_wkb(b)))
+    return wkb.map(_row_nullout(lambda b: S.geom_area(parse_wkb(b))))
 
 
 @pandas_udf(T.DoubleType())
 def st_length(wkb: pd.Series) -> pd.Series:
+    return wkb.map(_row_nullout(lambda b: S.geom_length(parse_wkb(b))))
+
+
+@pandas_udf(T.StringType())
+def st_geometrytype(wkb: pd.Series) -> pd.Series:
+    """CamelCase type name (GEOSGeomType / Geometry::getGeometryType),
+    including the SQL/MM curve types."""
     return wkb.map(
-        lambda b: None if b is None else S.geom_length(parse_wkb(b))
+        _row_nullout(lambda b: S.geometry_type_name(parse_wkb(b)))
+    )
+
+
+@pandas_udf(T.IntegerType())
+def st_numpoints(wkb: pd.Series) -> pd.Series:
+    """Total vertex count (GEOSGeomGetNumPoints generalized to all
+    types as Geometry::getNumPoints does)."""
+    return wkb.map(
+        _row_nullout(lambda b: S.geom_num_points(parse_wkb(b)))
+    )
+
+
+@pandas_udf(T.IntegerType())
+def st_numgeometries(wkb: pd.Series) -> pd.Series:
+    """GEOSGetNumGeometries."""
+    return wkb.map(
+        _row_nullout(lambda b: S.geom_num_geometries(parse_wkb(b)))
+    )
+
+
+@pandas_udf(T.BooleanType())
+def st_isclosed(wkb: pd.Series) -> pd.Series:
+    """GEOSisClosed: linework only (curves included); other types
+    null out as the reference's exception does."""
+    return wkb.map(
+        _row_nullout(lambda b: S.curve_is_closed(parse_wkb(b)))
+    )
+
+
+@pandas_udf(T.BooleanType())
+def st_isempty(wkb: pd.Series) -> pd.Series:
+    """GEOSisEmpty."""
+    return wkb.map(_row_nullout(lambda b: bool(parse_wkb(b).is_empty)))
+
+
+@pandas_udf(T.BooleanType())
+def st_hascurve(wkb: pd.Series) -> pd.Series:
+    """Geometry::hasCurvedComponents (true iff any CircularString
+    component is present)."""
+    return wkb.map(_row_nullout(lambda b: bool(parse_wkb(b).has_curves)))
+
+
+@pandas_udf(T.BinaryType())
+def st_reverse(wkb: pd.Series) -> pd.Series:
+    """GEOSReverse (curve-aware: CompoundCurve reverses section order
+    too)."""
+    return wkb.map(
+        _row_nullout(lambda b: write_wkb(S.reverse_geom(parse_wkb(b))))
     )
 
 
 @pandas_udf(T.DoubleType())
 def st_centroid_x(wkb: pd.Series) -> pd.Series:
     def f(b):
-        if b is None:
-            return None
         c = S.geom_centroid(parse_wkb(b))
         return None if c is None else c[0]
 
-    return wkb.map(f)
+    return wkb.map(_row_nullout(f))
 
 
 @pandas_udf(T.DoubleType())
 def st_centroid_y(wkb: pd.Series) -> pd.Series:
     def f(b):
-        if b is None:
-            return None
         c = S.geom_centroid(parse_wkb(b))
         return None if c is None else c[1]
 
-    return wkb.map(f)
+    return wkb.map(_row_nullout(f))
 
 
 _ENV_SCHEMA = T.StructType(
@@ -101,7 +169,10 @@ def st_envelope_struct(wkb: pd.Series) -> pd.DataFrame:
         if b is None:
             rows.append((None, None, None, None))
         else:
-            rows.append(parse_wkb(b).envelope())
+            try:
+                rows.append(parse_wkb(b).envelope())
+            except Exception:
+                rows.append((None, None, None, None))
     return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-# WKB type ids (ISO)
+# WKB type ids (ISO; curve codes per include/geos/io/WKBConstants.h:41-45)
 POINT = 1
 LINESTRING = 2
 POLYGON = 3
@@ -21,6 +21,11 @@ MULTIPOINT = 4
 MULTILINESTRING = 5
 MULTIPOLYGON = 6
 GEOMETRYCOLLECTION = 7
+CIRCULARSTRING = 8
+COMPOUNDCURVE = 9
+CURVEPOLYGON = 10
+MULTICURVE = 11
+MULTISURFACE = 12
 
 _TYPE_NAMES = {
     POINT: "POINT",
@@ -30,7 +35,39 @@ _TYPE_NAMES = {
     MULTILINESTRING: "MULTILINESTRING",
     MULTIPOLYGON: "MULTIPOLYGON",
     GEOMETRYCOLLECTION: "GEOMETRYCOLLECTION",
+    CIRCULARSTRING: "CIRCULARSTRING",
+    COMPOUNDCURVE: "COMPOUNDCURVE",
+    CURVEPOLYGON: "CURVEPOLYGON",
+    MULTICURVE: "MULTICURVE",
+    MULTISURFACE: "MULTISURFACE",
 }
+
+# getGeometryType() CamelCase names (Geometry.h subclasses)
+CAMEL_NAMES = {
+    POINT: "Point",
+    LINESTRING: "LineString",
+    POLYGON: "Polygon",
+    MULTIPOINT: "MultiPoint",
+    MULTILINESTRING: "MultiLineString",
+    MULTIPOLYGON: "MultiPolygon",
+    GEOMETRYCOLLECTION: "GeometryCollection",
+    CIRCULARSTRING: "CircularString",
+    COMPOUNDCURVE: "CompoundCurve",
+    CURVEPOLYGON: "CurvePolygon",
+    MULTICURVE: "MultiCurve",
+    MULTISURFACE: "MultiSurface",
+}
+
+# types with curved components (RelateNG and the overlay/buffer
+# pipeline reject these, exactly as the reference does:
+# src/operation/relateng/RelateNG.cpp:325-326 ensureNoCurvedComponents)
+CURVED_TYPES = frozenset(
+    (CIRCULARSTRING, COMPOUNDCURVE, CURVEPOLYGON, MULTICURVE, MULTISURFACE)
+)
+_COLLECTION_TYPES = frozenset(
+    (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION,
+     MULTICURVE, MULTISURFACE)
+)
 
 
 class Geom:
@@ -39,7 +76,11 @@ class Geom:
     payload by type:
       POINT           -> (k,2) array, k in {0,1} (0 = EMPTY)
       LINESTRING      -> (k,2) array (k=0 = EMPTY)
+      CIRCULARSTRING  -> (k,2) array (arc triples at stride 2)
       POLYGON         -> list of (k,2) closed rings (shell first); [] = EMPTY
+      COMPOUNDCURVE   -> list of child Geom (LINESTRING | CIRCULARSTRING)
+      CURVEPOLYGON    -> list of ring Geom (LINESTRING ring |
+                         CIRCULARSTRING | COMPOUNDCURVE), shell first
       MULTI*/GC       -> list of child Geom
     """
 
@@ -60,7 +101,7 @@ class Geom:
 
     @staticmethod
     def empty(type_id: int) -> "Geom":
-        if type_id in (POINT, LINESTRING):
+        if type_id in (POINT, LINESTRING, CIRCULARSTRING):
             return Geom(type_id, np.zeros((0, 2), dtype=np.float64))
         if type_id == POLYGON:
             return Geom(POLYGON, [])
@@ -87,15 +128,30 @@ class Geom:
     # -- predicates on structure --------------------------------------
     @property
     def is_empty(self) -> bool:
-        if self.type_id in (POINT, LINESTRING):
+        if self.type_id in (POINT, LINESTRING, CIRCULARSTRING):
             return len(self.data) == 0
         if self.type_id == POLYGON:
             return len(self.data) == 0 or len(self.data[0]) == 0
+        if self.type_id == CURVEPOLYGON:
+            return len(self.data) == 0 or self.data[0].is_empty
         return all(g.is_empty for g in self.data) if self.data else True
 
     @property
     def is_collection(self) -> bool:
-        return self.type_id >= MULTIPOINT
+        return self.type_id in _COLLECTION_TYPES
+
+    @property
+    def has_curves(self) -> bool:
+        """Any curved component (Geometry::hasCurvedComponents)."""
+        if self.type_id == CIRCULARSTRING:
+            return True
+        if self.type_id in (COMPOUNDCURVE, CURVEPOLYGON) or (
+            self.is_collection
+        ):
+            return any(
+                isinstance(p, Geom) and p.has_curves for p in self.data
+            )
+        return False
 
     def geoms(self) -> list["Geom"]:
         """Atomic components, flattening nested collections."""
@@ -115,13 +171,45 @@ class Geom:
             return -1
         if self.type_id == POINT:
             return 0
-        if self.type_id == LINESTRING:
+        if self.type_id in (LINESTRING, CIRCULARSTRING, COMPOUNDCURVE):
             return 1
-        if self.type_id == POLYGON:
+        if self.type_id in (POLYGON, CURVEPOLYGON):
             return 2
         return max(g.dimension() for g in self.geoms() if not g.is_empty)
 
     def envelope(self) -> tuple[float, float, float, float]:
+        if self.has_curves:
+            # arc-aware: arcs bulge beyond their control points
+            # (SimpleCurve::computeEnvelopeInternal)
+            from geos_spark.kernels.arcs import (
+                circularstring_expand_envelope,
+            )
+
+            env = [np.inf, np.inf, -np.inf, -np.inf]
+
+            def walk(g: "Geom") -> None:
+                if g.type_id == CIRCULARSTRING:
+                    circularstring_expand_envelope(env, g.data)
+                elif g.type_id in (POINT, LINESTRING):
+                    c = g.data
+                    if len(c):
+                        env[0] = min(env[0], float(c[:, 0].min()))
+                        env[1] = min(env[1], float(c[:, 1].min()))
+                        env[2] = max(env[2], float(c[:, 0].max()))
+                        env[3] = max(env[3], float(c[:, 1].max()))
+                elif g.type_id == POLYGON:
+                    for r in g.data:
+                        if len(r):
+                            env[0] = min(env[0], float(r[:, 0].min()))
+                            env[1] = min(env[1], float(r[:, 1].min()))
+                            env[2] = max(env[2], float(r[:, 0].max()))
+                            env[3] = max(env[3], float(r[:, 1].max()))
+                else:
+                    for p in g.data:
+                        walk(p)
+
+            walk(self)
+            return (env[0], env[1], env[2], env[3])
         cs = self.all_coords()
         if len(cs) == 0:
             return (np.inf, np.inf, -np.inf, -np.inf)
@@ -133,7 +221,7 @@ class Geom:
         )
 
     def all_coords(self) -> np.ndarray:
-        if self.type_id in (POINT, LINESTRING):
+        if self.type_id in (POINT, LINESTRING, CIRCULARSTRING):
             return self.data
         if self.type_id == POLYGON:
             if not self.data:
@@ -161,6 +249,10 @@ def canonical(g: Geom) -> Geom:
     Applied to BOTH sides of a comparison, so the specific convention
     does not need to match the reference's internal one.
     """
+    if g.type_id in CURVED_TYPES:
+        # normalize() on curved types throws in the reference
+        # (CurvePolygon.cpp:51-54); same contract here
+        raise ValueError("normalize: curved geometries unsupported")
     if g.type_id == POINT:
         return g
     if g.type_id == LINESTRING:

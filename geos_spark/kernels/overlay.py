@@ -1445,6 +1445,10 @@ def overlay(
     """OverlayNG::overlay; FLOATING precision by default, a FIXED
     PrecisionModel(scale) using the snap-rounding noder, or (middle
     robustness tier) a SnappingNoder with tolerance ``snap_tol``."""
+    if a.has_curves or b.has_curves:
+        # OverlayNG has no curve support; GEOSIntersection on curved
+        # input raises UnsupportedOperationException -> NULL row here
+        raise ValueError("overlay: curved geometries unsupported")
     a = _flatten_operand(a)
     b = _flatten_operand(b)
     dim_a = _geom_dim(a)

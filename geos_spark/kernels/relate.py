@@ -561,6 +561,11 @@ def relate(a: G.Geom, b: G.Geom, bnr: int | None = None) -> str:
     RelateNG::relate(g1, g2, bnRule) semantics). ``None`` inherits the
     caller's active rule, so internal recursion (GC class
     decomposition) stays under the rule of the public call."""
+    if a.type_id in G.CURVED_TYPES or b.type_id in G.CURVED_TYPES:
+        # RelateNG rejects curved operands
+        # (src/operation/relateng/RelateNG.cpp:325-326); the engine
+        # contract surfaces this as a per-row NULL
+        raise ValueError("relate: curved geometries unsupported")
     global _BNR
     if bnr is not None and bnr != _BNR:
         prev = _BNR

@@ -40,6 +40,16 @@ def ring_signed_area(ring: np.ndarray) -> float:
     return float(np.sum(xs * (y[2:] - y[:-2])) / 2.0)
 
 
+def _ring_sections(ring: G.Geom) -> list:
+    """Curve ring -> [(coords, is_curved)] sections (a COMPOUNDCURVE
+    contributes one section per member)."""
+    if ring.type_id == G.COMPOUNDCURVE:
+        return [
+            (c.data, c.type_id == G.CIRCULARSTRING) for c in ring.data
+        ]
+    return [(ring.data, ring.type_id == G.CIRCULARSTRING)]
+
+
 def geom_area(g: G.Geom) -> float:
     if g.type_id == G.POLYGON:
         if not g.data:
@@ -47,6 +57,20 @@ def geom_area(g: G.Geom) -> float:
         a = abs(ring_signed_area(g.data[0]))
         for hole in g.data[1:]:
             a -= abs(ring_signed_area(hole))
+        return a
+    if g.type_id == G.CURVEPOLYGON:
+        # CurvePolygon::getArea (src/geom/CurvePolygon.cpp:55-61):
+        # shell closed-curve area minus hole closed-curve areas
+        from geos_spark.kernels.arcs import closed_curve_area
+
+        if not g.data or g.data[0].is_empty:
+            return 0.0
+        for ring in g.data:
+            if not curve_is_closed(ring):
+                raise ValueError("curve polygon ring is not closed")
+        a = closed_curve_area(_ring_sections(g.data[0]))
+        for hole in g.data[1:]:
+            a -= closed_curve_area(_ring_sections(hole))
         return a
     if g.is_collection:
         return float(sum(geom_area(p) for p in g.data))
@@ -57,15 +81,68 @@ def geom_length(g: G.Geom) -> float:
     if g.type_id == G.LINESTRING:
         d = np.diff(g.data, axis=0)
         return float(np.sum(np.hypot(d[:, 0], d[:, 1])))
-    if g.type_id == G.POLYGON:
-        return float(
-            sum(
-                np.sum(np.hypot(*np.diff(r, axis=0).T)) for r in g.data
+    if g.type_id == G.CIRCULARSTRING:
+        # CircularString::getLength: arc triples at stride 2
+        from geos_spark.kernels.arcs import circularstring_length
+
+        return circularstring_length(g.data)
+    if g.type_id in (G.POLYGON, G.COMPOUNDCURVE, G.CURVEPOLYGON):
+        if g.type_id == G.POLYGON:
+            return float(
+                sum(
+                    np.sum(np.hypot(*np.diff(r, axis=0).T))
+                    for r in g.data
+                )
             )
-        )
+        return float(sum(geom_length(p) for p in g.data))
     if g.is_collection:
         return float(sum(geom_length(p) for p in g.data))
     return 0.0
+
+
+def curve_is_closed(g: G.Geom) -> bool:
+    """isClosed for linework (GEOSisClosed). SimpleCurve: first ==
+    last coordinate; CompoundCurve: start of first section == end of
+    last (src/geom/CompoundCurve.cpp:271-281). Multi-linework is
+    closed iff every member is (MultiCurve::isClosed)."""
+    if g.is_empty:
+        return False
+    if g.type_id in (G.LINESTRING, G.CIRCULARSTRING):
+        return bool(
+            g.data[0, 0] == g.data[-1, 0]
+            and g.data[0, 1] == g.data[-1, 1]
+        )
+    if g.type_id == G.COMPOUNDCURVE:
+        first, last = g.data[0].data, g.data[-1].data
+        return bool(
+            first[0, 0] == last[-1, 0] and first[0, 1] == last[-1, 1]
+        )
+    if g.type_id in (G.MULTILINESTRING, G.MULTICURVE):
+        return all(curve_is_closed(p) for p in g.data)
+    raise ValueError("isClosed: not a curve")
+
+
+def geom_num_points(g: G.Geom) -> int:
+    """Total vertex count (Geometry::getNumPoints; CompoundCurve sums
+    its sections, CompoundCurve.cpp:233-241)."""
+    if g.type_id in (G.POINT, G.LINESTRING, G.CIRCULARSTRING):
+        return int(len(g.data))
+    if g.type_id == G.POLYGON:
+        return int(sum(len(r) for r in g.data))
+    return int(sum(geom_num_points(p) for p in g.data))
+
+
+def geom_num_geometries(g: G.Geom) -> int:
+    """GEOSGetNumGeometries: member count for collections, else 1
+    (0 only for the typed-empty collection)."""
+    if g.is_collection:
+        return len(g.data)
+    return 1
+
+
+def geometry_type_name(g: G.Geom) -> str:
+    """Geometry::getGeometryType CamelCase name (GEOSGeomType)."""
+    return G.CAMEL_NAMES[g.type_id]
 
 
 # ----------------------------------------------------------------------
@@ -433,10 +510,16 @@ def reverse_geom(g: G.Geom) -> G.Geom:
     """Reverse coordinate order of linework (GEOSReverse)."""
     if g.type_id == G.POINT:
         return g
-    if g.type_id == G.LINESTRING:
-        return G.Geom(G.LINESTRING, g.data[::-1].copy(), is_ring=g.is_ring)
+    if g.type_id in (G.LINESTRING, G.CIRCULARSTRING):
+        return G.Geom(g.type_id, g.data[::-1].copy(), is_ring=g.is_ring)
     if g.type_id == G.POLYGON:
         return G.Geom(G.POLYGON, [r[::-1].copy() for r in g.data])
+    if g.type_id == G.COMPOUNDCURVE:
+        # reverse each section AND the section order
+        # (CompoundCurve::reverseImpl)
+        return G.Geom(
+            G.COMPOUNDCURVE, [reverse_geom(p) for p in g.data[::-1]]
+        )
     return G.Geom(g.type_id, [reverse_geom(p) for p in g.data])
 
 
@@ -450,7 +533,7 @@ def transform_xy(g: G.Geom, fn) -> G.Geom:
         x, y = fn(c[:, 0], c[:, 1])
         return np.column_stack([x, y]).astype(np.float64)
 
-    if g.type_id in (G.POINT, G.LINESTRING):
+    if g.type_id in (G.POINT, G.LINESTRING, G.CIRCULARSTRING):
         return G.Geom(g.type_id, t(g.data), is_ring=g.is_ring)
     if g.type_id == G.POLYGON:
         return G.Geom(G.POLYGON, [t(r) for r in g.data])
@@ -652,7 +735,7 @@ def equals_identical(a: G.Geom, b: G.Geom) -> bool:
 
     if a.type_id != b.type_id:
         return False
-    if a.type_id in (G.POINT, G.LINESTRING):
+    if a.type_id in (G.POINT, G.LINESTRING, G.CIRCULARSTRING):
         return _coords(a.data, b.data)
     if a.type_id == G.POLYGON:
         if len(a.data) != len(b.data):

@@ -71,11 +71,11 @@ def _parse_body(buf: memoryview, pos: int) -> tuple[G.Geom, int]:
             g = G.Geom.empty(G.POINT)
         else:
             g = G.Geom(G.POINT, coords)
-    elif base == G.LINESTRING:
+    elif base in (G.LINESTRING, G.CIRCULARSTRING):
         (n,) = struct.unpack_from(fmt + "I", buf, pos)
         pos += 4
         coords, pos = _read_coords(buf, pos, n, dim, fmt)
-        g = G.Geom(G.LINESTRING, coords)
+        g = G.Geom(base, coords)
     elif base == G.POLYGON:
         (nr,) = struct.unpack_from(fmt + "I", buf, pos)
         pos += 4
@@ -91,6 +91,12 @@ def _parse_body(buf: memoryview, pos: int) -> tuple[G.Geom, int]:
         G.MULTILINESTRING,
         G.MULTIPOLYGON,
         G.GEOMETRYCOLLECTION,
+        # curve containers: members are full WKB child geometries,
+        # including CurvePolygon rings (WKBReader.cpp:461-487)
+        G.COMPOUNDCURVE,
+        G.CURVEPOLYGON,
+        G.MULTICURVE,
+        G.MULTISURFACE,
     ):
         (n,) = struct.unpack_from(fmt + "I", buf, pos)
         pos += 4
@@ -125,7 +131,7 @@ def _write_body(g: G.Geom, out: bytearray) -> None:
             out += struct.pack("<dd", float("nan"), float("nan"))
         else:
             out += struct.pack("<dd", g.data[0, 0], g.data[0, 1])
-    elif g.type_id == G.LINESTRING:
+    elif g.type_id in (G.LINESTRING, G.CIRCULARSTRING):
         out += struct.pack("<I", len(g.data))
         out += np.ascontiguousarray(g.data, dtype="<f8").tobytes()
     elif g.type_id == G.POLYGON:

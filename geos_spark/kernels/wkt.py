@@ -26,6 +26,12 @@ _TYPE_BY_NAME = {
     "MULTILINESTRING": G.MULTILINESTRING,
     "MULTIPOLYGON": G.MULTIPOLYGON,
     "GEOMETRYCOLLECTION": G.GEOMETRYCOLLECTION,
+    # SQL/MM curve types (src/io/WKTReader.cpp:309-335)
+    "CIRCULARSTRING": G.CIRCULARSTRING,
+    "COMPOUNDCURVE": G.COMPOUNDCURVE,
+    "CURVEPOLYGON": G.CURVEPOLYGON,
+    "MULTICURVE": G.MULTICURVE,
+    "MULTISURFACE": G.MULTISURFACE,
 }
 
 
@@ -79,6 +85,37 @@ def _parse_geom(lex: _Lexer) -> G.Geom:
         )
     if tid == G.POLYGON:
         return G.Geom(G.POLYGON, _parse_ring_list(lex, ndim))
+    if tid == G.CIRCULARSTRING:
+        return G.Geom(G.CIRCULARSTRING, _parse_coord_list(lex, ndim))
+    if tid == G.COMPOUNDCURVE:
+        # members: bare "(...)" (implicit LINESTRING) or tagged
+        # LINESTRING / CIRCULARSTRING (readCompoundCurveText,
+        # src/io/WKTReader.cpp:418-437)
+        return G.Geom(
+            G.COMPOUNDCURVE,
+            _parse_member_list(
+                lex, ndim, _parse_simple_curve_member
+            ),
+        )
+    if tid == G.CURVEPOLYGON:
+        # rings: bare "(...)" or LINESTRING / CIRCULARSTRING /
+        # COMPOUNDCURVE (readCurvePolygonText -> readCurveText)
+        return G.Geom(
+            G.CURVEPOLYGON,
+            _parse_member_list(lex, ndim, _parse_curve_member),
+        )
+    if tid == G.MULTICURVE:
+        return G.Geom(
+            G.MULTICURVE,
+            _parse_member_list(lex, ndim, _parse_curve_member),
+        )
+    if tid == G.MULTISURFACE:
+        # members: bare "((...))" (implicit POLYGON) or tagged
+        # POLYGON / CURVEPOLYGON (readSurfaceText)
+        return G.Geom(
+            G.MULTISURFACE,
+            _parse_member_list(lex, ndim, _parse_surface_member),
+        )
     if tid == G.MULTIPOINT:
         # both MULTIPOINT ((1 2), (3 4)) and MULTIPOINT (1 2, 3 4)
         lex.expect("(")
@@ -142,6 +179,63 @@ def _parse_geom(lex: _Lexer) -> G.Geom:
     return G.Geom(G.GEOMETRYCOLLECTION, parts)
 
 
+def _parse_member_list(lex: _Lexer, ndim: int, member_fn) -> list:
+    """Parenthesized comma list of members (or nothing for EMPTY —
+    the EMPTY token is consumed by the caller's dispatch)."""
+    lex.expect("(")
+    parts: list[G.Geom] = []
+    if lex.peek() == ")":
+        lex.next()
+        return parts
+    while True:
+        parts.append(member_fn(lex, ndim))
+        if lex.next() == ")":
+            break
+    return parts
+
+
+def _parse_curve_member(lex: _Lexer, ndim: int) -> G.Geom:
+    """readCurveText (WKTReader.cpp:385-398): bare '(' is an implicit
+    LINESTRING; otherwise a tagged curve type; bare EMPTY defaults to
+    LINESTRING EMPTY."""
+    t = lex.peek()
+    if t == "(":
+        return G.Geom(G.LINESTRING, _parse_coord_list(lex, ndim))
+    if t and t.upper() == "EMPTY":
+        lex.next()
+        return G.Geom.empty(G.LINESTRING)
+    g = _parse_geom(lex)
+    if g.type_id not in (
+        G.LINESTRING, G.CIRCULARSTRING, G.COMPOUNDCURVE
+    ):
+        raise ValueError(
+            "expected LINESTRING/CIRCULARSTRING/COMPOUNDCURVE member"
+        )
+    return g
+
+
+def _parse_simple_curve_member(lex: _Lexer, ndim: int) -> G.Geom:
+    g = _parse_curve_member(lex, ndim)
+    if g.type_id == G.COMPOUNDCURVE:
+        raise ValueError("expected LINESTRING or CIRCULARSTRING member")
+    return g
+
+
+def _parse_surface_member(lex: _Lexer, ndim: int) -> G.Geom:
+    """readSurfaceText (WKTReader.cpp:400-413): bare '(' is an
+    implicit POLYGON; otherwise POLYGON or CURVEPOLYGON."""
+    t = lex.peek()
+    if t == "(":
+        return G.Geom(G.POLYGON, _parse_ring_list(lex, ndim))
+    if t and t.upper() == "EMPTY":
+        lex.next()
+        return G.Geom.empty(G.POLYGON)
+    g = _parse_geom(lex)
+    if g.type_id not in (G.POLYGON, G.CURVEPOLYGON):
+        raise ValueError("expected POLYGON or CURVEPOLYGON member")
+    return g
+
+
 def _parse_bare_coord(lex: _Lexer, ndim: int) -> np.ndarray:
     vals = []
     while lex.peek() not in (",", ")", None):
@@ -203,12 +297,59 @@ def _coords_str(coords: np.ndarray, rounding) -> str:
     )
 
 
+def _curve_member_str(p: G.Geom, rounding) -> str:
+    """Member text inside COMPOUNDCURVE/CURVEPOLYGON/MULTICURVE:
+    LINESTRING children are written bare, CIRCULARSTRING tagged,
+    COMPOUNDCURVE tagged (WKTWriter appendCurveText /
+    appendSimpleCurveText, src/io/WKTWriter.cpp:311-334)."""
+    if p.type_id == G.CIRCULARSTRING or p.type_id == G.COMPOUNDCURVE:
+        return write_wkt(p, rounding)
+    if p.is_empty:
+        return "EMPTY"
+    return f"({_coords_str(p.data, rounding)})"
+
+
+def _surface_member_str(p: G.Geom, rounding) -> str:
+    """Member text inside MULTISURFACE: POLYGON bare, CURVEPOLYGON
+    tagged (appendMultiSurfaceText, WKTWriter.cpp:595-615)."""
+    if p.type_id == G.CURVEPOLYGON:
+        return write_wkt(p, rounding)
+    if p.is_empty:
+        return "EMPTY"
+    inner = ", ".join(f"({_coords_str(r, rounding)})" for r in p.data)
+    return f"({inner})"
+
+
 def write_wkt(g: G.Geom, rounding: int | None = None) -> str:
     name = {v: k for k, v in _TYPE_BY_NAME.items() if k != "LINEARRING"}[
         g.type_id
     ]
+    if g.type_id in (G.MULTICURVE, G.MULTISURFACE):
+        # reference writes EMPTY only for zero members
+        # (appendMultiCurveText, WKTWriter.cpp:563-585)
+        if not g.data:
+            return f"{name} EMPTY"
+        member = (
+            _curve_member_str
+            if g.type_id == G.MULTICURVE
+            else _surface_member_str
+        )
+        inner = ", ".join(member(p, rounding) for p in g.data)
+        return f"{name} ({inner})"
     if g.is_empty:
         return f"{name} EMPTY"
+    if g.type_id == G.CIRCULARSTRING:
+        return f"CIRCULARSTRING ({_coords_str(g.data, rounding)})"
+    if g.type_id == G.COMPOUNDCURVE:
+        inner = ", ".join(
+            _curve_member_str(p, rounding) for p in g.data
+        )
+        return f"COMPOUNDCURVE ({inner})"
+    if g.type_id == G.CURVEPOLYGON:
+        inner = ", ".join(
+            _curve_member_str(p, rounding) for p in g.data
+        )
+        return f"CURVEPOLYGON ({inner})"
     if g.type_id == G.POINT:
         return f"POINT ({_coords_str(g.data, rounding)})"
     if g.type_id == G.LINESTRING:

@@ -377,6 +377,103 @@ FROM sums
 
 
 # ----------------------------------------------------------------------
+# curved geometry types (SQL/MM): parse -> measure, closed-form oracle
+# ----------------------------------------------------------------------
+
+
+def q_curve_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curve types end-to-end: per doc, a deterministic semicircular
+    CURVEPOLYGON (COMPOUNDCURVE of one CIRCULARSTRING arc + its chord)
+    is built as WKT with native string concat (zero python), parsed,
+    and measured with the arc kernels — perimeter, enclosed area,
+    arc-aware envelope, vertex count, type name, hasCurvedComponents.
+
+    The p0==(cx-r,cy) p1==(cx,cy+r) p2==(cx+r,cy) triple is an exact
+    semicircle, so every measure has a closed-form oracle: perimeter
+    pi*r + 2r, area pi*r^2/2, envelope (cx-r, cy, cx+r, cy+r).
+    Reference parity: CircularArc.h getLength/getArea,
+    Area::ofClosedCurve (src/algorithm/Area.cpp:100-151),
+    CircularArcs::expandEnvelope (src/algorithm/CircularArcs.cpp)."""
+    from geos_spark.functions.st import (
+        st_area,
+        st_envelope_struct,
+        st_geometrytype,
+        st_geomfromtext,
+        st_hascurve,
+        st_length,
+        st_numpoints,
+    )
+
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .withColumn(
+            "cx", ((F.col("doc_id") * 37) % 1000) / F.lit(10.0)
+        )
+        .withColumn(
+            "cy", ((F.col("doc_id") * 61) % 1000) / F.lit(10.0)
+        )
+        .withColumn(
+            "r", F.lit(1.0) + (F.col("doc_id") % 7) / F.lit(4.0)
+        )
+    )
+    # CAST(double AS STRING) is Java shortest-round-trip text, so the
+    # WKT parse reconstructs bit-identical doubles
+    x0 = (F.col("cx") - F.col("r")).cast("string")
+    x1 = F.col("cx").cast("string")
+    x2 = (F.col("cx") + F.col("r")).cast("string")
+    y0 = F.col("cy").cast("string")
+    y1 = (F.col("cy") + F.col("r")).cast("string")
+    sp = F.lit(" ")
+    cm = F.lit(", ")
+    wkt = F.concat(
+        F.lit("CURVEPOLYGON (COMPOUNDCURVE (CIRCULARSTRING ("),
+        x0, sp, y0, cm, x1, sp, y1, cm, x2, sp, y0,
+        F.lit("), ("), x2, sp, y0, cm, x0, sp, y0, F.lit(")))"),
+    )
+    g = d.withColumn("wkb", st_geomfromtext(wkt))
+    env = st_envelope_struct(F.col("wkb"))
+    return g.select(
+        "doc_id",
+        st_geometrytype(F.col("wkb")).alias("gtype"),
+        st_numpoints(F.col("wkb")).alias("npts"),
+        st_hascurve(F.col("wkb")).alias("has_curve"),
+        st_length(F.col("wkb")).alias("perim"),
+        st_area(F.col("wkb")).alias("surf_area"),
+        env.getField("xmin").alias("xmin"),
+        env.getField("ymin").alias("ymin"),
+        env.getField("xmax").alias("xmax"),
+        env.getField("ymax").alias("ymax"),
+    )
+
+
+def q_curve_measures_sql() -> str:
+    # closed-form semicircle measures; the engine's atan2-based arc
+    # angle is exactly pi for this triple, so values agree to ~1e-13,
+    # far inside the driver's 1e-6 rounding
+    return """
+WITH params AS (
+    SELECT doc_id,
+           ((doc_id * 37) % 1000) / 10.0 AS cx,
+           ((doc_id * 61) % 1000) / 10.0 AS cy,
+           1.0 + (doc_id % 7) / 4.0 AS r
+    FROM documents
+)
+SELECT doc_id,
+       'CurvePolygon' AS gtype,
+       5 AS npts,
+       TRUE AS has_curve,
+       pi() * r + 2 * r AS perim,
+       pi() * r * r / 2 AS surf_area,
+       cx - r AS xmin,
+       cy AS ymin,
+       cx + r AS xmax,
+       cy + r AS ymax
+FROM params
+"""
+
+
+# ----------------------------------------------------------------------
 # aggregations: extent of all doc points (native min/max)
 # ----------------------------------------------------------------------
 
@@ -2277,6 +2374,7 @@ QUERIES = {
     "distance_native": q_distance_native,
     "star_area": q_star_area,
     "star_centroid": q_star_centroid,
+    "curve_measures": q_curve_measures,
     "extent_agg": q_extent_agg,
     "hilbert_topk": q_hilbert_topk,
     "dedup_exact": q_dedup_exact,
@@ -2336,6 +2434,7 @@ ORACLES = {
     "distance_native": q_distance_native_sql(),
     "star_area": q_star_area_sql(),
     "star_centroid": q_star_centroid_sql(),
+    "curve_measures": q_curve_measures_sql(),
     "extent_agg": q_extent_agg_sql(),
     "hilbert_topk": q_hilbert_topk_sql(),
     "dedup_exact": q_dedup_exact_sql(),

@@ -43,8 +43,15 @@ def _compare(spark_df, oracle_df, name):
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if a[c].dtype.kind == "f":
+            # ulp-noise tolerance for closed-form oracles (e.g. the
+            # curve_measures pi-based values); still 10^6x stricter
+            # than the driver's round(6) compare
             for i, (x, y) in enumerate(zip(av, bv)):
-                ok = (x == y) or (math.isnan(x) and math.isnan(y))
+                ok = (
+                    (x == y)
+                    or (math.isnan(x) and math.isnan(y))
+                    or math.isclose(x, y, rel_tol=1e-12, abs_tol=1e-12)
+                )
                 assert ok, (name, c, i, x, y)
         else:
             mism = (av != bv)
