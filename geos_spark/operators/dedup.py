@@ -471,3 +471,58 @@ def embedding_neardup_pairs(
         .where(F.col("cos") >= F.lit(float(threshold)))
         .select("a_id", "b_id", "cos")
     )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """End-to-end near-duplicate clustering: the full training-data
+    dedup pipeline as one operator.
+
+    minhash-LSH banded candidates (bucketed equijoin, hot buckets
+    capped) -> exact n-gram Jaccard verify (>= ``threshold``) ->
+    connected components over the verified pair graph (contraction
+    union-find, the scale path) -> per doc:
+
+      (doc_id, canonical, csize, keep)
+
+    ``canonical`` is the min doc id of the near-dup component
+    (singletons map to themselves), ``csize`` the component size,
+    ``keep`` true iff this doc is the component representative — a
+    downstream pipeline keeps ``keep`` rows and drops the rest.
+
+    Every stage is shuffle-bounded: candidate generation is a
+    band-bucket equijoin (never all-pairs), the verify joins only
+    candidate rows, and the CC contraction halves the (tiny,
+    dup-only) graph per round.  Docs with no verified duplicate
+    never enter the CC at all.
+    """
+    from geos_spark.operators.cluster import connected_components
+
+    cand = minhash_lsh_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_k, max_bucket
+    )
+    verified = ngram_jaccard_pairs(
+        df, cand, text_col, id_col, shingle_k, threshold
+    ).select("id_a", "id_b")
+    ids = df.select(F.col(id_col).alias("id"))
+    labels = connected_components(ids, verified)
+    sizes = labels.groupBy("cluster").agg(
+        F.count("*").alias("csize")
+    )
+    return (
+        labels.join(sizes, "cluster")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cluster").alias("canonical"),
+            F.col("csize").cast("long").alias("csize"),
+            (F.col("id") == F.col("cluster")).alias("keep"),
+        )
+    )

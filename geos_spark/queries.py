@@ -1721,7 +1721,12 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jacc_r"))
 
 
-def q_jaccard_pairs_sql() -> str:
+def _jaccard_cte() -> str:
+    """Shared oracle CTE chain: documents -> shingles -> minhash sigs
+    -> banded LSH buckets (hot-bucket cap) -> candidate pairs ->
+    exact Jaccard ``j(id_a, id_b, jac)``.  Used by q_jaccard_pairs
+    and q_dedup_clusters so both gates replay the identical
+    pipeline."""
     rows = _MH_N // _LSH_BANDS
     sig_cols = ",\n       ".join(
         f"list_min(list_transform(h, v -> (v * {_MH_A * (j + 1) % _MH_P} + {j * 12345 + 1}) % {_MH_P})) AS s{j}"
@@ -1734,8 +1739,7 @@ def q_jaccard_pairs_sql() -> str:
         )
         for b in range(_LSH_BANDS)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
     SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
     FROM documents
 ),
@@ -1781,10 +1785,66 @@ j AS (
     FROM cand c
     JOIN shingles sa ON sa.doc_id = c.id_a
     JOIN shingles sb ON sb.doc_id = c.id_b
-)
+)"""
+
+
+def q_jaccard_pairs_sql() -> str:
+    return f"""
+WITH {_jaccard_cte()}
 SELECT id_a, id_b, ROUND(jac, 6) AS jacc_r
 FROM j
 WHERE jac >= 0.2
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data near-dup pipeline as one operator:
+    minhash-LSH candidates -> exact Jaccard verify -> connected
+    components -> per-doc canonical representative + keep flag.
+    Every doc appears exactly once; a downstream pipeline keeps
+    ``keep`` rows (one per near-dup cluster) and drops the rest."""
+    from geos_spark.operators.dedup import dedup_clusters
+
+    out = dedup_clusters(
+        _docs(spark, sf_dir),
+        num_hashes=_MH_N,
+        bands=_LSH_BANDS,
+        shingle_k=3,
+        threshold=0.2,
+        max_bucket=_LSH_MAX_BUCKET,
+    )
+    return out.select("doc_id", "canonical", "csize", "keep")
+
+
+def q_dedup_clusters_sql() -> str:
+    # same candidate+verify chain as q_jaccard_pairs, then min-label
+    # connected components as a recursive CTE over the symmetric
+    # verified-pair graph
+    return f"""
+WITH RECURSIVE {_jaccard_cte()},
+pairs AS (
+    SELECT id_a, id_b FROM j WHERE jac >= 0.2
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+cc AS (
+    SELECT doc_id AS id, doc_id AS lbl FROM documents
+    UNION
+    SELECT e.dst AS id, cc.lbl
+    FROM cc JOIN edges e ON e.src = cc.id
+    WHERE cc.lbl < e.dst
+),
+lab AS (
+    SELECT id AS doc_id, MIN(lbl) AS canonical FROM cc GROUP BY id
+),
+sz AS (
+    SELECT canonical, COUNT(*) AS csize FROM lab GROUP BY canonical
+)
+SELECT l.doc_id, l.canonical, s.csize, l.doc_id = l.canonical AS keep
+FROM lab l JOIN sz s USING (canonical)
 """
 
 
@@ -2401,6 +2461,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "minhash": q_minhash,
     "jaccard_pairs": q_jaccard_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "rect_overlay": q_rect_overlay,
     "union_area": q_union_area,
     "tile_reunion": q_tile_reunion,
@@ -2454,6 +2515,7 @@ ORACLES = {
     "fingerprint": q_fingerprint_sql(),
     "minhash": q_minhash_sql(),
     "jaccard_pairs": q_jaccard_pairs_sql(),
+    "dedup_clusters": q_dedup_clusters_sql(),
     "rect_overlay": q_rect_overlay_sql(),
     "poly_join": q_poly_join_sql(),
     "poly_contains": q_poly_contains_sql(),

@@ -318,3 +318,41 @@ def test_cosine_topk_matmul_agrees_with_fold(spark):
         bvid, bcos = blas[key]
         assert bvid == vid
         assert abs(bcos - cos) < 1e-9
+
+
+def test_dedup_clusters_end_to_end(spark):
+    """Full pipeline: clones + a near-dup chain collapse to one
+    canonical doc each; unrelated docs and the NULL-text doc stay
+    singletons; exactly one keep per component."""
+    from geos_spark.operators.dedup import dedup_clusters
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep dark forest to find some food for the winter"
+    )
+    near = base.replace("winter", "summer")
+    rows = [
+        (0, base),
+        (1, near),
+        (2, "completely different text with no overlap whatsoever here"),
+        (3, base),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_clusters(
+        df, num_hashes=16, bands=8, threshold=0.5
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert set(by_id) == {0, 1, 2, 3, 4}  # every doc exactly once
+    # the {0, 1, 3} component: canonical = min id = 0
+    assert by_id[0].canonical == 0 and by_id[3].canonical == 0
+    assert by_id[1].canonical == 0
+    assert by_id[0].csize == 3 and by_id[0].keep
+    assert not by_id[1].keep and not by_id[3].keep
+    # singletons (incl. NULL text) keep themselves
+    for i in (2, 4):
+        assert by_id[i].canonical == i
+        assert by_id[i].csize == 1 and by_id[i].keep
+    # invariant: exactly one keep per canonical
+    keeps = [r for r in out if r.keep]
+    assert len(keeps) == len({r.canonical for r in out})
