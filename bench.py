@@ -276,6 +276,71 @@ def _bench_queries(spark):
             "doc_id", "n_chars", "n_tokens", "stopword_hits"
         )
 
+    # near-dup pipeline corpus: 200k docs, deterministic 30-word
+    # texts from a 1000-word hash lattice; every 17th doc is a
+    # near-dup of the doc 16 before it (last word swapped). Cached
+    # to parquet so the bench line times the pipeline, not the
+    # generator.
+    dedup_src = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_cache",
+        "dedup_docs_200k.parquet",
+    )
+    if not os.path.exists(os.path.join(dedup_src, "_SUCCESS")):
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        _sch = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+
+        def _gen_docs(batches):
+            # splitmix-style bit mixing: a plain linear-congruential
+            # word index mod a small vocab makes docs with base ids
+            # congruent mod the vocab size bit-identical (200-way
+            # exact-dup clusters -> a quadratic pair explosion); the
+            # xorshift-multiply rounds kill that structure
+            pos = np.arange(30, dtype=np.uint64) * np.uint64(97)
+            M1 = np.uint64(0x9E3779B97F4A7C15)
+            M2 = np.uint64(0xBF58476D1CE4E5B9)
+            for pdf in batches:
+                ids = pdf["id"].to_numpy(np.int64)
+                base = (ids - np.where(ids % 17 == 16, 16, 0)).astype(
+                    np.uint64
+                )
+                h = base[:, None] * M1 + pos[None, :]
+                h ^= h >> np.uint64(30)
+                h *= M2
+                h ^= h >> np.uint64(31)
+                w = (h >> np.uint64(16)) % np.uint64(50000)
+                texts = []
+                for i, row in enumerate(w):
+                    words = ["w%05d" % v for v in row]
+                    if ids[i] % 17 == 16:
+                        words[-1] = "swapped"
+                    texts.append(" ".join(words))
+                yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+        spark.range(0, 200_000, 1, CPUS).mapInPandas(
+            _gen_docs, _sch
+        ).write.mode("overwrite").parquet(dedup_src)
+
+    def dedup_clusters_200k():
+        # the full near-dup pipeline (LSH candidates -> Jaccard
+        # verify -> connected components -> canonical/keep) at 200k
+        # docs with ~11.8k planted near-dup pairs. Oracle coverage:
+        # catalog row `dedup_clusters` (recursive-CTE CC oracle).
+        from geos_spark.operators.dedup import dedup_clusters
+
+        docs = spark.read.parquet(dedup_src)
+        return dedup_clusters(
+            docs, num_hashes=16, bands=4, shingle_k=3, threshold=0.5
+        )
+
     # 10x tier: the three headline joins at the next scale decade
     # (10m rows) — direct evidence the plans grow ~linearly. Timed
     # once each (single run; the 1m tier carries the variance-managed
@@ -323,6 +388,7 @@ def _bench_queries(spark):
         "stream_pip_1m": (stream_pip_1m, N_SYNTH),
         "dedup_exact": (dedup_exact_sf, None),
         "token_stats": (token_stats_sf, None),
+        "dedup_clusters_200k": (dedup_clusters_200k, 200_000),
         "pip_join_10m": (pip_join_10m, 10 * N_SYNTH),
         "pip_native_10m": (pip_native_10m, 10 * N_SYNTH),
         "distance_native_10m": (distance_native_10m, 10 * N_SYNTH),

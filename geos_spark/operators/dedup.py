@@ -15,7 +15,7 @@ per-bucket count filter, the standard LSH guard at corpus scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # large Mersenne-ish primes for affine rehash (fit comfortably in i64)
@@ -159,22 +159,35 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    # cap hot buckets
-    counts = banded.groupBy("band", "bucket").count()
-    banded = banded.join(
-        counts.where(F.col("count") <= max_bucket).drop("count"),
-        ["band", "bucket"],
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+    # one shuffle: gather each bucket's ids, drop hot buckets (the
+    # boilerplate guard, applied on the gathered size — no separate
+    # count+join pass recomputing the minhash chain), then explode
+    # the per-bucket pairs locally.  Pair fan-out is bounded by
+    # max_bucket^2/2 per bucket; a self-join instead would shuffle
+    # the banded table twice more.
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("id").alias("ids"))
+        .where(
+            (F.size("ids") >= 2) & (F.size("ids") <= max_bucket)
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(F.array_sort("ids").alias("ids"))
+    )
+    n = F.size("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), n - i - F.lit(1)),
+                lambda y: F.struct(
+                    x.alias("id_a"), y.alias("id_b")
+                ),
+            ),
+        )
+    )
+    pairs = (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     return pairs
@@ -486,43 +499,76 @@ def dedup_clusters(
     """End-to-end near-duplicate clustering: the full training-data
     dedup pipeline as one operator.
 
-    minhash-LSH banded candidates (bucketed equijoin, hot buckets
-    capped) -> exact n-gram Jaccard verify (>= ``threshold``) ->
-    connected components over the verified pair graph (contraction
-    union-find, the scale path) -> per doc:
+    Stage 0 — **exact collapse**: group by md5(text), keep one
+    representative (min id) per distinct text.  Web corpora are
+    boilerplate-heavy; an exact-dup cluster of m identical docs
+    would otherwise share every LSH band bucket and emit O(m^2)
+    verified pairs (all with Jaccard 1.0), a quadratic explosion
+    the hot-bucket cap cannot catch because the bucket is a
+    *genuine* duplicate set.  Collapsing first makes the LSH input
+    distinct-texts-only, so identical docs cost O(m), not O(m^2).
+
+    Then over representatives only: minhash-LSH banded candidates
+    (bucketed equijoin, hot buckets capped) -> exact n-gram Jaccard
+    verify (>= ``threshold``) -> connected components over the
+    verified pair graph (contraction union-find, the scale path) ->
+    unfold back to all docs:
 
       (doc_id, canonical, csize, keep)
 
     ``canonical`` is the min doc id of the near-dup component
-    (singletons map to themselves), ``csize`` the component size,
-    ``keep`` true iff this doc is the component representative — a
-    downstream pipeline keeps ``keep`` rows and drops the rest.
+    (singletons map to themselves), ``csize`` the component size in
+    DOCS (not representatives), ``keep`` true iff this doc is the
+    component representative — a downstream pipeline keeps ``keep``
+    rows and drops the rest.  The output is identical to running
+    the pipeline without stage 0 (exact dups have Jaccard 1.0 and
+    the representative is its exact group's min id, so min-label
+    components and canonicals are unchanged) — stage 0 is purely
+    the scale-safety rewrite.
 
-    Every stage is shuffle-bounded: candidate generation is a
-    band-bucket equijoin (never all-pairs), the verify joins only
-    candidate rows, and the CC contraction halves the (tiny,
-    dup-only) graph per round.  Docs with no verified duplicate
-    never enter the CC at all.
+    NULL-text docs have no content hash and no shingles: they stay
+    singleton representatives of themselves.
     """
     from geos_spark.operators.cluster import connected_components
 
+    # stage 0: exact collapse (NULL text -> own group via doc id)
+    grp = F.coalesce(
+        F.md5(F.col(text_col)),
+        F.concat(F.lit("\x00null\x00"), F.col(id_col).cast("string")),
+    )
+    doc2rep = df.select(
+        F.col(id_col).alias("id"), grp.alias("__grp")
+    ).withColumn("rep", F.min("id").over(Window.partitionBy("__grp")))
+    reps = (
+        df.select(F.col(id_col).alias("rep_id"), F.col(text_col))
+        .join(
+            doc2rep.where(F.col("id") == F.col("rep"))
+            .select(F.col("rep").alias("rep_id")),
+            "rep_id",
+        )
+    )
+
     cand = minhash_lsh_pairs(
-        df, text_col, id_col, num_hashes, bands, shingle_k, max_bucket
+        reps, text_col, "rep_id", num_hashes, bands, shingle_k,
+        max_bucket,
     )
     verified = ngram_jaccard_pairs(
-        df, cand, text_col, id_col, shingle_k, threshold
+        reps, cand, text_col, "rep_id", shingle_k, threshold
     ).select("id_a", "id_b")
-    ids = df.select(F.col(id_col).alias("id"))
-    labels = connected_components(ids, verified)
-    sizes = labels.groupBy("cluster").agg(
+    rep_ids = reps.select(F.col("rep_id").alias("id"))
+    rep_labels = connected_components(rep_ids, verified).select(
+        F.col("id").alias("rep"), F.col("cluster").alias("canonical")
+    )
+    labels = doc2rep.join(rep_labels, "rep").select("id", "canonical")
+    sizes = labels.groupBy("canonical").agg(
         F.count("*").alias("csize")
     )
     return (
-        labels.join(sizes, "cluster")
+        labels.join(sizes, "canonical")
         .select(
             F.col("id").alias(id_col),
-            F.col("cluster").alias("canonical"),
+            "canonical",
             F.col("csize").cast("long").alias("csize"),
-            (F.col("id") == F.col("cluster")).alias("keep"),
+            (F.col("id") == F.col("canonical")).alias("keep"),
         )
     )
