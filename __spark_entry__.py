@@ -1,14 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)  -> flagship point-in-polygon spatial join at sf0.001.
-queries()     -> operator catalog (geos_spark.queries.QUERIES): 54
+queries()     -> operator catalog (geos_spark.queries.QUERIES): 58
                  queries — synthetic-table operators (joins, tiling,
                  kNN, clustering, coverage validate/simplify/clean,
-                 dedup/ANN/text), Structured-Streaming twins run to
+                 dedup/near-dup pipeline/ANN incl. IVF/text, SQL/MM
+                 curve measures), Structured-Streaming twins run to
                  completion (stream_dedup, stream_tiles, stream_sessions,
-                 stream_first_seen), plus the
+                 stream_first_seen, stream_pip), plus the
                  xmltester corpus promoted as xt_* fixture queries.
-oracle_sql()  -> per-query DuckDB ANSI-SQL oracles (54 of 54; the
+oracle_sql()  -> per-query DuckDB ANSI-SQL oracles (58 of 58; the
                  xt_* oracles are VALUES tables of the reference's
                  own XML/unit-test expectations).
 """

@@ -64,6 +64,62 @@ def _ann_corpus_parquet(spark, n: int, dim: int, parts: int) -> str:
     return path
 
 
+
+def _dedup_corpus_parquet(spark, n: int, parts: int) -> str:
+    """Deterministic near-dup corpus: 30-word texts from a 50k-word
+    vocab via splitmix-style bit mixing (a plain linear-congruential
+    word index mod a small vocab makes docs with base ids congruent
+    mod the vocab size bit-identical -- 200-way exact-dup clusters and
+    a quadratic pair explosion); every 17th doc is a near-dup of the
+    doc 16 before it (last word swapped).  Cached to parquet so bench
+    lines never time the generator."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_cache",
+        f"dedup_docs_{n}.parquet",
+    )
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+
+    _sch = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def _gen_docs(batches):
+        pos = np.arange(30, dtype=np.uint64) * np.uint64(97)
+        M1 = np.uint64(0x9E3779B97F4A7C15)
+        M2 = np.uint64(0xBF58476D1CE4E5B9)
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64)
+            base = (ids - np.where(ids % 17 == 16, 16, 0)).astype(
+                np.uint64
+            )
+            h = base[:, None] * M1 + pos[None, :]
+            h ^= h >> np.uint64(30)
+            h *= M2
+            h ^= h >> np.uint64(31)
+            w = (h >> np.uint64(16)) % np.uint64(50000)
+            texts = []
+            for i, row in enumerate(w):
+                words = ["w%05d" % v for v in row]
+                if ids[i] % 17 == 16:
+                    words[-1] = "swapped"
+                texts.append(" ".join(words))
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    spark.range(0, n, 1, parts).mapInPandas(_gen_docs, _sch).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
 def _bench_queries(spark):
     """Headline jobs. Each returns a DataFrame; timing includes full
     materialization (count)."""
@@ -276,58 +332,7 @@ def _bench_queries(spark):
             "doc_id", "n_chars", "n_tokens", "stopword_hits"
         )
 
-    # near-dup pipeline corpus: 200k docs, deterministic 30-word
-    # texts from a 1000-word hash lattice; every 17th doc is a
-    # near-dup of the doc 16 before it (last word swapped). Cached
-    # to parquet so the bench line times the pipeline, not the
-    # generator.
-    dedup_src = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        ".bench_cache",
-        "dedup_docs_200k.parquet",
-    )
-    if not os.path.exists(os.path.join(dedup_src, "_SUCCESS")):
-        import numpy as np
-        import pandas as pd
-        from pyspark.sql import types as T
-
-        _sch = T.StructType(
-            [
-                T.StructField("doc_id", T.LongType()),
-                T.StructField("text", T.StringType()),
-            ]
-        )
-
-        def _gen_docs(batches):
-            # splitmix-style bit mixing: a plain linear-congruential
-            # word index mod a small vocab makes docs with base ids
-            # congruent mod the vocab size bit-identical (200-way
-            # exact-dup clusters -> a quadratic pair explosion); the
-            # xorshift-multiply rounds kill that structure
-            pos = np.arange(30, dtype=np.uint64) * np.uint64(97)
-            M1 = np.uint64(0x9E3779B97F4A7C15)
-            M2 = np.uint64(0xBF58476D1CE4E5B9)
-            for pdf in batches:
-                ids = pdf["id"].to_numpy(np.int64)
-                base = (ids - np.where(ids % 17 == 16, 16, 0)).astype(
-                    np.uint64
-                )
-                h = base[:, None] * M1 + pos[None, :]
-                h ^= h >> np.uint64(30)
-                h *= M2
-                h ^= h >> np.uint64(31)
-                w = (h >> np.uint64(16)) % np.uint64(50000)
-                texts = []
-                for i, row in enumerate(w):
-                    words = ["w%05d" % v for v in row]
-                    if ids[i] % 17 == 16:
-                        words[-1] = "swapped"
-                    texts.append(" ".join(words))
-                yield pd.DataFrame({"doc_id": ids, "text": texts})
-
-        spark.range(0, 200_000, 1, CPUS).mapInPandas(
-            _gen_docs, _sch
-        ).write.mode("overwrite").parquet(dedup_src)
+    dedup_src = _dedup_corpus_parquet(spark, 200_000, CPUS)
 
     def dedup_clusters_200k():
         # the full near-dup pipeline (LSH candidates -> Jaccard
@@ -466,11 +471,25 @@ def _scaling_queries(spark, cores: int):
             F.sum("n_tokens").alias("t"), F.sum("stopword_hits").alias("s")
         )
 
+    dedup_src = _dedup_corpus_parquet(spark, 200_000, parts)
+
+    def dedup_clusters_200k():
+        # the near-dup pipeline as scaling evidence: multi-stage
+        # shuffle DAG (agg -> bucket gather -> join -> CC) rather
+        # than a single map-heavy scan
+        from geos_spark.operators.dedup import dedup_clusters
+
+        docs = spark.read.parquet(dedup_src)
+        return dedup_clusters(
+            docs, num_hashes=16, bands=4, shingle_k=3, threshold=0.5
+        )
+
     return {
         "pip_join_48m": (pip_join_48m, 48_000_000),
         "pip_native_48m": (pip_native_48m, 48_000_000),
         "tile_pipeline_96m": (tile_pipeline_96m, 96_000_000),
         "token_stats_6m": (token_stats_6m, 6_000_000),
+        "dedup_clusters_200k": (dedup_clusters_200k, 200_000),
     }
 
 
@@ -573,7 +592,7 @@ def main() -> None:
         n = int(os.environ.get("SPARK_GRAFT_SCALE_EXECS", "1"))
         levels = (n, 4 * n)
         qnames = ["pip_join_48m", "pip_native_48m", "tile_pipeline_96m",
-                  "token_stats_6m"]
+                  "token_stats_6m", "dedup_clusters_200k"]
         subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
         if subset:
             qnames = [q for q in qnames if q in subset.split(",")]
