@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from geos_spark.kernels import geom as G
 from geos_spark.kernels import hilbert as H
 from geos_spark.kernels import scalars as S
 from geos_spark.kernels.wkb import parse_wkb, write_wkb
@@ -101,6 +102,303 @@ def st_numgeometries(wkb: pd.Series) -> pd.Series:
     return wkb.map(
         _row_nullout(lambda b: S.geom_num_geometries(parse_wkb(b)))
     )
+
+
+# -- structural accessors (kernels/access.py; capi getter surface) ----
+
+
+def st_pointn(n: int):
+    """GEOSGeomGetPointN (zero-based) -> POINT wkb."""
+
+    @pandas_udf(T.BinaryType())
+    def _pointn(wkb: pd.Series) -> pd.Series:
+        from geos_spark.kernels import access as A
+
+        return wkb.map(
+            _row_nullout(lambda b: write_wkb(A.point_n(parse_wkb(b), n)))
+        )
+
+    return _pointn
+
+
+@pandas_udf(T.BinaryType())
+def st_startpoint(wkb: pd.Series) -> pd.Series:
+    """GEOSGeomGetStartPoint."""
+    from geos_spark.kernels import access as A
+
+    return wkb.map(
+        _row_nullout(lambda b: write_wkb(A.start_point(parse_wkb(b))))
+    )
+
+
+@pandas_udf(T.BinaryType())
+def st_endpoint(wkb: pd.Series) -> pd.Series:
+    """GEOSGeomGetEndPoint."""
+    from geos_spark.kernels import access as A
+
+    return wkb.map(
+        _row_nullout(lambda b: write_wkb(A.end_point(parse_wkb(b))))
+    )
+
+
+@pandas_udf(T.BinaryType())
+def st_exteriorring(wkb: pd.Series) -> pd.Series:
+    """GEOSGetExteriorRing (shell as closed LINESTRING; CURVEPOLYGON
+    shells keep their curve type)."""
+    from geos_spark.kernels import access as A
+
+    return wkb.map(
+        _row_nullout(lambda b: write_wkb(A.exterior_ring(parse_wkb(b))))
+    )
+
+
+def st_interiorringn(n: int):
+    """GEOSGetInteriorRingN (zero-based)."""
+
+    @pandas_udf(T.BinaryType())
+    def _irn(wkb: pd.Series) -> pd.Series:
+        from geos_spark.kernels import access as A
+
+        return wkb.map(
+            _row_nullout(
+                lambda b: write_wkb(A.interior_ring_n(parse_wkb(b), n))
+            )
+        )
+
+    return _irn
+
+
+@pandas_udf(T.IntegerType())
+def st_numinteriorrings(wkb: pd.Series) -> pd.Series:
+    """GEOSGetNumInteriorRings (Surface argument contract: non-surface
+    rows null out)."""
+    from geos_spark.kernels import access as A
+
+    return wkb.map(
+        _row_nullout(lambda b: A.num_interior_rings(parse_wkb(b)))
+    )
+
+
+def st_geometryn(n: int):
+    """GEOSGetGeometryN (atomic geometries are their own member 0)."""
+
+    @pandas_udf(T.BinaryType())
+    def _gn(wkb: pd.Series) -> pd.Series:
+        from geos_spark.kernels import access as A
+
+        return wkb.map(
+            _row_nullout(
+                lambda b: write_wkb(A.geometry_n(parse_wkb(b), n))
+            )
+        )
+
+    return _gn
+
+
+@pandas_udf(T.IntegerType())
+def st_numcoordinates(wkb: pd.Series) -> pd.Series:
+    """GEOSGetNumCoordinates."""
+    from geos_spark.kernels import access as A
+
+    return wkb.map(
+        _row_nullout(lambda b: A.num_coordinates(parse_wkb(b)))
+    )
+
+
+@pandas_udf(T.BinaryType())
+def st_uniquepoints(wkb: pd.Series) -> pd.Series:
+    """GEOSGeom_extractUniquePoints (first-occurrence order)."""
+    from geos_spark.kernels import access as A
+
+    return wkb.map(
+        _row_nullout(
+            lambda b: write_wkb(A.extract_unique_points(parse_wkb(b)))
+        )
+    )
+
+
+@pandas_udf(T.IntegerType())
+def st_dimension(wkb: pd.Series) -> pd.Series:
+    """GEOSGeom_getDimensions (topological dimension; -1 for empty)."""
+    return wkb.map(_row_nullout(lambda b: parse_wkb(b).dimension()))
+
+
+@pandas_udf(T.BooleanType())
+def st_hasz(wkb: pd.Series) -> pd.Series:
+    """GEOSHasZ — this engine's model is 2D (like the reference's
+    analytic core); always false for non-null rows."""
+    return wkb.map(_row_nullout(lambda b: (parse_wkb(b), False)[1]))
+
+
+@pandas_udf(T.BooleanType())
+def st_hasm(wkb: pd.Series) -> pd.Series:
+    """GEOSHasM — 2D engine; always false for non-null rows."""
+    return wkb.map(_row_nullout(lambda b: (parse_wkb(b), False)[1]))
+
+
+def st_orientpolygons(exterior_cw: bool = False):
+    """GEOSOrientPolygons: shells CW + holes CCW when exterior_cw,
+    the OGC convention otherwise; CURVEPOLYGON rows null out exactly
+    where the reference throws."""
+
+    @pandas_udf(T.BinaryType())
+    def _orient(wkb: pd.Series) -> pd.Series:
+        from geos_spark.kernels import access as A
+
+        return wkb.map(
+            _row_nullout(
+                lambda b: write_wkb(
+                    A.orient_polygons(parse_wkb(b), exterior_cw)
+                )
+            )
+        )
+
+    return _orient
+
+
+@pandas_udf(T.BinaryType())
+def st_pointonsurface(wkb: pd.Series) -> pd.Series:
+    """GEOSPointOnSurface == InteriorPointOperation."""
+
+    def f(b):
+        c = S.interior_point(parse_wkb(b))
+        if c is None:
+            return write_wkb(G.Geom.empty(G.POINT))
+        import numpy as np
+
+        return write_wkb(G.Geom(G.POINT, np.array([[c[0], c[1]]])))
+
+    return wkb.map(_row_nullout(f))
+
+
+@pandas_udf(T.BinaryType())
+def st_minclearanceline(wkb: pd.Series) -> pd.Series:
+    """GEOSMinimumClearanceLine (2-point LINESTRING; LINESTRING EMPTY
+    when clearance is infinite)."""
+    from geos_spark.kernels.clearance import min_clearance
+
+    return wkb.map(
+        _row_nullout(lambda b: write_wkb(min_clearance(parse_wkb(b))[1]))
+    )
+
+
+def st_relatepattern(pattern: str):
+    """GEOSRelatePattern: relate(a, b) matched against a DE-9IM
+    pattern -> boolean."""
+
+    @pandas_udf(T.BooleanType())
+    def _rp(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
+        from geos_spark.kernels.relate import relate_pattern
+
+        def f(a, b):
+            if a is None or b is None:
+                return None
+            try:
+                return bool(
+                    relate_pattern(parse_wkb(a), parse_wkb(b), pattern)
+                )
+            except Exception:
+                return None
+
+        return pd.Series(
+            [f(a, b) for a, b in zip(wkb_a, wkb_b)], dtype="object"
+        )
+
+    return _rp
+
+
+def st_relatematch(pattern: str):
+    """GEOSRelatePatternMatch: match an IM string column against a
+    pattern (string-level; T/F/0/1/2/* per cell)."""
+
+    @pandas_udf(T.BooleanType())
+    def _rm(im: pd.Series) -> pd.Series:
+        from geos_spark.kernels.relate import matches
+
+        return im.map(
+            lambda s: None if s is None else bool(matches(s, pattern))
+        )
+
+    return _rm
+
+
+def st_project(normalized: bool = False):
+    """GEOSProject / GEOSProjectNormalized: distance along line a to
+    the nearest point to point b."""
+
+    @pandas_udf(T.DoubleType())
+    def _proj(line: pd.Series, point: pd.Series) -> pd.Series:
+        from geos_spark.kernels.linear import line_length, project
+
+        def f(a, b):
+            if a is None or b is None:
+                return None
+            try:
+                ga, gb = parse_wkb(a), parse_wkb(b)
+                if ga.type_id != G.LINESTRING or gb.type_id != G.POINT:
+                    return None
+                d = project(ga.data, gb.data[0, 0], gb.data[0, 1])
+                if normalized:
+                    ll = line_length(ga.data)
+                    return d / ll if ll > 0 else 0.0
+                return d
+            except Exception:
+                return None
+
+        return pd.Series([f(a, b) for a, b in zip(line, point)])
+
+    return _proj
+
+
+def st_interpolate(dist: float, normalized: bool = False):
+    """GEOSInterpolate / GEOSInterpolateNormalized: POINT at distance
+    (or length fraction) along a LINESTRING."""
+
+    @pandas_udf(T.BinaryType())
+    def _interp(line: pd.Series) -> pd.Series:
+        from geos_spark.kernels.linear import interpolate, line_length
+
+        def f(a):
+            ga = parse_wkb(a)
+            if ga.type_id != G.LINESTRING:
+                raise ValueError("interpolate: not a LineString")
+            d = dist * line_length(ga.data) if normalized else dist
+            x, y = interpolate(ga.data, d)
+            import numpy as np
+
+            return write_wkb(G.Geom(G.POINT, np.array([[x, y]])))
+
+        return line.map(_row_nullout(f))
+
+    return _interp
+
+
+def st_linesubstring(start: float, end: float):
+    """GEOSLineSubstring (start/end as length fractions 0..1)."""
+
+    @pandas_udf(T.BinaryType())
+    def _sub(line: pd.Series) -> pd.Series:
+        from geos_spark.kernels.linear import line_substring
+
+        def f(a):
+            from geos_spark.kernels.linear import line_length
+
+            ga = parse_wkb(a)
+            if ga.type_id != G.LINESTRING:
+                raise ValueError("lineSubstring: not a LineString")
+            # capi takes length FRACTIONS (geos_c.h.in \"start_fraction
+            # (0-1)\"); the kernel's index space is absolute length
+            ll = line_length(ga.data)
+            return write_wkb(
+                G.Geom(
+                    G.LINESTRING,
+                    line_substring(ga.data, start * ll, end * ll),
+                )
+            )
+
+        return line.map(_row_nullout(f))
+
+    return _sub
 
 
 @pandas_udf(T.BooleanType())

@@ -447,6 +447,99 @@ def q_curve_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geom_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural accessor surface end-to-end (the capi getter
+    family, kernels/access.py): per doc a square polygon with a
+    square hole is built as WKT, parsed, and probed with
+    numInteriorRings / exteriorRing->length / getPointN /
+    numCoordinates / extractUniquePoints->numGeometries /
+    getDimensions / orientPolygons (hole flipped CW, shell kept
+    CCW -> area unchanged).  Every value has a closed-form oracle."""
+    from geos_spark.functions.st import (
+        st_area,
+        st_centroid_x,
+        st_centroid_y,
+        st_dimension,
+        st_exteriorring,
+        st_geomfromtext,
+        st_length,
+        st_numcoordinates,
+        st_numgeometries,
+        st_numinteriorrings,
+        st_orientpolygons,
+        st_pointn,
+        st_uniquepoints,
+    )
+
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("cx", ((F.col("doc_id") * 41) % 1000) / F.lit(8.0))
+        .withColumn("cy", ((F.col("doc_id") * 59) % 1000) / F.lit(8.0))
+        .withColumn("r", F.lit(2.0) + (F.col("doc_id") % 5) / F.lit(2.0))
+    )
+    xm = (F.col("cx") - F.col("r")).cast("string")
+    xp = (F.col("cx") + F.col("r")).cast("string")
+    ym = (F.col("cy") - F.col("r")).cast("string")
+    yp = (F.col("cy") + F.col("r")).cast("string")
+    hxm = (F.col("cx") - F.col("r") / 2).cast("string")
+    hxp = (F.col("cx") + F.col("r") / 2).cast("string")
+    hym = (F.col("cy") - F.col("r") / 2).cast("string")
+    hyp = (F.col("cy") + F.col("r") / 2).cast("string")
+    sp = F.lit(" ")
+    cm = F.lit(", ")
+    # shell CCW, hole CCW too (orientPolygons must flip the hole)
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        xm, sp, ym, cm, xp, sp, ym, cm, xp, sp, yp, cm, xm, sp, yp,
+        cm, xm, sp, ym,
+        F.lit("), ("),
+        hxm, sp, hym, cm, hxp, sp, hym, cm, hxp, sp, hyp, cm,
+        hxm, sp, hyp, cm, hxm, sp, hym,
+        F.lit("))"),
+    )
+    g = d.withColumn("wkb", st_geomfromtext(wkt))
+    shell = st_exteriorring(F.col("wkb"))
+    p1 = st_pointn(1)(shell)
+    return g.select(
+        "doc_id",
+        st_numinteriorrings(F.col("wkb")).alias("nir"),
+        st_length(shell).alias("er_len"),
+        st_numcoordinates(F.col("wkb")).alias("ncoords"),
+        st_numgeometries(st_uniquepoints(F.col("wkb"))).alias(
+            "ndistinct"
+        ),
+        st_dimension(F.col("wkb")).alias("dim"),
+        st_centroid_x(p1).alias("p1x"),
+        st_centroid_y(p1).alias("p1y"),
+        st_area(st_orientpolygons(False)(F.col("wkb"))).alias(
+            "oriented_area"
+        ),
+    )
+
+
+def q_geom_accessors_sql() -> str:
+    return """
+WITH params AS (
+    SELECT doc_id,
+           ((doc_id * 41) % 1000) / 8.0 AS cx,
+           ((doc_id * 59) % 1000) / 8.0 AS cy,
+           2.0 + (doc_id % 5) / 2.0 AS r
+    FROM documents
+)
+SELECT doc_id,
+       1 AS nir,
+       8 * r AS er_len,
+       10 AS ncoords,
+       8 AS ndistinct,
+       2 AS dim,
+       cx + r AS p1x,
+       cy - r AS p1y,
+       4 * r * r - r * r AS oriented_area
+FROM params
+"""
+
+
 def q_curve_measures_sql() -> str:
     # closed-form semicircle measures; the engine's atan2-based arc
     # angle is exactly pi for this triple, so values agree to ~1e-13,
@@ -2435,6 +2528,7 @@ QUERIES = {
     "star_area": q_star_area,
     "star_centroid": q_star_centroid,
     "curve_measures": q_curve_measures,
+    "geom_accessors": q_geom_accessors,
     "extent_agg": q_extent_agg,
     "hilbert_topk": q_hilbert_topk,
     "dedup_exact": q_dedup_exact,
@@ -2496,6 +2590,7 @@ ORACLES = {
     "star_area": q_star_area_sql(),
     "star_centroid": q_star_centroid_sql(),
     "curve_measures": q_curve_measures_sql(),
+    "geom_accessors": q_geom_accessors_sql(),
     "extent_agg": q_extent_agg_sql(),
     "hilbert_topk": q_hilbert_topk_sql(),
     "dedup_exact": q_dedup_exact_sql(),
