@@ -1154,6 +1154,20 @@ st_symdifference = _overlay_pair_udf(4)
 
 
 @pandas_udf(T.BinaryType())
+def st_disjointsubsetunion(wkb: pd.Series) -> pd.Series:
+    """GEOSDisjointSubsetUnion (capi geos_c.h.in:1085): unary union
+    computed per intersects-connected component subset; result equals
+    unaryUnion without cross-cluster overlay work."""
+    from geos_spark.kernels.union import disjoint_subset_union
+
+    return wkb.map(
+        _row_nullout(
+            lambda b: write_wkb(disjoint_subset_union(parse_wkb(b)))
+        )
+    )
+
+
+@pandas_udf(T.BinaryType())
 def st_unaryunion(wkb: pd.Series) -> pd.Series:
     """GEOSUnaryUnion (capi geos_c.h.in:3884) per value."""
     from geos_spark.kernels.union import unary_union

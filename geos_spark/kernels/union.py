@@ -294,3 +294,82 @@ def _merge_points_into(u_pts: G.Geom, la: G.Geom) -> G.Geom:
     ]
     pt_geoms = [G.Geom.point(x, y) for x, y in free]
     return OV._build_result(poly_geoms, line_geoms, pt_geoms, la.dimension())
+
+
+def disjoint_subset_union(g: G.Geom) -> G.Geom:
+    """GEOSDisjointSubsetUnion (capi/geos_c.h.in:1085;
+    include/geos/operation/union/DisjointSubsetUnion.h): partition the
+    input's components into intersects-connected clusters
+    (GeometryIntersectsClusterFinder: envelope prefilter, then the
+    real predicate) and union each cluster independently; the combined
+    result equals unaryUnion but never overlays across clusters.
+
+    Cluster discovery is union-find over the component list with an
+    envelope sweep prefilter, so the quadratic intersects probe only
+    runs on envelope-overlapping pairs.
+    """
+    from geos_spark.kernels.relate import intersects
+
+    comps = [p for p in g.geoms() if not p.is_empty]
+    n = len(comps)
+    if n == 0:
+        return unary_union(g)
+    envs = [c.envelope() for c in comps]
+    parent = list(range(n))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def link(i: int, j: int) -> None:
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+
+    # sweep on xmin to bound the candidate pairs
+    order = sorted(range(n), key=lambda i: envs[i][0])
+    for a in range(n):
+        i = order[a]
+        for b in range(a + 1, n):
+            j = order[b]
+            if envs[j][0] > envs[i][2]:
+                break
+            if find(i) == find(j):
+                continue
+            if (
+                envs[i][1] <= envs[j][3]
+                and envs[j][1] <= envs[i][3]
+                and intersects(comps[i], comps[j])
+            ):
+                link(i, j)
+
+    clusters: dict[int, list[G.Geom]] = {}
+    for i in range(n):
+        clusters.setdefault(find(i), []).append(comps[i])
+    parts: list[G.Geom] = []
+    for members in clusters.values():
+        if len(members) == 1:
+            parts.append(members[0])
+        else:
+            parts.append(
+                unary_union(G.Geom(G.GEOMETRYCOLLECTION, members))
+            )
+    if len(parts) == 1:
+        return parts[0]
+    # combine: the per-cluster results are pairwise disjoint, so a
+    # structural merge is the union
+    flat: list[G.Geom] = []
+    for p in parts:
+        flat.extend(p.geoms() if p.is_collection else [p])
+    dims = {p.dimension() for p in flat}
+    if dims == {0}:
+        return G.Geom(G.MULTIPOINT, flat) if len(flat) > 1 else flat[0]
+    if dims == {1}:
+        return (
+            G.Geom(G.MULTILINESTRING, flat) if len(flat) > 1 else flat[0]
+        )
+    if dims == {2}:
+        return G.Geom(G.MULTIPOLYGON, flat) if len(flat) > 1 else flat[0]
+    return G.Geom(G.GEOMETRYCOLLECTION, flat)

@@ -121,6 +121,7 @@ def unary_union_agg(
     wkb_col: str = "wkb",
     group_cols: list[str] | None = None,
     out_col: str = "union_wkb",
+    algorithm: str = "cascaded",
 ) -> DataFrame:
     """Distributed unaryUnion aggregate — the reference's
     CascadedPolygonUnion merge tree (CascadedPolygonUnion.cpp:89-122)
@@ -136,9 +137,21 @@ def unary_union_agg(
     snap-fallback robustness cases, as in the reference's own tree).
     """
     from geos_spark.kernels import geom as G
-    from geos_spark.kernels.union import unary_union
+    from geos_spark.kernels.union import (
+        disjoint_subset_union,
+        unary_union,
+    )
     from geos_spark.kernels.wkb import parse_wkb, write_wkb
 
+    # "disjoint_subsets" = GEOSDisjointSubsetUnion per merge step
+    # (capi geos_c.h.in:1085): cluster by intersects, union each
+    # cluster, structurally combine — same result, no cross-cluster
+    # overlay work
+    union_fn = (
+        disjoint_subset_union
+        if algorithm == "disjoint_subsets"
+        else unary_union
+    )
     group_cols = list(group_cols or [])
 
     def union_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -148,7 +161,7 @@ def unary_union_agg(
         parts = []
         for g in geoms:
             parts.extend(g.geoms() if g.is_collection else [g])
-        u = unary_union(G.Geom.collection(G.GEOMETRYCOLLECTION, parts))
+        u = union_fn(G.Geom.collection(G.GEOMETRYCOLLECTION, parts))
         row = {c: [pdf[c].iloc[0]] for c in group_cols}
         row[wkb_col] = [write_wkb(u)]
         return pd.DataFrame(row)

@@ -2011,6 +2011,28 @@ def q_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_union_area_dsu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as union_area, computed through
+    GEOSDisjointSubsetUnion semantics (capi geos_c.h.in:1085): each
+    merge step clusters members by intersects and unions per cluster.
+    The stars are pairwise disjoint, so this exercises the cluster
+    sweep + structural-merge path end-to-end against the identical
+    closed-form oracle."""
+    from geos_spark.functions import st
+    from geos_spark.operators.aggregates import unary_union_agg
+
+    stars = star_polygons(spark).withColumn(
+        "grp", (F.col("poly_id") % 4).cast("long")
+    )
+    u = unary_union_agg(
+        stars, wkb_col="wkb", group_cols=["grp"],
+        algorithm="disjoint_subsets",
+    )
+    return u.select(
+        "grp", F.round(st.st_area(F.col("union_wkb")), 5).alias("uarea_r")
+    )
+
+
 def q_union_area_sql() -> str:
     return f"""
 WITH {star_params_sql()},
@@ -2558,6 +2580,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "rect_overlay": q_rect_overlay,
     "union_area": q_union_area,
+    "union_area_dsu": q_union_area_dsu,
     "tile_reunion": q_tile_reunion,
     "media_features": q_media_features,
     "cluster_cc": q_cluster_cc,
@@ -2619,6 +2642,7 @@ ORACLES = {
     "coverage_clean": q_coverage_clean_sql(),
     "hull_agg": q_hull_agg_sql(),
     "union_area": q_union_area_sql(),
+    "union_area_dsu": q_union_area_sql(),
     "tile_reunion": q_tile_reunion_sql(),
     "cluster_cc": q_cluster_cc_sql(),
     "cluster_dbscan": q_cluster_dbscan_sql(),

@@ -259,3 +259,55 @@ def test_min_clearance_line_column(spark):
     import numpy as np
 
     assert float(np.hypot(*(pts.data[1] - pts.data[0]))) == 3.0
+
+
+# ----------------------------------------------------------------- #
+# DisjointSubsetUnion (capi :1085) — result equals unaryUnion
+# ----------------------------------------------------------------- #
+
+
+DSU_CASES = [
+    # two disjoint overlapping-pairs -> two clusters
+    "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((1 1, 3 1, 3 3, 1 3, 1 1)),"
+    " ((10 10, 12 10, 12 12, 10 12, 10 10)), ((11 11, 13 11, 13 13, 11 13, 11 11)))",
+    # chain: a-b intersect, b-c intersect -> one cluster of three
+    "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((1 1, 3 1, 3 3, 1 3, 1 1)),"
+    " ((2.5 2.5, 4 2.5, 4 4, 2.5 4, 2.5 2.5)))",
+    # all disjoint -> pure structural merge
+    "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))",
+    # mixed dims
+    "GEOMETRYCOLLECTION (POINT (20 20), LINESTRING (30 30, 31 31),"
+    " POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)), POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1)))",
+    # single geometry
+    "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+    # touching (boundary intersects) -> same cluster
+    "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((1 0, 2 0, 2 1, 1 1, 1 0)))",
+]
+
+
+@pytest.mark.parametrize("case", DSU_CASES)
+def test_disjoint_subset_union_equals_unary_union(case):
+    from geos_spark.kernels.geom import geoms_equal_normalized
+    from geos_spark.kernels.union import disjoint_subset_union, unary_union
+
+    g = wkt(case)
+    assert geoms_equal_normalized(
+        disjoint_subset_union(g), unary_union(g)
+    )
+
+
+def test_disjoint_subset_union_column(spark):
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(DSU_CASES)], "id long, wkt string"
+    )
+    r = df.select(
+        "id",
+        st.st_area(
+            st.st_disjointsubsetunion(st.st_geomfromtext(F.col("wkt")))
+        ).alias("a"),
+        st.st_area(
+            st.st_unaryunion(st.st_geomfromtext(F.col("wkt")))
+        ).alias("b"),
+    ).collect()
+    for row in r:
+        assert row.a == pytest.approx(row.b, abs=1e-12)
