@@ -672,14 +672,63 @@ def chop_cases():
     return out
 
 
+# PolygonHullSimplifier cases — the reference's own unit suite
+# (tests/unit/simplify/PolygonHullSimplifierTest.cpp), arg =
+# "O|I;V|A;param" (outer/inner; vertex-ratio/area-delta; value)
+_PHS_W1 = (
+    "POLYGON ((30 90, 10 40, 40 10, 70 10, 90 30, 80 80, 70 40,"
+    " 30 40, 50 50, 60 70, 30 90))"
+)
+PHS_CASES = [
+    ("phs-1a", _PHS_W1, "O;V;0",
+     "POLYGON ((30 90, 80 80, 90 30, 70 10, 40 10, 10 40, 30 90))"),
+    ("phs-1b", _PHS_W1, "O;V;0.8",
+     "POLYGON ((30 90, 60 70, 80 80, 90 30, 70 10, 40 10, 10 40, 30 90))"),
+    ("phs-1c", _PHS_W1, "O;V;1", _PHS_W1),
+    ("phs-3", "POLYGON ((10 10, 10 90, 90 90, 90 50, 90 10, 50 10, 10 10))",
+     "O;V;0.4", "POLYGON ((10 10, 10 90, 90 90, 90 10, 10 10))"),
+    ("phs-4",
+     "POLYGON ((11 14, 2 31, 18 29, 25 17, 38 16, 29 5, 19 11, 11 0,"
+     " 0 10, 11 14))",
+     "I;V;0.5", "POLYGON ((19 11, 29 5, 18 29, 2 31, 19 11))"),
+    ("phs-5",
+     "POLYGON ((50 100, 30 70, 0 50, 30 30, 50 0, 70 30, 100 50,"
+     " 70 70, 50 100), (50 75, 40 50, 10 50, 36 35, 50 5, 65 35,"
+     " 90 50, 60 60, 50 75))",
+     "O;V;0.1",
+     "POLYGON ((50 100, 100 50, 50 0, 0 50, 50 100),"
+     " (36 35, 50 5, 60 60, 36 35))"),
+    ("phs-9c", _PHS_W1, "O;A;0.1",
+     "POLYGON ((10 40, 30 90, 60 70, 50 50, 70 40, 80 80, 90 30,"
+     " 70 10, 40 10, 10 40))"),
+    ("phs-9d", _PHS_W1, "O;A;0.2",
+     "POLYGON ((30 90, 60 70, 70 40, 80 80, 90 30, 70 10, 40 10,"
+     " 10 40, 30 90))"),
+    ("phs-10",
+     "POLYGON ((30 120, 60 240, 200 220, 60.02 240.08, 80 320,"
+     " 320 280, 230 160, 250 60, 30 120))",
+     "O;A;0.01",
+     "POLYGON ((30 120, 80 320, 320 280, 230 160, 250 60, 30 120))"),
+]
+
+
+def phs_cases():
+    return [
+        (cid, "polygonhull", w, None, arg, exp)
+        for cid, w, arg, exp in PHS_CASES
+    ]
+
+
 def unit_cases():
     out = []
-    for cid, op, wa, wb, arg, exp in UNIT_CASES + chop_cases():
+    for cid, op, wa, wb, arg, exp in (
+        UNIT_CASES + chop_cases() + phs_cases()
+    ):
         if exp is None:
             from geos_spark.kernels.wkt import parse_wkt
 
             exp = canon_wkt(parse_wkt(_UNIT_HULL_EXPECTED[cid]))
-        elif op in ("snap", "sharedpaths"):
+        elif op in ("snap", "sharedpaths", "polygonhull"):
             from geos_spark.kernels.wkt import parse_wkt
 
             exp = canon_wkt(parse_wkt(exp))
@@ -712,6 +761,20 @@ def run_unit_case(op, wkt_a, wkt_b, arg) -> str:
         from geos_spark.kernels.hull import concave_hull_by_length
 
         return canon_wkt(concave_hull_by_length(a, float(arg)))
+    if op == "polygonhull":
+        from geos_spark.kernels.hull_simplify import (
+            polygon_hull_simplify,
+        )
+
+        side, mode, param = arg.split(";")
+        kw = (
+            {"area_delta_ratio": float(param)}
+            if mode == "A"
+            else {"vertex_num_fraction": float(param)}
+        )
+        return canon_wkt(
+            polygon_hull_simplify(a, side == "O", **kw)
+        )
     if op == "chop":
         from geos_spark.kernels.hull_polys import concave_hull_of_polygons
 

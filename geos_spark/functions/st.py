@@ -1153,6 +1153,30 @@ st_difference = _overlay_pair_udf(3)
 st_symdifference = _overlay_pair_udf(4)
 
 
+def st_polygonhullsimplify(is_outer: bool, parameter: float, mode: int = 1):
+    """GEOSPolygonHullSimplify / GEOSPolygonHullSimplifyMode
+    (capi geos_c.h.in:4625-4688): topology-preserving outer/inner hull.
+    mode 1 = GEOSHULL_PARAM_VERTEX_RATIO, 2 = GEOSHULL_PARAM_AREA_RATIO."""
+
+    @pandas_udf(T.BinaryType())
+    def _phs(wkb: pd.Series) -> pd.Series:
+        from geos_spark.kernels.hull_simplify import polygon_hull_simplify
+
+        if mode == 2:
+            kw = {"area_delta_ratio": abs(parameter)}
+        else:
+            kw = {"vertex_num_fraction": abs(parameter)}
+        return wkb.map(
+            _row_nullout(
+                lambda b: write_wkb(
+                    polygon_hull_simplify(parse_wkb(b), is_outer, **kw)
+                )
+            )
+        )
+
+    return _phs
+
+
 @pandas_udf(T.BinaryType())
 def st_disjointsubsetunion(wkb: pd.Series) -> pd.Series:
     """GEOSDisjointSubsetUnion (capi geos_c.h.in:1085): unary union
