@@ -1153,6 +1153,47 @@ st_difference = _overlay_pair_udf(3)
 st_symdifference = _overlay_pair_udf(4)
 
 
+def st_makevalidstructure(keep_collapsed: bool = False):
+    """GEOSMakeValidWithParams with GEOS_MAKE_VALID_STRUCTURE
+    (capi geos_ts_c.cpp:2410-2418 -> geom::util::GeometryFixer):
+    per-component structural repair.  The default st_makevalid is the
+    LINEWORK method."""
+
+    @pandas_udf(T.BinaryType())
+    def _mvs(wkb: pd.Series) -> pd.Series:
+        from geos_spark.kernels.fixer import fix_structure
+
+        return wkb.map(
+            _row_nullout(
+                lambda b: write_wkb(
+                    fix_structure(parse_wkb(b), keep_collapsed)
+                )
+            )
+        )
+
+    return _mvs
+
+
+def st_removerepeatedpoints(tolerance: float = 0.0):
+    """GEOSRemoveRepeatedPoints: consecutive points within tolerance
+    removed, endpoints preserved; collapsing a ring (or curved input)
+    nulls out the row exactly where the reference errors."""
+
+    @pandas_udf(T.BinaryType())
+    def _rrp(wkb: pd.Series) -> pd.Series:
+        from geos_spark.kernels.fixer import remove_repeated_points
+
+        return wkb.map(
+            _row_nullout(
+                lambda b: write_wkb(
+                    remove_repeated_points(parse_wkb(b), tolerance)
+                )
+            )
+        )
+
+    return _rrp
+
+
 def st_polygonhullsimplify(is_outer: bool, parameter: float, mode: int = 1):
     """GEOSPolygonHullSimplify / GEOSPolygonHullSimplifyMode
     (capi geos_c.h.in:4625-4688): topology-preserving outer/inner hull.
