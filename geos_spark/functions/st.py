@@ -1153,6 +1153,59 @@ st_difference = _overlay_pair_udf(3)
 st_symdifference = _overlay_pair_udf(4)
 
 
+_PZF_SCHEMA = T.StructType(
+    [
+        T.StructField("polygons", T.BinaryType()),
+        T.StructField("cut_edges", T.BinaryType()),
+        T.StructField("dangles", T.BinaryType()),
+        T.StructField("invalid_rings", T.BinaryType()),
+    ]
+)
+
+
+@pandas_udf(_PZF_SCHEMA)
+def st_polygonizefull(wkb: pd.Series) -> pd.DataFrame:
+    """GEOSPolygonize_full: faces + the diagnostic outputs (cut
+    edges, dangles, invalid ring lines), each as a
+    GEOMETRYCOLLECTION wkb."""
+    from geos_spark.kernels.polygonize import polygonize_full
+
+    rows = []
+    for b in wkb:
+        if b is None:
+            rows.append((None, None, None, None))
+            continue
+        try:
+            polys, cuts, dangles, invalid = polygonize_full(
+                parse_wkb(b)
+            )
+            rows.append(
+                tuple(
+                    write_wkb(
+                        G.Geom.collection(G.GEOMETRYCOLLECTION, part)
+                    )
+                    for part in (polys, cuts, dangles, invalid)
+                )
+            )
+        except Exception:
+            rows.append((None, None, None, None))
+    return pd.DataFrame(
+        rows,
+        columns=["polygons", "cut_edges", "dangles", "invalid_rings"],
+    )
+
+
+@pandas_udf(T.BinaryType())
+def st_polygonizevalid(wkb: pd.Series) -> pd.Series:
+    """GEOSPolygonize_valid: only-polygonal extraction (outermost
+    shells + their holes)."""
+    from geos_spark.kernels.polygonize import polygonize_valid
+
+    return wkb.map(
+        _row_nullout(lambda b: write_wkb(polygonize_valid(parse_wkb(b))))
+    )
+
+
 def st_makevalidstructure(keep_collapsed: bool = False):
     """GEOSMakeValidWithParams with GEOS_MAKE_VALID_STRUCTURE
     (capi geos_ts_c.cpp:2410-2418 -> geom::util::GeometryFixer):

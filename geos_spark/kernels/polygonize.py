@@ -225,6 +225,10 @@ def polygonize(g: G.Geom) -> list[G.Geom]:
     # (PolygonizeGraph::addEdge); duplicated chains become cut edges
     rings = _polygonize_chains(chains)
 
+    return _assemble_faces(rings)
+
+
+def _assemble_faces(rings: list[np.ndarray]) -> list[G.Geom]:
     # JTS EdgeRing convention: shells trace CW (isHole == isCCW);
     # output shells re-oriented CCW for the Geom convention
     shells = [r[::-1].copy() for r in rings if ring_signed_area(r) < 0]
@@ -248,6 +252,132 @@ def polygonize(g: G.Geom) -> list[G.Geom]:
     return [
         G.Geom(G.POLYGON, [s] + assigned[i]) for i, s in enumerate(shells)
     ]
+
+
+def _extract_chains(g: G.Geom) -> list[np.ndarray]:
+    """LinearComponentExtracter: lines and polygon rings, cleaned of
+    repeated points, degenerate chains dropped (addEdge guards)."""
+    raw = []
+    for part in g.geoms():
+        if part.type_id == G.LINESTRING and len(part.data) > 1:
+            raw.append(part.data)
+        elif part.type_id == G.POLYGON:
+            raw.extend(r for r in part.data if len(r) > 1)
+    out: list[np.ndarray] = []
+    for c in raw:
+        c = np.asarray(c, dtype=np.float64)
+        keep = np.ones(len(c), dtype=bool)
+        keep[1:] = (c[1:] != c[:-1]).any(axis=1)
+        c = c[keep]
+        if len(c) >= 2:
+            out.append(c)
+    return out
+
+
+def polygonize_full(
+    g: G.Geom,
+) -> tuple[list[G.Geom], list[G.Geom], list[G.Geom], list[G.Geom]]:
+    """GEOSPolygonize_full (capi geos_ts_c.cpp:2479-2540):
+    -> (polygons, cut_edges, dangles, invalid_ring_lines).
+
+    Cut edges are duplicated chains (every copy reported, one kept
+    in the graph); dangles are the chains deleted by the fixpoint
+    low-degree removal; rings that do not form a valid single-ring
+    polygon (e.g. a self-crossing bowtie ring) are reported as
+    invalid ring lines instead of faces (JTS EdgeRing::isValidRing).
+    """
+    from geos_spark.kernels.valid import is_valid
+
+    chains = _extract_chains(g)
+
+    def key(p):
+        return (float(p[0]), float(p[1]))
+
+    def canon(c: np.ndarray):
+        f = tuple(map(tuple, c))
+        r = tuple(map(tuple, c[::-1]))
+        return min(f, r)
+
+    groups: dict = {}
+    for c in chains:
+        groups.setdefault(canon(c), []).append(c)
+    cuts: list[G.Geom] = []
+    alive: list[np.ndarray] = []
+    for members in groups.values():
+        if len(members) > 1:
+            cuts.extend(G.Geom(G.LINESTRING, m.copy()) for m in members)
+        alive.append(members[0])
+
+    # dangle fixpoint (deleteDangles), recording the removals
+    dangles: list[G.Geom] = []
+    while True:
+        deg: dict = {}
+        for c in alive:
+            deg[key(c[0])] = deg.get(key(c[0]), 0) + 1
+            deg[key(c[-1])] = deg.get(key(c[-1]), 0) + 1
+        nxt = []
+        for c in alive:
+            if deg[key(c[0])] > 1 and deg[key(c[-1])] > 1:
+                nxt.append(c)
+            else:
+                dangles.append(G.Geom(G.LINESTRING, c.copy()))
+        if len(nxt) == len(alive):
+            break
+        alive = nxt
+
+    rings = _polygonize_chains(alive)
+    valid_rings: list[np.ndarray] = []
+    invalid: list[G.Geom] = []
+    seen_cycles: set = set()
+    for r in rings:
+        try:
+            ok = is_valid(G.Geom(G.POLYGON, [r]))
+        except Exception:
+            ok = False
+        if ok:
+            valid_rings.append(r)
+        else:
+            # an invalid closed chain is walked in both directions by
+            # the maximal-ring extraction; report the cycle once
+            # (canonical: open ring, rotated to min vertex, direction
+            # with the smaller successor)
+            open_r = r[:-1]
+            verts = [tuple(v) for v in open_r]
+            k = verts.index(min(verts))
+            rot = verts[k:] + verts[:k]
+            rev = [rot[0]] + rot[1:][::-1]
+            cyc = tuple(min(rot, rev))
+            if cyc in seen_cycles:
+                continue
+            seen_cycles.add(cyc)
+            invalid.append(G.Geom(G.LINESTRING, r.copy(), is_ring=False))
+    return _assemble_faces(valid_rings), cuts, dangles, invalid
+
+
+def polygonize_valid(g: G.Geom) -> G.Geom:
+    """GEOSPolygonize_valid (geos_ts_c.cpp:2299-2327, Polygonizer's
+    extract-only-polygonal mode): keep only outermost shells (with
+    their holes) so the combined result is a valid polygonal
+    geometry — a face whose shell is another face's hole ring is
+    dropped."""
+    polys, _, _, _ = polygonize_full(g)
+    if not polys:
+        return G.Geom.collection(G.GEOMETRYCOLLECTION, [])
+    outer: list[G.Geom] = []
+    for i, p in enumerate(polys):
+        shell = p.data[0]
+        contained = False
+        for j, q in enumerate(polys):
+            if i == j:
+                continue
+            if _ring_contains_cycle(q.data[0], shell):
+                contained = True
+                break
+        if not contained:
+            outer.append(p)
+    if len(outer) == 1:
+        return outer[0]
+    return G.Geom(G.MULTIPOLYGON, outer)
 
 
 def _ring_contains_cycle(shell: np.ndarray, h: np.ndarray) -> bool:

@@ -209,3 +209,93 @@ def test_structure_columns(spark):
     assert res[1].rrp is not None
     assert res[2].rrp is None  # over-collapse -> NULL row
     assert res[3].t is None and res[3].rrp is None
+
+
+# ----------------------------------------------------------------- #
+# Polygonize_full / Polygonize_valid (capi GEOSPolygonizeTest.cpp)
+# ----------------------------------------------------------------- #
+
+
+def test_polygonize_full_reference_case():
+    from geos_spark.kernels.polygonize import polygonize_full
+    from geos_spark.kernels.wkt import write_wkt
+
+    g = parse_wkt(
+        "MULTILINESTRING ((0 0, 1 0, 1 1, 0 1, 0 0),"
+        " (0 0, 0.5 0.5), (1 1, 2 2, 1 2, 2 1, 1 1))"
+    )
+    polys, cuts, dangles, invalid = polygonize_full(g)
+    assert [write_wkt(p) for p in polys] == [
+        "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    ]
+    assert cuts == []
+    assert [write_wkt(d) for d in dangles] == [
+        "LINESTRING (0 0, 0.5 0.5)"
+    ]
+    assert [write_wkt(i) for i in invalid] == [
+        "LINESTRING (1 1, 2 2, 1 2, 2 1, 1 1)"
+    ]
+
+
+def test_polygonize_cut_edges_and_valid():
+    from geos_spark.kernels.polygonize import (
+        polygonize_full,
+        polygonize_valid,
+    )
+    from geos_spark.kernels import geom as G
+
+    # duplicated ring -> both copies are cut edges (capi test<1>)
+    dup = parse_wkt(
+        "MULTILINESTRING ((1 3, 3 3, 3 1, 1 1, 1 3),"
+        " (1 3, 3 3, 3 1, 1 1, 1 3))"
+    )
+    _, cuts, _, _ = polygonize_full(dup)
+    assert len(cuts) == 2
+    # nested squares: valid extraction -> one polygon with hole
+    nested = parse_wkt(
+        "MULTILINESTRING ((100 100, 100 300, 300 300, 300 100, 100 100),"
+        " (150 150, 150 250, 250 250, 250 150, 150 150))"
+    )
+    v = polygonize_valid(nested)
+    assert v.type_id == G.POLYGON and len(v.data) == 2
+    # dangle only -> empty GC (capi test<7>)
+    assert polygonize_valid(parse_wkt("LINESTRING (0 0, 1 1)")).is_empty
+    # two disjoint squares -> MULTIPOLYGON of 2 (capi test<8>)
+    two = parse_wkt(
+        "MULTILINESTRING ((0 0, 1 0, 1 1, 0 1, 0 0),"
+        " (1 1, 2 1, 2 2, 1 2, 1 1))"
+    )
+    v2 = polygonize_valid(two)
+    assert v2.type_id == G.MULTIPOLYGON and len(v2.data) == 2
+
+
+def test_polygonize_full_column(spark):
+    import pyspark.sql.functions as F
+
+    from geos_spark.functions import st
+
+    df = spark.createDataFrame(
+        [
+            (1,
+             "MULTILINESTRING ((0 0, 1 0, 1 1, 0 1, 0 0),"
+             " (0 0, 0.5 0.5), (1 1, 2 2, 1 2, 2 1, 1 1))"),
+            (2, None),
+        ],
+        "id long, wkt string",
+    )
+    g = df.withColumn("wkb", st.st_geomfromtext(F.col("wkt")))
+    out = g.select(
+        "id",
+        st.st_polygonizefull(F.col("wkb")).alias("pz"),
+        "wkb",
+    ).select(
+        "id",
+        st.st_numgeometries(F.col("pz.polygons")).alias("np"),
+        st.st_numgeometries(F.col("pz.dangles")).alias("nd"),
+        st.st_numgeometries(F.col("pz.invalid_rings")).alias("ni"),
+        st.st_astext(st.st_polygonizevalid(F.col("wkb"))).alias("pv"),
+    ).collect()
+    res = {r.id: r for r in out}
+    assert res[1].np == 1 and res[1].nd == 1 and res[1].ni == 1
+    assert res[1].pv == "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    assert res[2].np is None and res[2].pv is None
