@@ -1153,6 +1153,52 @@ st_difference = _overlay_pair_udf(3)
 st_symdifference = _overlay_pair_udf(4)
 
 
+_SEGI_SCHEMA = T.StructType(
+    [
+        T.StructField("cx", T.DoubleType()),
+        T.StructField("cy", T.DoubleType()),
+    ]
+)
+
+
+@pandas_udf(_SEGI_SCHEMA)
+def st_segmentintersection(
+    ax0: pd.Series, ay0: pd.Series, ax1: pd.Series, ay1: pd.Series,
+    bx0: pd.Series, by0: pd.Series, bx1: pd.Series, by1: pd.Series,
+) -> pd.DataFrame:
+    """GEOSSegmentIntersection: intersection point of two segments as
+    a (cx, cy) struct, NULL fields when disjoint (the capi's -1)."""
+    from geos_spark.kernels.segments import segment_intersection
+
+    rows = []
+    for vals in zip(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1):
+        if any(v is None or pd.isna(v) for v in vals):
+            rows.append((None, None))
+            continue
+        try:
+            r = segment_intersection(*(float(v) for v in vals))
+            rows.append((None, None) if r is None else r)
+        except Exception:
+            rows.append((None, None))
+    return pd.DataFrame(rows, columns=["cx", "cy"])
+
+
+# native hex WKB codecs: GEOSWKBReader_readHEX / writeHEX — WKB is the
+# engine's storage format, so hex IO is pure JVM (zero python)
+
+
+def st_geomfromhex(col):
+    """GEOSGeomFromHEX_buf: hex WKB string -> wkb binary (native
+    unhex; malformed hex yields NULL JVM-side)."""
+    return F.unhex(col)
+
+
+def st_ashexwkb(col):
+    """GEOSGeomToHEX_buf: wkb binary -> uppercase hex string
+    (native)."""
+    return F.hex(col)
+
+
 _PZF_SCHEMA = T.StructType(
     [
         T.StructField("polygons", T.BinaryType()),

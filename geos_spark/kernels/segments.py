@@ -148,3 +148,41 @@ def intersection_points(sa: np.ndarray, sb: np.ndarray):
     # snap near-endpoint results exactly onto endpoints (reference
     # nearest-endpoint snapping)
     return pts, ia, ib
+
+
+def segment_intersection(
+    ax0: float, ay0: float, ax1: float, ay1: float,
+    bx0: float, by0: float, bx1: float, by1: float,
+):
+    """GEOSSegmentIntersection (capi geos_ts_c.cpp:4455-4474,
+    LineSegment::intersection): the intersection point of two
+    segments, or None when they do not intersect.  Collinear
+    overlaps return the LineIntersector's first stored point
+    (RobustLineIntersector::computeCollinearIntersection order)."""
+    sa = np.array([[ax0, ay0, ax1, ay1]], dtype=np.float64)
+    sb = np.array([[bx0, by0, bx1, by1]], dtype=np.float64)
+    cls = int(intersect_pairs(sa, sb)[0])
+    if cls == 0:
+        return None
+    if cls == POINT_INTERSECTION:
+        pts, _, _ = intersection_points(sa, sb)
+        return float(pts[0, 0]), float(pts[0, 1])
+    # collinear overlap: first point per computeCollinearIntersection
+    p1, p2 = (ax0, ay0), (ax1, ay1)
+    q1, q2 = (bx0, by0), (bx1, by1)
+
+    def covers(s0, s1, p):
+        return (
+            min(s0[0], s1[0]) <= p[0] <= max(s0[0], s1[0])
+            and min(s0[1], s1[1]) <= p[1] <= max(s0[1], s1[1])
+        )
+
+    if covers(p1, p2, q1) and covers(p1, p2, q2):
+        return q1
+    if covers(q1, q2, p1) and covers(q1, q2, p2):
+        return p1
+    if covers(p1, p2, q1):
+        return q1
+    if covers(p1, p2, q2):
+        return q2
+    return p1

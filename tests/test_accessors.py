@@ -311,3 +311,44 @@ def test_disjoint_subset_union_column(spark):
     ).collect()
     for row in r:
         assert row.a == pytest.approx(row.b, abs=1e-12)
+
+
+def test_segment_intersection_and_hex(spark):
+    from geos_spark.functions import st
+
+    rows = [
+        # crossing at (5, 5)
+        (1, 0.0, 0.0, 10.0, 10.0, 0.0, 10.0, 10.0, 0.0),
+        # disjoint
+        (2, 0.0, 0.0, 1.0, 0.0, 5.0, 5.0, 6.0, 5.0),
+        # endpoint touch
+        (3, 0.0, 0.0, 2.0, 0.0, 2.0, 0.0, 4.0, 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, ax0 double, ay0 double, ax1 double, ay1 double,"
+        " bx0 double, by0 double, bx1 double, by1 double"
+    )
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            st.st_segmentintersection(
+                "ax0", "ay0", "ax1", "ay1", "bx0", "by0", "bx1", "by1"
+            ).alias("i"),
+        ).select("id", "i.cx", "i.cy").collect()
+    }
+    assert (out[1].cx, out[1].cy) == (5.0, 5.0)
+    assert out[2].cx is None and out[2].cy is None
+    assert (out[3].cx, out[3].cy) == (2.0, 0.0)
+
+    # hex WKB round trip, pure JVM
+    g = spark.createDataFrame(
+        [(1, "POINT (3 4)")], "id long, wkt string"
+    ).select(
+        st.st_astext(
+            st.st_geomfromhex(
+                st.st_ashexwkb(st.st_geomfromtext(F.col("wkt")))
+            )
+        ).alias("w")
+    ).collect()
+    assert g[0].w == "POINT (3 4)"
