@@ -1153,6 +1153,51 @@ st_difference = _overlay_pair_udf(3)
 st_symdifference = _overlay_pair_udf(4)
 
 
+@pandas_udf(T.DoubleType())
+def st_x(wkb: pd.Series) -> pd.Series:
+    """GEOSGeomGetX: x ordinate of a POINT (non-point rows null)."""
+
+    def f(b):
+        g = parse_wkb(b)
+        if g.type_id != G.POINT or g.is_empty:
+            raise ValueError("st_x: not a point")
+        return float(g.data[0, 0])
+
+    return wkb.map(_row_nullout(f))
+
+
+@pandas_udf(T.DoubleType())
+def st_y(wkb: pd.Series) -> pd.Series:
+    """GEOSGeomGetY."""
+
+    def f(b):
+        g = parse_wkb(b)
+        if g.type_id != G.POINT or g.is_empty:
+            raise ValueError("st_y: not a point")
+        return float(g.data[0, 1])
+
+    return wkb.map(_row_nullout(f))
+
+
+@pandas_udf(T.BooleanType())
+def st_containsproperly(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
+    """GEOSPreparedContainsProperly: interior containment, no
+    boundary contact (IM T**FF*FF*)."""
+    from geos_spark.kernels.relate import contains_properly
+
+    def f(a, b):
+        if a is None or b is None:
+            return None
+        try:
+            return bool(contains_properly(parse_wkb(a), parse_wkb(b)))
+        except Exception:
+            return None
+
+    return pd.Series(
+        [f(a, b) for a, b in zip(wkb_a, wkb_b)], dtype="object"
+    )
+
+
 _SEGI_SCHEMA = T.StructType(
     [
         T.StructField("cx", T.DoubleType()),

@@ -1010,6 +1010,13 @@ def within(a, b) -> bool:
     return matches(relate(a, b), "T*F**F***")
 
 
+def contains_properly(a, b) -> bool:
+    """PreparedGeometry::containsProperly: b lies in a's INTERIOR
+    (no boundary contact) — IM pattern T**FF*FF*
+    (include/geos/geom/prep/PreparedGeometry.h:117-145)."""
+    return matches(relate(a, b), "T**FF*FF*")
+
+
 def covers(a, b) -> bool:
     im = relate(a, b)
     return any(

@@ -352,3 +352,37 @@ def test_segment_intersection_and_hex(spark):
         ).alias("w")
     ).collect()
     assert g[0].w == "POINT (3 4)"
+
+
+def test_x_y_contains_properly(spark):
+    from geos_spark.functions import st
+
+    df = spark.createDataFrame(
+        [
+            (1, "POINT (3.5 -7.25)", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+             "POINT (1 1)"),
+            # b on the boundary: contains true, containsProperly false
+            (2, "LINESTRING (0 0, 1 1)", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+             "POINT (2 1)"),
+        ],
+        "id long, p string, a string, b string",
+    )
+    g = df.select(
+        "id",
+        st.st_geomfromtext(F.col("p")).alias("p"),
+        st.st_geomfromtext(F.col("a")).alias("a"),
+        st.st_geomfromtext(F.col("b")).alias("b"),
+    )
+    out = {
+        r.id: r
+        for r in g.select(
+            "id",
+            st.st_x(F.col("p")).alias("x"),
+            st.st_y(F.col("p")).alias("y"),
+            st.st_containsproperly(F.col("a"), F.col("b")).alias("cp"),
+        ).collect()
+    }
+    assert (out[1].x, out[1].y) == (3.5, -7.25)
+    assert out[2].x is None and out[2].y is None  # not a point
+    assert out[1].cp is True
+    assert out[2].cp is False  # boundary point
