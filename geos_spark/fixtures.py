@@ -712,6 +712,77 @@ PHS_CASES = [
 ]
 
 
+# GeometryFixer (STRUCTURE makeValid) + RemoveRepeatedPoints cases —
+# representative rows of tests/unit/geom/util/GeometryFixerTest.cpp /
+# capi GEOSRemoveRepeatedPointsTest.cpp; arg = "K" (keepCollapsed) or
+# "" for fix, tolerance string for rrp
+FIX_CASES = [
+    ("fix-bowtie", "fix",
+     "POLYGON ((10 90, 90 10, 90 90, 10 10, 10 90))", "",
+     "MULTIPOLYGON (((10 90, 50 50, 10 10, 10 90)),"
+     " ((50 50, 90 90, 90 10, 50 50)))"),
+    ("fix-selftouch-hole", "fix",
+     "POLYGON ((10 90, 50 90, 50 30, 70 30, 70 50, 30 50, 30 70,"
+     " 90 70, 90 10, 10 10, 10 90))", "",
+     "POLYGON ((10 90, 50 90, 50 70, 90 70, 90 10, 10 10, 10 90),"
+     " (50 50, 50 30, 70 30, 70 50, 50 50))"),
+    ("fix-nan-shell", "fix",
+     "POLYGON ((10 90, 90 NaN, 90 10, 10 10, 10 90))", "",
+     "POLYGON ((10 10, 10 90, 90 10, 10 10))"),
+    ("fix-hole-escape", "fix",
+     "POLYGON ((50 90, 80 90, 80 10, 50 10, 50 90),"
+     " (70 80, 90 80, 90 20, 70 20, 70 80),"
+     " (40 80, 40 50, 0 50, 0 80, 40 80),"
+     " (30 40, 10 40, 10 60, 30 60, 30 40),"
+     " (60 70, 80 70, 80 30, 60 30, 60 70))", "",
+     "MULTIPOLYGON (((10 40, 10 50, 0 50, 0 80, 40 80, 40 50, 30 50,"
+     " 30 40, 10 40)), ((70 80, 70 70, 60 70, 60 30, 70 30, 70 20,"
+     " 80 20, 80 10, 50 10, 50 90, 80 90, 80 80, 70 80)))"),
+    ("fix-collapse-keep", "fix",
+     "POLYGON ((10 10, 10 90, 90 90, 10 90, 10 10),"
+     " (20 80, 60 80, 60 40, 20 40, 20 80))", "K",
+     "LINESTRING (10 10, 10 90, 90 90, 10 90, 10 10)"),
+    ("fix-multipoly-collapse-keep", "fix",
+     "MULTIPOLYGON (((10 40, 40 40, 40 10, 10 10, 10 40)),"
+     " ((50 40, 50 40, 50 40, 50 40, 50 40)))", "K",
+     "GEOMETRYCOLLECTION (POINT (50 40),"
+     " POLYGON ((10 10, 10 40, 40 40, 40 10, 10 10)))"),
+    ("rrp-tol3", "rrp",
+     "POLYGON ((0 0, 0 1, 0 10, 10 10, 10 0, 9 0, 1 0, 0 0))", "3.0",
+     "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0))"),
+    ("rrp-collapse-error", "rrp",
+     "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", "2.0",
+     "ERROR:ValueError"),
+    ("pzf-diagnostics", "pzfull",
+     "MULTILINESTRING ((0 0, 1 0, 1 1, 0 1, 0 0), (0 0, 0.5 0.5),"
+     " (1 1, 2 2, 1 2, 2 1, 1 1))", "",
+     None),  # expected computed below (canonical 4-part string)
+]
+
+def _pzf_expected() -> str:
+    # canonicalized per part, same normal form as the runner
+    from geos_spark.kernels.wkt import parse_wkt
+
+    parts = {
+        "polys": "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+        "cuts": "GEOMETRYCOLLECTION EMPTY",
+        "dangles": "LINESTRING (0 0, 0.5 0.5)",
+        "invalid": "LINESTRING (1 1, 2 2, 1 2, 2 1, 1 1)",
+    }
+    return "|".join(
+        f"{k}={canon_wkt(parse_wkt(v))}" for k, v in parts.items()
+    )
+
+
+def fix_cases():
+    out = []
+    for cid, op, wa, arg, exp in FIX_CASES:
+        if exp is None:
+            exp = _pzf_expected()
+        out.append((cid, op, wa, None, arg, exp))
+    return out
+
+
 def phs_cases():
     return [
         (cid, "polygonhull", w, None, arg, exp)
@@ -722,13 +793,15 @@ def phs_cases():
 def unit_cases():
     out = []
     for cid, op, wa, wb, arg, exp in (
-        UNIT_CASES + chop_cases() + phs_cases()
+        UNIT_CASES + chop_cases() + phs_cases() + fix_cases()
     ):
         if exp is None:
             from geos_spark.kernels.wkt import parse_wkt
 
             exp = canon_wkt(parse_wkt(_UNIT_HULL_EXPECTED[cid]))
-        elif op in ("snap", "sharedpaths", "polygonhull"):
+        elif op in ("snap", "sharedpaths", "polygonhull") or (
+            op in ("fix", "rrp") and not exp.startswith("ERROR")
+        ):
             from geos_spark.kernels.wkt import parse_wkt
 
             exp = canon_wkt(parse_wkt(exp))
@@ -761,6 +834,31 @@ def run_unit_case(op, wkt_a, wkt_b, arg) -> str:
         from geos_spark.kernels.hull import concave_hull_by_length
 
         return canon_wkt(concave_hull_by_length(a, float(arg)))
+    if op == "fix":
+        from geos_spark.kernels.fixer import fix_structure
+
+        return canon_wkt(fix_structure(a, keep_collapsed=arg == "K"))
+    if op == "rrp":
+        from geos_spark.kernels.fixer import remove_repeated_points
+
+        return canon_wkt(remove_repeated_points(a, float(arg)))
+    if op == "pzfull":
+        from geos_spark.kernels import geom as GG
+        from geos_spark.kernels.polygonize import polygonize_full
+
+        polys, cuts, dangles, invalid = polygonize_full(a)
+
+        def part(items):
+            if len(items) == 1:
+                return canon_wkt(items[0])
+            return canon_wkt(
+                GG.Geom.collection(GG.GEOMETRYCOLLECTION, items)
+            )
+
+        return (
+            f"polys={part(polys)}|cuts={part(cuts)}"
+            f"|dangles={part(dangles)}|invalid={part(invalid)}"
+        )
     if op == "polygonhull":
         from geos_spark.kernels.hull_simplify import (
             polygon_hull_simplify,
