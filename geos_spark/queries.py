@@ -447,6 +447,53 @@ def q_curve_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (stateless map, reproducible
+    across reruns/partitionings — the way a 100 TB pipeline samples;
+    df.sample is partitioning-dependent).  Portable md5 hash, so the
+    oracle replays the exact row set."""
+    from geos_spark.operators.sampling import hash_sample
+
+    return hash_sample(
+        _docs(spark, sf_dir), 0.25, key_col="doc_id", salt="s42"
+    ).select("doc_id", "source", "n_chars")
+
+
+def q_sample_hash_sql() -> str:
+    return """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s42'), 1, 8)
+           AS BIGINT) % 1000000 < 250000
+"""
+
+
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping (crawl-skew control): keep the 20
+    largest docs per source, deterministic tie-break.  Salted
+    two-phase top-k — a mega-source never ships more than
+    k*salt_buckets rows into the final window."""
+    from geos_spark.operators.sampling import source_quota
+
+    out = source_quota(_docs(spark, sf_dir), 20)
+    return out.select("doc_id", "source", "n_chars", "rank")
+
+
+def q_source_quota_sql() -> str:
+    return """
+SELECT doc_id, source, n_chars, rank
+FROM (
+    SELECT doc_id, source, n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY n_chars DESC NULLS LAST, doc_id ASC
+           ) AS rank
+    FROM documents
+)
+WHERE rank <= 20
+"""
+
+
 def q_geom_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structural accessor surface end-to-end (the capi getter
     family, kernels/access.py): per doc a square polygon with a
@@ -2578,6 +2625,8 @@ QUERIES = {
     "minhash": q_minhash,
     "jaccard_pairs": q_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "sample_hash": q_sample_hash,
+    "source_quota": q_source_quota,
     "rect_overlay": q_rect_overlay,
     "union_area": q_union_area,
     "union_area_dsu": q_union_area_dsu,
@@ -2634,6 +2683,8 @@ ORACLES = {
     "minhash": q_minhash_sql(),
     "jaccard_pairs": q_jaccard_pairs_sql(),
     "dedup_clusters": q_dedup_clusters_sql(),
+    "sample_hash": q_sample_hash_sql(),
+    "source_quota": q_source_quota_sql(),
     "rect_overlay": q_rect_overlay_sql(),
     "poly_join": q_poly_join_sql(),
     "poly_contains": q_poly_contains_sql(),

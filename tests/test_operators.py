@@ -356,3 +356,60 @@ def test_dedup_clusters_end_to_end(spark):
     # invariant: exactly one keep per canonical
     keeps = [r for r in out if r.keep]
     assert len(keeps) == len({r.canonical for r in out})
+
+
+def test_hash_sample_deterministic_across_partitioning(spark):
+    """The sample is a pure function of (key, salt): repartitioning
+    must not change it (unlike df.sample), and different salts draw
+    different samples."""
+    from geos_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in hash_sample(df, 0.3, salt="x").collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(df.repartition(17), 0.3, salt="x").collect()
+    }
+    c = {r.doc_id for r in hash_sample(df, 0.3, salt="y").collect()}
+    assert a == b
+    assert a != c
+    # fraction roughly honored (md5 is uniform)
+    assert 0.25 < len(a) / 2000 < 0.35
+    # fraction 0 and 1 are exact
+    assert hash_sample(df, 0.0).count() == 0
+    assert hash_sample(df, 1.0).count() == 2000
+
+
+def test_source_quota_exact_and_salt_invariant(spark):
+    """Two-phase salted top-k equals the brute-force single window
+    for any salt_buckets; NULL order values sort last; rank is
+    1..min(k, n_source)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from geos_spark.operators.sampling import source_quota
+
+    rows = [
+        (i, f"s{i % 7}", None if i % 13 == 0 else (i * 37) % 500)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    )
+    for buckets in (1, 4, 64):
+        got = {
+            (r.doc_id, r.rank)
+            for r in source_quota(
+                df, 10, salt_buckets=buckets
+            ).collect()
+        }
+        w = Window.partitionBy("source").orderBy(
+            F.col("n_chars").desc_nulls_last(), F.col("doc_id").asc()
+        )
+        exp = {
+            (r.doc_id, r.rank)
+            for r in df.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10)
+            .collect()
+        }
+        assert got == exp, buckets
