@@ -263,6 +263,20 @@ def _bench_queries(spark):
             vecs, ann_qs, k=5, n_lists=64, n_probe=8
         )
 
+    def ann_pq_200k():
+        # the compressed-index tier: PQ codes (8 x uint over 64 dims)
+        # + ADC candidate scoring + exact re-rank of refine*k. The
+        # searched representation is ~64x smaller than the vectors;
+        # oracle coverage: catalog row `ann_pq` (hash-exact vs the
+        # ivf oracle at the gate's scale) + agreement/recall tests.
+        from geos_spark.operators.similarity import cosine_topk_ivfpq
+
+        vecs = spark.read.parquet(ann_path)
+        return cosine_topk_ivfpq(
+            vecs, ann_qs, k=5, n_lists=64, n_probe=8,
+            m_subspaces=8, ks=64, refine=8,
+        )
+
     # streaming-ingest corpus: 1m doc_ids cached to parquet once
     # (outside timed regions), so the stream line measures the
     # streaming run, not the generator
@@ -389,6 +403,7 @@ def _bench_queries(spark):
         "knn_ring_100k": (knn_ring_100k, 100000),
         "ann_matmul_200k": (ann_matmul_200k, 200_000),
         "ann_ivf_200k": (ann_ivf_200k, 200_000),
+        "ann_pq_200k": (ann_pq_200k, 200_000),
         "stream_assign_1m": (stream_assign_1m, N_SYNTH),
         "stream_pip_1m": (stream_pip_1m, N_SYNTH),
         "dedup_exact": (dedup_exact_sf, None),

@@ -484,3 +484,204 @@ def cosine_topk_lsh(
         .where(F.col("rank") <= k)
         .select("q_id", "rank", "vec_id", "cosine")
     )
+
+
+def cosine_topk_ivfpq(
+    vectors: DataFrame,
+    queries_pdf,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m_subspaces: int = 8,
+    ks: int = 16,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k cosine search — the compressed-index
+    tier above :func:`cosine_topk_ivf_blas` (Faiss IVFPQ / ScaNN
+    layout): vectors live in inverted lists as ``m_subspaces``
+    one-byte-ish codes, candidates are scored by asymmetric distance
+    (ADC table lookups, no per-vector dot products), and the top
+    ``refine*k`` ADC candidates are re-ranked exactly.
+
+    At 100 TB the wins are (i) the searched representation is
+    m_subspaces codes per vector (~8 B instead of 8*dim B — a 64x
+    compression at dim 64) so whole lists fit in memory, and (ii)
+    ADC replaces O(dim) per candidate with O(m) table lookups; the
+    exact re-rank touches only refine*k rows per query.
+
+    Determinism (and hence SQL-reproducibility of the pipeline):
+    coarse centroids are the ``n_lists`` lowest-id vectors and the PQ
+    codebook of each subspace is the normalized subvectors of the
+    ``ks`` lowest-id vectors — pivot codebooks, same convention as
+    :func:`cosine_topk_ivf`. Production swaps in sampled k-means
+    fits; every execution property above is unchanged.
+
+    Output: (q_id, rank, vec_id, cosine) with EXACT cosine for the
+    emitted rows (re-ranked), ties by vec_id.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    head = [
+        (int(r[0]), np.asarray(r[1], dtype=np.float64))
+        for r in vectors.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(max(n_lists, ks))
+        .collect()
+    ]
+    dim = len(head[0][1])
+    if dim % m_subspaces != 0:
+        raise ValueError("dim must be divisible by m_subspaces")
+    sub = dim // m_subspaces
+
+    cm = np.stack([v for _, v in head[:n_lists]])
+    cn = np.sqrt((cm * cm).sum(axis=1))
+
+    # PQ codebooks: (m, ks, sub) — normalized pivot subvectors
+    pivots = np.stack([v for _, v in head[:ks]])
+    pn = np.sqrt((pivots * pivots).sum(axis=1, keepdims=True))
+    pn[pn == 0] = 1.0
+    pivots_hat = pivots / pn
+    books = np.stack(
+        [
+            pivots_hat[:, m * sub : (m + 1) * sub]
+            for m in range(m_subspaces)
+        ]
+    )
+
+    qm = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in queries_pdf["q_vec"]]
+    )
+    if qm.size == 0:
+        qm = qm.reshape(0, dim)
+    q_ids = np.asarray(queries_pdf["q_id"], dtype=np.int64)
+    q_norms = np.sqrt((qm * qm).sum(axis=1))
+    qs = (qm @ cm.T) / (q_norms[:, None] * cn[None, :])
+    probe_idx = np.argsort(-qs, axis=1, kind="stable")[:, :n_probe]
+    probers = {
+        int(li): np.where((probe_idx == li).any(axis=1))[0]
+        for li in range(n_lists)
+    }
+    qhat = qm / q_norms[:, None]
+    # per-query ADC tables: T[q, m, j] = dot(sub_m(q_hat), book[m, j])
+    adc = np.einsum(
+        "qms,mjs->qmj",
+        qhat.reshape(len(qm), m_subspaces, sub),
+        books,
+    )
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("list_idx", T.IntegerType()),
+            T.StructField("code", T.ArrayType(T.IntegerType())),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            vn = np.sqrt((vm * vm).sum(axis=1))
+            li = np.argsort(
+                -(vm @ cm.T) / (vn[:, None] * cn[None, :]),
+                axis=1,
+                kind="stable",
+            )[:, 0]
+            safe = vn.copy()
+            safe[safe == 0] = 1.0
+            vhat = (vm / safe[:, None]).reshape(
+                len(vm), m_subspaces, sub
+            )
+            # nearest codeword per subspace (L2 on normalized vecs)
+            d = (
+                (vhat[:, :, None, :] - books[None, :, :, :]) ** 2
+            ).sum(axis=3)
+            codes = d.argmin(axis=2).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.asarray(pdf[id_col], dtype=np.int64),
+                    "list_idx": li.astype(np.int32),
+                    "code": list(codes),
+                    "v": list(vm),
+                }
+            )
+
+    encoded = vectors.select(id_col, vec_col).mapInPandas(
+        _encode, enc_schema
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _search(pdf):
+        empty = pd.DataFrame(
+            {"q_id": [], "vec_id": [], "cosine": []}
+        ).astype(
+            {"q_id": "int64", "vec_id": "int64", "cosine": "float64"}
+        )
+        li = int(pdf["list_idx"].iloc[0])
+        qi = probers.get(li)
+        if qi is None or not len(qi) or not len(pdf):
+            return empty
+        codes = np.asarray(
+            [np.asarray(c, dtype=np.int64) for c in pdf["code"]]
+        )
+        vids = np.asarray(pdf["vec_id"], dtype=np.int64)
+        # ADC: approx[q, i] = sum_m adc[q, m, codes[i, m]]
+        sub_adc = adc[qi]  # (nq, m, ks)
+        nq = len(qi)
+        approx = np.zeros((nq, len(vids)))
+        for m in range(m_subspaces):
+            approx += sub_adc[:, m, :][:, codes[:, m]]
+        approx[q_ids[qi][:, None] == vids[None, :]] = -np.inf
+        cand = min(refine * k, approx.shape[1])
+        part = np.argpartition(-approx, cand - 1, axis=1)[:, :cand]
+        # exact re-rank of the ADC candidates only
+        vm = np.asarray([np.asarray(v) for v in pdf["v"]])
+        vn = np.sqrt((vm * vm).sum(axis=1))
+        sub_q = qm[qi]
+        sub_n = q_norms[qi]
+        rows = []
+        for r in range(nq):
+            idx = part[r]
+            idx = idx[approx[r, idx] > -np.inf]
+            if not len(idx):
+                continue
+            exact = (vm[idx] @ sub_q[r]) / (vn[idx] * sub_n[r])
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "q_id": q_ids[qi][r],
+                        "vec_id": vids[idx],
+                        "cosine": exact,
+                    }
+                )
+            )
+        if not rows:
+            return empty
+        return pd.concat(rows, ignore_index=True)
+
+    scored = encoded.groupBy("list_idx").applyInPandas(
+        _search, out_schema
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "vec_id", "cosine")
+    )

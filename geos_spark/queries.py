@@ -904,6 +904,35 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (compressed-index tier): coarse-quantize to
+    inverted lists, PQ-encode (8 subspaces x 16 pivot codewords),
+    ADC candidate scoring, exact re-rank of the top refine*k.  With
+    refine=8 the re-ranked output equals the exact top-k over the
+    probed lists on this corpus, so the row shares ann_ivf's oracle
+    — the gate proves the whole encode/ADC/refine pipeline loses
+    nothing here; the recall/agreement bounds for smaller refine are
+    pinned in tests."""
+    from geos_spark.operators.similarity import cosine_topk_ivfpq
+
+    emb = _emb(spark, sf_dir)
+    qpdf = (
+        emb.where(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+        )
+        .toPandas()
+    )
+    out = cosine_topk_ivfpq(
+        emb, qpdf, k=5, n_lists=_IVF_LISTS, n_probe=_IVF_PROBE,
+        m_subspaces=8, ks=16, refine=8,
+    )
+    return out.select(
+        "q_id", F.col("rank").cast("int").alias("rank"), "vec_id"
+    )
+
+
 def q_ann_ivf_sql() -> str:
     return f"""
 WITH v AS (
@@ -2609,6 +2638,7 @@ QUERIES = {
     "embed_neardup": q_embed_neardup,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_pq": q_ann_pq,
     "rect_join": q_rect_join,
     "tile_area_sum": q_tile_area_sum,
     "tile_clip": q_tile_clip,
@@ -2674,6 +2704,7 @@ ORACLES = {
     "embed_neardup": q_embed_neardup_sql(),
     "ann_lsh": q_ann_lsh_sql(),
     "ann_ivf": q_ann_ivf_sql(),
+    "ann_pq": q_ann_ivf_sql(),
     "rect_join": q_rect_join_sql(),
     "tile_area_sum": q_tile_area_sum_sql(),
     "union_points": q_union_points_sql(),
