@@ -2524,6 +2524,26 @@ GROUP BY md5(text)
 """
 
 
+def q_stream_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming admission control: per-source quota via
+    applyInPandasWithState (state = one admitted-count per source).
+    Single-file input -> single micro-batch, where the in-batch
+    ranking matches the batch source_quota exactly — the row shares
+    its SQL oracle; cross-batch admission-order semantics are pinned
+    in tests/test_streaming.py."""
+    from geos_spark.streaming import (
+        read_documents_stream,
+        run_stream_to_memory,
+        streaming_source_quota,
+    )
+
+    s = read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    out, _ = run_stream_to_memory(
+        streaming_source_quota(s, 20), spark, output_mode="append"
+    )
+    return out.select("doc_id", "source", "n_chars", "rank")
+
+
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-user session windows over the events stream
     (gap 30min, watermark 1h, append mode): the emitted set after an
@@ -2657,6 +2677,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "sample_hash": q_sample_hash,
     "source_quota": q_source_quota,
+    "stream_quota": q_stream_quota,
     "rect_overlay": q_rect_overlay,
     "union_area": q_union_area,
     "union_area_dsu": q_union_area_dsu,
@@ -2716,6 +2737,7 @@ ORACLES = {
     "dedup_clusters": q_dedup_clusters_sql(),
     "sample_hash": q_sample_hash_sql(),
     "source_quota": q_source_quota_sql(),
+    "stream_quota": q_source_quota_sql(),
     "rect_overlay": q_rect_overlay_sql(),
     "poly_join": q_poly_join_sql(),
     "poly_contains": q_poly_contains_sql(),

@@ -364,3 +364,66 @@ def stream_to_parquet(sdf: DataFrame, path: str, checkpoint: str):
     )
     q.awaitTermination()
     return q
+
+
+def streaming_source_quota(
+    docs: DataFrame,
+    k: int,
+    source_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming per-source quota — stateful admission control via
+    ``applyInPandasWithState``: each source admits at most ``k``
+    documents over the lifetime of the stream (state = admitted
+    count per source), the streaming-native form of
+    :func:`geos_spark.operators.sampling.source_quota`.
+
+    Within a micro-batch, candidates are ranked by the batch
+    operator's exact order (``order_col`` desc nulls last, ``id_col``
+    asc) and admitted top-first, so on a SINGLE-batch input the
+    emitted set and ranks equal the batch operator's — which is what
+    lets the catalog row share ``source_quota``'s SQL oracle. Across
+    batches the contract is admission-order (an unbounded stream
+    cannot retro-rank): once a source's quota is spent, later
+    arrivals are dropped regardless of size; ranks are assigned in
+    admission order. Multi-batch semantics are pinned by
+    tests/test_streaming.py.
+
+    State per source is ONE integer — at 10^12 docs the state store
+    scales with the number of distinct sources, not rows.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.col(order_col).alias("n_chars"),
+    )
+
+    def admit(key, pdfs, state):
+        used = state.get[0] if state.exists else 0
+        if used >= k:
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        batch = batch.sort_values(
+            ["n_chars", "doc_id"],
+            ascending=[False, True],
+            na_position="last",
+        )
+        sel = batch.head(k - used).copy()
+        sel["rank"] = range(used + 1, used + 1 + len(sel))
+        state.update((used + len(sel),))
+        yield sel[["doc_id", "source", "n_chars", "rank"]]
+
+    return keyed.groupBy("source").applyInPandasWithState(
+        admit,
+        outputStructType=(
+            "doc_id long, source string, n_chars long, rank integer"
+        ),
+        stateStructType="used integer",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -357,3 +357,45 @@ def test_stream_resume_from_checkpoint(spark, tmp_path):
 
     batch = sta(spark.read.parquet(src))
     assert _collect_sorted(out) == _collect_sorted(batch)
+
+
+def test_stream_quota_admission_across_batches(spark, tmp_path):
+    """Per-source quota across micro-batches: quota spent in earlier
+    batches suppresses later (even larger) arrivals; in-batch ranking
+    is by size desc; total per source never exceeds k; ranks are
+    admission-ordered 1..n."""
+    from geos_spark.streaming import (
+        read_documents_stream,
+        run_stream_to_memory,
+        streaming_source_quota,
+    )
+
+    src = str(tmp_path / "sq")
+
+    def wf(rows):
+        before = set(os.listdir(src)) if os.path.isdir(src) else set()
+        spark.createDataFrame(
+            rows, "doc_id long, source string, n_chars long"
+        ).coalesce(1).write.mode("append").parquet(src)
+        for f in set(os.listdir(src)) - before:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(src, f))
+
+    # batch 0: source A has 3 candidates for k=2 -> two largest admit
+    wf([(1, "A", 100), (2, "A", 300), (3, "A", 200), (4, "B", 50)])
+    time.sleep(1.1)
+    # batch 1: A's quota is spent -> doc 5 (huge) is dropped; B admits
+    wf([(5, "A", 9999), (6, "B", 70)])
+
+    s = read_documents_stream(spark, src, max_files_per_trigger=1)
+    out, q = run_stream_to_memory(
+        streaming_source_quota(s, 2), spark, output_mode="append"
+    )
+    rows = {(r.source, r.doc_id): r.rank for r in out.collect()}
+    assert rows == {
+        ("A", 2): 1,  # largest in batch 0
+        ("A", 3): 2,  # second largest in batch 0
+        ("B", 4): 1,
+        ("B", 6): 2,  # admitted in batch 1 with the NEXT rank
+    }
+    assert len([p for p in q.recentProgress if p.numInputRows > 0]) >= 2
