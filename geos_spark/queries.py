@@ -2544,6 +2544,35 @@ def q_stream_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_chars", "rank")
 
 
+def q_stream_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN serving: the query stream probes a static
+    IVF-indexed corpus (stateless HOF probe expansion -> stream-static
+    list equijoin -> stateful per-query top-k emit). Single-batch
+    input reproduces the batch IVF search exactly, so the row shares
+    ann_ivf's oracle."""
+    from geos_spark.streaming import (
+        read_documents_stream,
+        run_stream_to_memory,
+        streaming_ann_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qs = read_documents_stream(
+        spark, f"{sf_dir}/embeddings.parquet"
+    ).where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+    )
+    out, _ = run_stream_to_memory(
+        streaming_ann_topk(
+            qs, emb, k=5, n_lists=_IVF_LISTS, n_probe=_IVF_PROBE
+        ),
+        spark,
+        output_mode="append",
+    )
+    return out.select("q_id", F.col("rank").cast("int").alias("rank"), "vec_id")
+
+
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-user session windows over the events stream
     (gap 30min, watermark 1h, append mode): the emitted set after an
@@ -2678,6 +2707,7 @@ QUERIES = {
     "sample_hash": q_sample_hash,
     "source_quota": q_source_quota,
     "stream_quota": q_stream_quota,
+    "stream_ann": q_stream_ann,
     "rect_overlay": q_rect_overlay,
     "union_area": q_union_area,
     "union_area_dsu": q_union_area_dsu,
@@ -2738,6 +2768,7 @@ ORACLES = {
     "sample_hash": q_sample_hash_sql(),
     "source_quota": q_source_quota_sql(),
     "stream_quota": q_source_quota_sql(),
+    "stream_ann": q_ann_ivf_sql(),
     "rect_overlay": q_rect_overlay_sql(),
     "poly_join": q_poly_join_sql(),
     "poly_contains": q_poly_contains_sql(),
