@@ -1,17 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)  -> flagship point-in-polygon spatial join at sf0.001.
-queries()     -> operator catalog (geos_spark.queries.QUERIES): 58
-                 queries — synthetic-table operators (joins, tiling,
-                 kNN, clustering, coverage validate/simplify/clean,
-                 dedup/near-dup pipeline/ANN incl. IVF/text, SQL/MM
-                 curve measures), Structured-Streaming twins run to
-                 completion (stream_dedup, stream_tiles, stream_sessions,
-                 stream_first_seen, stream_pip), plus the
-                 xmltester corpus promoted as xt_* fixture queries.
-oracle_sql()  -> per-query DuckDB ANSI-SQL oracles (58 of 58; the
-                 xt_* oracles are VALUES tables of the reference's
-                 own XML/unit-test expectations).
+queries()     -> operator catalog (geos_spark.queries.QUERIES; 65 as
+                 of round 4) — synthetic-table operators (joins,
+                 tiling, kNN, clustering, coverage
+                 validate/simplify/clean, dedup + the full near-dup
+                 pipeline, corpus shaping (hash sampling, source
+                 quota), ANN (exact/LSH/matmul/IVF/IVF-PQ), text,
+                 SQL/MM curve measures, structural accessors),
+                 Structured-Streaming twins run to completion
+                 (stream_dedup/tiles/sessions/first_seen/pip/quota/
+                 ann), plus the xmltester corpus promoted as xt_*
+                 fixture queries.
+oracle_sql()  -> per-query DuckDB ANSI-SQL oracles (one per query;
+                 the xt_* oracles are VALUES tables of the
+                 reference's own XML/unit-test expectations).
 """
 
 from __future__ import annotations
