@@ -346,14 +346,17 @@ def remove_repeated_points(g: G.Geom, tolerance: float = 0.0) -> G.Geom:
     if t == G.LINESTRING:
         min_len = 3 if g.is_ring else 2
         out = _rrp_sequence(g.data, tolerance, min_len)
-        if g.is_ring and not g.is_empty and len(out) < 4:
+        if g.is_ring and len(g.data) >= 4 and len(out) < 4:
             raise ValueError("removeRepeatedPoints: ring collapsed")
         return G.Geom(G.LINESTRING, out, is_ring=g.is_ring)
     if t == G.POLYGON:
         rings = []
         for r in g.data:
             out = _rrp_sequence(r, tolerance, 3)
-            if len(r) and len(out) < 4:
+            # the reference clones too-short sequences untouched
+            # (edit(): size <= minLength -> clone); the error case is
+            # removal itself collapsing a constructible ring
+            if len(r) >= 4 and len(out) < 4:
                 raise ValueError(
                     "removeRepeatedPoints: ring collapsed"
                 )
