@@ -1179,6 +1179,148 @@ def st_y(wkb: pd.Series) -> pd.Series:
     return wkb.map(_row_nullout(f))
 
 
+def _point_ordinate_udf(attr: str):
+    """GEOSGeomGetZ / GEOSGeomGetM (capi/geos_c.h.in:3005,3016): the
+    ordinate of a POINT — NaN when the point has no such channel
+    (CoordinateSequence::getOrdinate fallback), NULL for empty or
+    non-point rows (the reference throws). A nullable Float64 block
+    keeps NaN distinct from NULL through the Arrow transfer."""
+    import numpy as np
+
+    @pandas_udf(T.DoubleType())
+    def _f(wkb: pd.Series) -> pd.Series:
+        n = len(wkb)
+        vals = np.full(n, np.nan, dtype=np.float64)
+        mask = np.zeros(n, dtype=bool)
+        for i, b in enumerate(wkb):
+            if b is None:
+                mask[i] = True
+                continue
+            try:
+                g = parse_wkb(b)
+                if g.type_id != G.POINT or g.is_empty:
+                    mask[i] = True
+                    continue
+                ch = getattr(g, attr)
+                if ch is not None:
+                    vals[i] = float(ch[0])
+            except Exception:
+                mask[i] = True
+        return pd.Series(pd.arrays.FloatingArray(vals, mask))
+
+    return _f
+
+
+st_z = _point_ordinate_udf("zs")
+st_m = _point_ordinate_udf("ms")
+
+
+@pandas_udf(T.BooleanType())
+def st_hasz(wkb: pd.Series) -> pd.Series:
+    """GEOSHasZ (capi/geos_c.h.in:3211): declared-Z; collections OR
+    their children (GeometryCollection::setFlags)."""
+    return wkb.map(_row_nullout(lambda b: bool(parse_wkb(b).has_z)))
+
+
+@pandas_udf(T.BooleanType())
+def st_hasm(wkb: pd.Series) -> pd.Series:
+    """GEOSHasM (capi/geos_c.h.in:3220)."""
+    return wkb.map(_row_nullout(lambda b: bool(parse_wkb(b).has_m)))
+
+
+@pandas_udf(T.IntegerType())
+def st_coorddim(wkb: pd.Series) -> pd.Series:
+    """GEOSGeom_getCoordinateDimension: 2 + hasZ + hasM."""
+    return wkb.map(_row_nullout(lambda b: parse_wkb(b).coord_dimension()))
+
+
+def _zm_minmax_udf(attr: str, reduce_fn):
+    @pandas_udf(T.DoubleType())
+    def _f(wkb: pd.Series) -> pd.Series:
+        def f(b):
+            import numpy as np
+
+            vals = getattr(parse_wkb(b), attr)()
+            vals = vals[~np.isnan(vals)]
+            if len(vals) == 0:
+                raise ValueError("no ordinates")  # -> null
+            return float(reduce_fn(vals))
+
+        return wkb.map(_row_nullout(f))
+
+    return _f
+
+
+# PostGIS-parity extremum accessors over the Z/M channels (null when
+# the geometry has no such channel)
+st_zmin = _zm_minmax_udf("all_z", lambda v: v.min())
+st_zmax = _zm_minmax_udf("all_z", lambda v: v.max())
+st_mmin = _zm_minmax_udf("all_m", lambda v: v.min())
+st_mmax = _zm_minmax_udf("all_m", lambda v: v.max())
+
+
+def _strip_zm(g):
+    g.zs = None
+    g.ms = None
+    if isinstance(g.data, list) and g.data and isinstance(g.data[0], G.Geom):
+        for p in g.data:
+            _strip_zm(p)
+    return g
+
+
+@pandas_udf(T.BinaryType())
+def st_force2d(wkb: pd.Series) -> pd.Series:
+    """Drop the Z/M channels (PostGIS ST_Force2D; the reference's
+    GeometryEditor CoordinateOperation restricted to XY)."""
+    return wkb.map(_row_nullout(lambda b: write_wkb(_strip_zm(parse_wkb(b)))))
+
+
+def st_force3dz(col, z: float = 0.0):
+    """Add a Z channel filled with ``z`` where missing (PostGIS
+    ST_Force3DZ); existing Z values are preserved."""
+    import numpy as np
+
+    @pandas_udf(T.BinaryType())
+    def _f(wkb: pd.Series) -> pd.Series:
+        def _add(g):
+            if g.type_id in (G.POINT, G.LINESTRING, G.CIRCULARSTRING):
+                if g.zs is None:
+                    g.zs = np.full(len(g.data), float(z))
+            elif g.type_id == G.POLYGON:
+                if g.zs is None:
+                    g.zs = [np.full(len(r), float(z)) for r in g.data]
+            else:
+                for p in g.data:
+                    _add(p)
+            return g
+
+        return wkb.map(_row_nullout(lambda b: write_wkb(_add(parse_wkb(b)))))
+
+    return _f(col)
+
+
+@pandas_udf(T.BinaryType())
+def st_makepointzm(
+    x: pd.Series, y: pd.Series, z: pd.Series, m: pd.Series
+) -> pd.Series:
+    """XYZM point constructor (GEOSGeom_createPointFromXYZ extended to
+    M; pass null z/m columns to omit a channel)."""
+    import numpy as np
+
+    out = []
+    for xi, yi, zi, mi in zip(x, y, z, m):
+        if xi is None or yi is None or pd.isna(xi) or pd.isna(yi):
+            out.append(None)
+            continue
+        g = G.Geom.point(float(xi), float(yi))
+        if zi is not None and not pd.isna(zi):
+            g.zs = np.array([float(zi)])
+        if mi is not None and not pd.isna(mi):
+            g.ms = np.array([float(mi)])
+        out.append(write_wkb(g))
+    return pd.Series(out, dtype=object)
+
+
 @pandas_udf(T.BooleanType())
 def st_containsproperly(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
     """GEOSPreparedContainsProperly: interior containment, no

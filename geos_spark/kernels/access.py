@@ -9,8 +9,8 @@ Reference parity (capi/geos_c.h.in):
   GEOSGeom_extractUniquePoints                      (:1183; 2D equality,
       first-occurrence order — util/UniqueCoordinateArrayFilter)
   GEOSGeom_getDimensions                            (:1779)
-  GEOSHasZ / GEOSHasM                               (:1501; this engine
-      is 2D like the analytic core — always false)
+  GEOSHasZ / GEOSHasM                               (:1501; declared
+      Z/M channels on the Geom side-channels)
   GEOSOrientPolygons                                (:3288; exteriorCW
       flag orients shells CW and holes CCW, or the reverse)
   GEOSPointOnSurface == interiorPoint               (:1090)
@@ -31,12 +31,19 @@ _SIMPLE_CURVES = (G.LINESTRING, G.CIRCULARSTRING)
 
 
 def point_n(g: G.Geom, n: int) -> G.Geom:
-    """N'th vertex (zero-based) of a simple curve -> POINT."""
+    """N'th vertex (zero-based) of a simple curve -> POINT. Z/M
+    ordinates travel with the vertex (the reference returns the full
+    coordinate)."""
     if g.type_id not in _SIMPLE_CURVES:
         raise ValueError("pointN: not a simple curve")
     if n < 0 or n >= len(g.data):
         raise ValueError("pointN: index out of range")
-    return G.Geom(G.POINT, g.data[n : n + 1].copy())
+    return G.Geom(
+        G.POINT,
+        g.data[n : n + 1].copy(),
+        zs=None if g.zs is None else g.zs[n : n + 1].copy(),
+        ms=None if g.ms is None else g.ms[n : n + 1].copy(),
+    )
 
 
 def start_point(g: G.Geom) -> G.Geom:
@@ -55,7 +62,13 @@ def exterior_ring(g: G.Geom) -> G.Geom:
     if g.type_id == G.POLYGON:
         if not g.data:
             return G.Geom.empty(G.LINESTRING)
-        return G.Geom(G.LINESTRING, g.data[0].copy(), is_ring=True)
+        return G.Geom(
+            G.LINESTRING,
+            g.data[0].copy(),
+            is_ring=True,
+            zs=None if g.zs is None else g.zs[0].copy(),
+            ms=None if g.ms is None else g.ms[0].copy(),
+        )
     if g.type_id == G.CURVEPOLYGON:
         if not g.data:
             return G.Geom.empty(G.LINESTRING)
@@ -75,7 +88,13 @@ def interior_ring_n(g: G.Geom, n: int) -> G.Geom:
     if n < 0 or n + 1 >= len(g.data):
         raise ValueError("interiorRingN: index out of range")
     if g.type_id == G.POLYGON:
-        return G.Geom(G.LINESTRING, g.data[n + 1].copy(), is_ring=True)
+        return G.Geom(
+            G.LINESTRING,
+            g.data[n + 1].copy(),
+            is_ring=True,
+            zs=None if g.zs is None else g.zs[n + 1].copy(),
+            ms=None if g.ms is None else g.ms[n + 1].copy(),
+        )
     return g.data[n + 1]
 
 

@@ -1,7 +1,10 @@
 """GeoJSON codec (RFC 7946), mirroring the reference's
 GeoJSONReader/GeoJSONWriter surface (``src/io/GeoJSONWriter.cpp``,
 capi ``geos_c.h.in:6378-6454``): geometry-only, Feature /
-FeatureCollection unwrapped to their geometries on read.
+FeatureCollection unwrapped to their geometries on read. The Z
+ordinate round-trips as the third array element — written only where
+present and non-NaN (``GeoJSONWriter::convertCoordinate``,
+GeoJSONWriter.cpp:327-333); RFC 7946 has no M channel.
 """
 
 from __future__ import annotations
@@ -28,36 +31,90 @@ def geom_to_geojson(g: G.Geom) -> str:
     return json.dumps(_to_obj(g), separators=(",", ":"))
 
 
-def _coords(arr: np.ndarray) -> list:
-    return [[float(x), float(y)] for x, y in arr]
+def _coords(arr: np.ndarray, zs=None) -> list:
+    if zs is None:
+        return [[float(x), float(y)] for x, y in arr]
+    return [
+        [float(arr[i, 0]), float(arr[i, 1])]
+        if np.isnan(zs[i])
+        else [float(arr[i, 0]), float(arr[i, 1]), float(zs[i])]
+        for i in range(len(arr))
+    ]
+
+
+def _point_coords(p: G.Geom) -> list:
+    if p.is_empty:
+        return []
+    c = [float(p.data[0, 0]), float(p.data[0, 1])]
+    if p.zs is not None and not np.isnan(p.zs[0]):
+        c.append(float(p.zs[0]))
+    return c
 
 
 def _to_obj(g: G.Geom) -> dict:
     t = _NAME_BY_TYPE[g.type_id]
     if g.type_id == G.POINT:
-        c = [] if g.is_empty else [float(g.data[0, 0]), float(g.data[0, 1])]
-        return {"type": t, "coordinates": c}
+        return {"type": t, "coordinates": _point_coords(g)}
     if g.type_id == G.LINESTRING:
-        return {"type": t, "coordinates": _coords(g.data)}
+        return {"type": t, "coordinates": _coords(g.data, g.zs)}
     if g.type_id == G.POLYGON:
-        return {"type": t, "coordinates": [_coords(r) for r in g.data]}
+        zl = g.zs if g.zs is not None else [None] * len(g.data)
+        return {
+            "type": t,
+            "coordinates": [
+                _coords(r, z) for r, z in zip(g.data, zl)
+            ],
+        }
     if g.type_id == G.MULTIPOINT:
         return {
             "type": t,
             "coordinates": [
-                [float(p.data[0, 0]), float(p.data[0, 1])]
-                for p in g.data
-                if not p.is_empty
+                _point_coords(p) for p in g.data if not p.is_empty
             ],
         }
     if g.type_id == G.MULTILINESTRING:
-        return {"type": t, "coordinates": [_coords(p.data) for p in g.data]}
+        return {
+            "type": t,
+            "coordinates": [_coords(p.data, p.zs) for p in g.data],
+        }
     if g.type_id == G.MULTIPOLYGON:
         return {
             "type": t,
-            "coordinates": [[_coords(r) for r in p.data] for p in g.data],
+            "coordinates": [
+                [
+                    _coords(r, z)
+                    for r, z in zip(
+                        p.data,
+                        p.zs if p.zs is not None else [None] * len(p.data),
+                    )
+                ]
+                for p in g.data
+            ],
         }
     return {"type": t, "geometries": [_to_obj(p) for p in g.data]}
+
+
+def _seq(rows) -> tuple[np.ndarray, np.ndarray | None]:
+    """Coordinate array rows -> (coords(k,2), zs|None). A third element
+    anywhere in the sequence declares Z (GeoJSONReader::readCoordinate,
+    missing thirds fill NaN)."""
+    coords = np.asarray(
+        [[float(p[0]), float(p[1])] for p in rows], dtype=np.float64
+    ).reshape(-1, 2)
+    if any(len(p) > 2 for p in rows):
+        zs = np.array(
+            [float(p[2]) if len(p) > 2 else np.nan for p in rows],
+            dtype=np.float64,
+        )
+        return coords, zs
+    return coords, None
+
+
+def _mk_point(p) -> G.Geom:
+    g = G.Geom.point(float(p[0]), float(p[1]))
+    if len(p) > 2:
+        g.zs = np.array([float(p[2])], dtype=np.float64)
+    return g
 
 
 def geojson_to_geom(s: str | dict) -> G.Geom:
@@ -80,32 +137,47 @@ def geojson_to_geom(s: str | dict) -> G.Geom:
     if tid == G.POINT:
         if not c:
             return G.Geom.empty(G.POINT)
-        return G.Geom.point(float(c[0]), float(c[1]))
+        return _mk_point(c)
     if tid == G.LINESTRING:
-        return G.Geom.linestring([p[:2] for p in c])
+        coords, zs = _seq(c)
+        return G.Geom(G.LINESTRING, coords, zs=zs)
     if tid == G.POLYGON:
+        rings = [_seq(r) for r in c]
+        any_z = any(z is not None for _, z in rings)
         return G.Geom(
             G.POLYGON,
-            [np.asarray([p[:2] for p in r], dtype=np.float64) for r in c],
+            [r for r, _ in rings],
+            zs=[
+                z if z is not None else np.full(len(r), np.nan)
+                for r, z in rings
+            ]
+            if any_z
+            else None,
         )
     if tid == G.MULTIPOINT:
-        return G.Geom(
-            G.MULTIPOINT, [G.Geom.point(float(p[0]), float(p[1])) for p in c]
-        )
+        return G.Geom(G.MULTIPOINT, [_mk_point(p) for p in c])
     if tid == G.MULTILINESTRING:
-        return G.Geom(
-            G.MULTILINESTRING,
-            [G.Geom.linestring([p[:2] for p in line]) for line in c],
-        )
+        parts = []
+        for line in c:
+            coords, zs = _seq(line)
+            parts.append(G.Geom(G.LINESTRING, coords, zs=zs))
+        return G.Geom(G.MULTILINESTRING, parts)
     if tid == G.MULTIPOLYGON:
-        return G.Geom(
-            G.MULTIPOLYGON,
-            [
+        parts = []
+        for poly in c:
+            rings = [_seq(r) for r in poly]
+            any_z = any(z is not None for _, z in rings)
+            parts.append(
                 G.Geom(
                     G.POLYGON,
-                    [np.asarray([p[:2] for p in r], dtype=np.float64) for r in poly],
+                    [r for r, _ in rings],
+                    zs=[
+                        z if z is not None else np.full(len(r), np.nan)
+                        for r, z in rings
+                    ]
+                    if any_z
+                    else None,
                 )
-                for poly in c
-            ],
-        )
+            )
+        return G.Geom(G.MULTIPOLYGON, parts)
     raise ValueError(f"unsupported GeoJSON type {t!r}")

@@ -84,15 +84,35 @@ class Geom:
       MULTI*/GC       -> list of child Geom
     """
 
-    __slots__ = ("type_id", "data", "srid", "is_ring")
+    __slots__ = ("type_id", "data", "srid", "is_ring", "zs", "ms")
 
-    def __init__(self, type_id: int, data, srid: int = 0, is_ring: bool = False):
+    def __init__(
+        self,
+        type_id: int,
+        data,
+        srid: int = 0,
+        is_ring: bool = False,
+        zs=None,
+        ms=None,
+    ):
         self.type_id = type_id
         self.data = data
         self.srid = srid
         # LINEARRING in WKT parses as LINESTRING + is_ring (validity
         # semantics differ: rings must be closed and simple)
         self.is_ring = is_ring
+        # Optional Z / M ordinate side channels, parallel to the XY
+        # payload (Geometry::hasZ/hasM declared-dimension semantics,
+        # src/geom/Point.cpp:136, GeometryCollection.cpp:122-134):
+        #   POINT/LINESTRING/CIRCULARSTRING -> (k,) float array
+        #   POLYGON -> list of (k,) arrays parallel to the rings
+        #   containers -> always None (children carry their own).
+        # A zero-length array on an EMPTY leaf means "declared Z/M"
+        # (POINT Z EMPTY round-trips). The XY kernels never read these;
+        # computed constructions drop them, exactly as the reference's
+        # 2-D overlay/buffer pipeline ignores them pre-interpolation.
+        self.zs = zs
+        self.ms = ms
 
     # -- constructors -------------------------------------------------
     @staticmethod
@@ -139,6 +159,48 @@ class Geom:
     @property
     def is_collection(self) -> bool:
         return self.type_id in _COLLECTION_TYPES
+
+    @property
+    def has_z(self) -> bool:
+        """Declared-Z (Geometry::hasZ): leaf = sequence has a Z channel;
+        containers OR their children (GeometryCollection::setFlags)."""
+        if self.type_id in (POINT, LINESTRING, CIRCULARSTRING):
+            return self.zs is not None
+        if self.type_id == POLYGON:
+            return self.zs is not None
+        return any(p.has_z for p in self.data)
+
+    @property
+    def has_m(self) -> bool:
+        if self.type_id in (POINT, LINESTRING, CIRCULARSTRING, POLYGON):
+            return self.ms is not None
+        return any(p.has_m for p in self.data)
+
+    def coord_dimension(self) -> int:
+        """GEOSGeom_getCoordinateDimension: 2 + hasZ + hasM."""
+        return 2 + (1 if self.has_z else 0) + (1 if self.has_m else 0)
+
+    def all_z(self) -> np.ndarray:
+        """Concatenated Z ordinates over every leaf that declares Z."""
+        return self._all_extra("zs")
+
+    def all_m(self) -> np.ndarray:
+        return self._all_extra("ms")
+
+    def _all_extra(self, attr: str) -> np.ndarray:
+        if self.type_id in (POINT, LINESTRING, CIRCULARSTRING):
+            v = getattr(self, attr)
+            return v if v is not None else np.zeros(0, dtype=np.float64)
+        if self.type_id == POLYGON:
+            v = getattr(self, attr)
+            if not v:
+                return np.zeros(0, dtype=np.float64)
+            return np.concatenate(v) if v else np.zeros(0, dtype=np.float64)
+        parts = [p._all_extra(attr) for p in self.data]
+        parts = [p for p in parts if len(p)]
+        return (
+            np.concatenate(parts) if parts else np.zeros(0, dtype=np.float64)
+        )
 
     @property
     def has_curves(self) -> bool:

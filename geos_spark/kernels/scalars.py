@@ -507,13 +507,26 @@ def set_precision(g: G.Geom, scale: float) -> G.Geom:
 
 
 def reverse_geom(g: G.Geom) -> G.Geom:
-    """Reverse coordinate order of linework (GEOSReverse)."""
+    """Reverse coordinate order of linework (GEOSReverse). Z/M side
+    channels reverse with the XY sequence (CoordinateSequence::reverse
+    swaps whole coordinates, so the declared dimension is kept)."""
     if g.type_id == G.POINT:
         return g
     if g.type_id in (G.LINESTRING, G.CIRCULARSTRING):
-        return G.Geom(g.type_id, g.data[::-1].copy(), is_ring=g.is_ring)
+        return G.Geom(
+            g.type_id,
+            g.data[::-1].copy(),
+            is_ring=g.is_ring,
+            zs=None if g.zs is None else g.zs[::-1].copy(),
+            ms=None if g.ms is None else g.ms[::-1].copy(),
+        )
     if g.type_id == G.POLYGON:
-        return G.Geom(G.POLYGON, [r[::-1].copy() for r in g.data])
+        return G.Geom(
+            G.POLYGON,
+            [r[::-1].copy() for r in g.data],
+            zs=None if g.zs is None else [z[::-1].copy() for z in g.zs],
+            ms=None if g.ms is None else [m[::-1].copy() for m in g.ms],
+        )
     if g.type_id == G.COMPOUNDCURVE:
         # reverse each section AND the section order
         # (CompoundCurve::reverseImpl)
@@ -721,10 +734,10 @@ def equals_exact(a: G.Geom, b: G.Geom, tol: float = 0.0) -> bool:
 def equals_identical(a: G.Geom, b: G.Geom) -> bool:
     """GEOSEqualsIdentical (capi/geos_c.h.in:5431, Geometry.h
     equalsIdentical): pointwise equality — identical type, structure,
-    vertex order and coordinate values. Unlike ``equals_exact(tol=0)``,
-    NaN compares equal to NaN (value semantics); IEEE gives
-    -0.0 == 0.0. This engine is XY-only, so the reference's Z/M
-    dimension-mismatch cases are out of representational scope."""
+    vertex order, coordinate values AND coordinate dimension (a
+    declared-Z geometry never equals its XY twin). Unlike
+    ``equals_exact(tol=0)``, NaN compares equal to NaN (value
+    semantics); IEEE gives -0.0 == 0.0."""
 
     def _coords(x: np.ndarray, y: np.ndarray) -> bool:
         if x.shape != y.shape:
@@ -733,14 +746,35 @@ def equals_identical(a: G.Geom, b: G.Geom) -> bool:
             return True
         return bool(((x == y) | (np.isnan(x) & np.isnan(y))).all())
 
+    def _extra(x, y) -> bool:
+        if (x is None) != (y is None):
+            return False
+        if x is None:
+            return True
+        return _coords(np.asarray(x), np.asarray(y))
+
     if a.type_id != b.type_id:
         return False
     if a.type_id in (G.POINT, G.LINESTRING, G.CIRCULARSTRING):
-        return _coords(a.data, b.data)
+        return (
+            _coords(a.data, b.data)
+            and _extra(a.zs, b.zs)
+            and _extra(a.ms, b.ms)
+        )
     if a.type_id == G.POLYGON:
         if len(a.data) != len(b.data):
             return False
-        return all(_coords(x, y) for x, y in zip(a.data, b.data))
+        az = a.zs if a.zs is not None else [None] * len(a.data)
+        bz = b.zs if b.zs is not None else [None] * len(b.data)
+        am = a.ms if a.ms is not None else [None] * len(a.data)
+        bm = b.ms if b.ms is not None else [None] * len(b.data)
+        return (
+            (a.zs is None) == (b.zs is None)
+            and (a.ms is None) == (b.ms is None)
+            and all(_coords(x, y) for x, y in zip(a.data, b.data))
+            and all(_extra(x, y) for x, y in zip(az, bz))
+            and all(_extra(x, y) for x, y in zip(am, bm))
+        )
     if len(a.data) != len(b.data):
         return False
     return all(equals_identical(x, y) for x, y in zip(a.data, b.data))

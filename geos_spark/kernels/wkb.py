@@ -50,42 +50,69 @@ def _parse_header(buf: memoryview, pos: int):
         (srid,) = struct.unpack_from(fmt + "i", buf, pos)
         pos += 4
     dim = 2 + (1 if has_z else 0) + (1 if has_m else 0)
-    return fmt, base, dim, srid, pos
+    return fmt, base, dim, srid, pos, has_z, has_m
 
 
-def _read_coords(buf: memoryview, pos: int, n: int, dim: int, fmt: str):
+def _read_coords(
+    buf: memoryview, pos: int, n: int, dim: int, fmt: str, has_z: bool, has_m: bool
+):
+    """-> (coords(n,2), zs|None, ms|None, pos). Z precedes M when both
+    are present (ISO interleaving, WKBReader::readCoordinate)."""
     total = n * dim
     if fmt == "<":
         arr = np.frombuffer(buf, dtype="<f8", count=total, offset=pos)
     else:
         arr = np.frombuffer(buf, dtype=">f8", count=total, offset=pos)
-    arr = arr.astype(np.float64).reshape(n, dim)[:, :2]
-    return np.ascontiguousarray(arr), pos + 8 * total
+    arr = arr.astype(np.float64).reshape(n, dim)
+    coords = np.ascontiguousarray(arr[:, :2])
+    zs = ms = None
+    col = 2
+    if has_z:
+        zs = np.ascontiguousarray(arr[:, col])
+        col += 1
+    if has_m:
+        ms = np.ascontiguousarray(arr[:, col])
+    return coords, zs, ms, pos + 8 * total
 
 
 def _parse_body(buf: memoryview, pos: int) -> tuple[G.Geom, int]:
-    fmt, base, dim, srid, pos = _parse_header(buf, pos)
+    fmt, base, dim, srid, pos, has_z, has_m = _parse_header(buf, pos)
     if base == G.POINT:
-        coords, pos = _read_coords(buf, pos, 1, dim, fmt)
+        coords, zs, ms, pos = _read_coords(buf, pos, 1, dim, fmt, has_z, has_m)
         if np.isnan(coords).all():
             g = G.Geom.empty(G.POINT)
+            if has_z:
+                g.zs = np.zeros(0, dtype=np.float64)
+            if has_m:
+                g.ms = np.zeros(0, dtype=np.float64)
         else:
-            g = G.Geom(G.POINT, coords)
+            g = G.Geom(G.POINT, coords, zs=zs, ms=ms)
     elif base in (G.LINESTRING, G.CIRCULARSTRING):
         (n,) = struct.unpack_from(fmt + "I", buf, pos)
         pos += 4
-        coords, pos = _read_coords(buf, pos, n, dim, fmt)
-        g = G.Geom(base, coords)
+        coords, zs, ms, pos = _read_coords(buf, pos, n, dim, fmt, has_z, has_m)
+        g = G.Geom(base, coords, zs=zs, ms=ms)
     elif base == G.POLYGON:
         (nr,) = struct.unpack_from(fmt + "I", buf, pos)
         pos += 4
         rings = []
+        zl: list = []
+        ml: list = []
         for _ in range(nr):
             (n,) = struct.unpack_from(fmt + "I", buf, pos)
             pos += 4
-            ring, pos = _read_coords(buf, pos, n, dim, fmt)
+            ring, zs, ms, pos = _read_coords(buf, pos, n, dim, fmt, has_z, has_m)
             rings.append(ring)
-        g = G.Geom(G.POLYGON, rings)
+            if has_z:
+                zl.append(zs)
+            if has_m:
+                ml.append(ms)
+        g = G.Geom(
+            G.POLYGON,
+            rings,
+            zs=zl if has_z else None,
+            ms=ml if has_m else None,
+        )
     elif base in (
         G.MULTIPOINT,
         G.MULTILINESTRING,
@@ -117,28 +144,77 @@ def parse_wkb(buf: bytes) -> G.Geom:
 
 
 def write_wkb(g: G.Geom) -> bytes:
-    """Canonical NDR ISO WKB, XY only."""
+    """Canonical NDR ISO WKB, dimension-preserving: leaves with a Z/M
+    side channel get the ISO +1000/+2000/+3000 type offset and
+    interleaved extra ordinates (the reference WKBWriter's default
+    outputDimension is 4 since GEOS 3.12, include/geos/io/WKBWriter.h:85-95);
+    XY geometries produce byte-identical output to the XY-only writer."""
     out = bytearray()
     _write_body(g, out)
     return bytes(out)
 
 
+def _interleave(coords: np.ndarray, zs, ms) -> bytes:
+    cols = [coords[:, 0], coords[:, 1]]
+    if zs is not None:
+        cols.append(np.asarray(zs, dtype=np.float64))
+    if ms is not None:
+        cols.append(np.asarray(ms, dtype=np.float64))
+    return np.ascontiguousarray(
+        np.column_stack(cols), dtype="<f8"
+    ).tobytes()
+
+
 def _write_body(g: G.Geom, out: bytearray) -> None:
     out.append(1)  # NDR
-    out += struct.pack("<I", g.type_id)
+    # ISO type offsets (WKBConstants: 1000*Z 2000*M 3000*ZM), declared
+    # per leaf; containers carry the offset of their own flags too
+    # (WKBWriter::writeGeometryType)
+    has_z = g.has_z
+    has_m = g.has_m
+    code = g.type_id + (1000 if has_z else 0) + (2000 if has_m else 0)
+    out += struct.pack("<I", code)
+    nan = float("nan")
     if g.type_id == G.POINT:
+        dim = 2 + (1 if has_z else 0) + (1 if has_m else 0)
         if g.is_empty:
-            out += struct.pack("<dd", float("nan"), float("nan"))
+            out += struct.pack(f"<{dim}d", *([nan] * dim))
         else:
-            out += struct.pack("<dd", g.data[0, 0], g.data[0, 1])
+            vals = [g.data[0, 0], g.data[0, 1]]
+            if has_z:
+                vals.append(g.zs[0] if g.zs is not None else nan)
+            if has_m:
+                vals.append(g.ms[0] if g.ms is not None else nan)
+            out += struct.pack(f"<{dim}d", *vals)
     elif g.type_id in (G.LINESTRING, G.CIRCULARSTRING):
         out += struct.pack("<I", len(g.data))
-        out += np.ascontiguousarray(g.data, dtype="<f8").tobytes()
+        if not has_z and not has_m:
+            out += np.ascontiguousarray(g.data, dtype="<f8").tobytes()
+        else:
+            out += _interleave(g.data, g.zs, g.ms)
     elif g.type_id == G.POLYGON:
         out += struct.pack("<I", len(g.data))
-        for r in g.data:
-            out += struct.pack("<I", len(r))
-            out += np.ascontiguousarray(r, dtype="<f8").tobytes()
+        if not has_z and not has_m:
+            for r in g.data:
+                out += struct.pack("<I", len(r))
+                out += np.ascontiguousarray(r, dtype="<f8").tobytes()
+        else:
+            nr = len(g.data)
+            zl = g.zs if g.zs is not None else [None] * nr
+            ml = g.ms if g.ms is not None else [None] * nr
+            for r, zs, ms in zip(g.data, zl, ml):
+                out += struct.pack("<I", len(r))
+                zfill = (
+                    (zs if zs is not None else np.full(len(r), nan))
+                    if has_z
+                    else None
+                )
+                mfill = (
+                    (ms if ms is not None else np.full(len(r), nan))
+                    if has_m
+                    else None
+                )
+                out += _interleave(r, zfill, mfill)
     else:
         out += struct.pack("<I", len(g.data))
         for child in g.data:

@@ -1,10 +1,14 @@
 """WKT reader/writer (ingest path for the xmltester oracle corpus).
 
 Reader tolerance mirrors ``src/io/WKTReader.cpp``: case-insensitive
-tags, EMPTY at any level, optional Z/M ordinate suffixes and extra
-ordinates (parsed, truncated to XY — engine semantics are 2-D, as the
-reference's predicates are). Writer mirrors ``src/io/WKTWriter.cpp``
-defaults: trimmed doubles, XY.
+tags, EMPTY at any level, optional Z/M ordinate suffixes (preserved in
+the ``Geom`` Z/M side channels; a bare third ordinate with no tag is
+Z, per ``WKTReader::getCoordinates``) and extra ordinates. Writer
+mirrors ``src/io/WKTWriter.cpp`` defaults: trimmed doubles, output
+dimension 4 (``WKTWriter.cpp:66``), the ordinate tag written from the
+geometry's declared hasZ/hasM (``appendGeometryTaggedText``,
+``WKTWriter.cpp:205-233``, removeEmptyDimensions=false) and passed
+down to every nested tagged member.
 """
 
 from __future__ import annotations
@@ -15,7 +19,7 @@ import numpy as np
 
 from geos_spark.kernels import geom as G
 
-_TOKEN = re.compile(r"[A-Za-z]+|\(|\)|,|[-+0-9.eE]+")
+_TOKEN = re.compile(r"[A-Za-z]+|\(|\)|,|[-+0-9.eE]+|NaN|nan")
 
 _TYPE_BY_NAME = {
     "POINT": G.POINT,
@@ -60,33 +64,59 @@ def parse_wkt(s: str) -> G.Geom:
     return g
 
 
-def _parse_geom(lex: _Lexer) -> G.Geom:
+def _declare_empty(tid: int, kind: str | None) -> G.Geom:
+    """EMPTY with a dimension tag keeps the declared Z/M channel
+    (WKTReader: POINT Z EMPTY round-trips with hasZ()==true)."""
+    g = G.Geom.empty(tid)
+    if kind and tid in (G.POINT, G.LINESTRING, G.CIRCULARSTRING):
+        if "Z" in kind:
+            g.zs = np.zeros(0, dtype=np.float64)
+        if "M" in kind:
+            g.ms = np.zeros(0, dtype=np.float64)
+    elif kind and tid == G.POLYGON:
+        if "Z" in kind:
+            g.zs = []
+        if "M" in kind:
+            g.ms = []
+    return g
+
+
+def _parse_geom(lex: _Lexer, kind: str | None = None) -> G.Geom:
     tag = lex.next().upper()
     if tag not in _TYPE_BY_NAME:
         raise ValueError(f"unknown WKT tag {tag!r}")
     tid = _TYPE_BY_NAME[tag]
     # optional dimension tag(s): Z / M / ZM (possibly as separate token)
     nxt = lex.peek()
-    ndim = 2
     if nxt and nxt.upper() in ("Z", "M", "ZM"):
-        ndim = 2 + len(nxt)
+        kind = nxt.upper()
         lex.next()
     if lex.peek() and lex.peek().upper() == "EMPTY":
         lex.next()
-        return G.Geom.empty(tid)
+        return _declare_empty(tid, kind)
     if tid == G.POINT:
-        coords = _parse_coord_list(lex, ndim)
-        return G.Geom(G.POINT, coords[:1])
+        coords, zs, ms = _parse_seq(lex, kind)
+        return G.Geom(
+            G.POINT,
+            coords[:1],
+            zs=None if zs is None else zs[:1],
+            ms=None if ms is None else ms[:1],
+        )
     if tid == G.LINESTRING:
+        coords, zs, ms = _parse_seq(lex, kind)
         return G.Geom(
             G.LINESTRING,
-            _parse_coord_list(lex, ndim),
+            coords,
             is_ring=(tag == "LINEARRING"),
+            zs=zs,
+            ms=ms,
         )
     if tid == G.POLYGON:
-        return G.Geom(G.POLYGON, _parse_ring_list(lex, ndim))
+        rings, zl, ml = _parse_ring_list(lex, kind)
+        return G.Geom(G.POLYGON, rings, zs=zl, ms=ml)
     if tid == G.CIRCULARSTRING:
-        return G.Geom(G.CIRCULARSTRING, _parse_coord_list(lex, ndim))
+        coords, zs, ms = _parse_seq(lex, kind)
+        return G.Geom(G.CIRCULARSTRING, coords, zs=zs, ms=ms)
     if tid == G.COMPOUNDCURVE:
         # members: bare "(...)" (implicit LINESTRING) or tagged
         # LINESTRING / CIRCULARSTRING (readCompoundCurveText,
@@ -94,7 +124,7 @@ def _parse_geom(lex: _Lexer) -> G.Geom:
         return G.Geom(
             G.COMPOUNDCURVE,
             _parse_member_list(
-                lex, ndim, _parse_simple_curve_member
+                lex, kind, _parse_simple_curve_member
             ),
         )
     if tid == G.CURVEPOLYGON:
@@ -102,19 +132,19 @@ def _parse_geom(lex: _Lexer) -> G.Geom:
         # COMPOUNDCURVE (readCurvePolygonText -> readCurveText)
         return G.Geom(
             G.CURVEPOLYGON,
-            _parse_member_list(lex, ndim, _parse_curve_member),
+            _parse_member_list(lex, kind, _parse_curve_member),
         )
     if tid == G.MULTICURVE:
         return G.Geom(
             G.MULTICURVE,
-            _parse_member_list(lex, ndim, _parse_curve_member),
+            _parse_member_list(lex, kind, _parse_curve_member),
         )
     if tid == G.MULTISURFACE:
         # members: bare "((...))" (implicit POLYGON) or tagged
         # POLYGON / CURVEPOLYGON (readSurfaceText)
         return G.Geom(
             G.MULTISURFACE,
-            _parse_member_list(lex, ndim, _parse_surface_member),
+            _parse_member_list(lex, kind, _parse_surface_member),
         )
     if tid == G.MULTIPOINT:
         # both MULTIPOINT ((1 2), (3 4)) and MULTIPOINT (1 2, 3 4)
@@ -125,14 +155,21 @@ def _parse_geom(lex: _Lexer) -> G.Geom:
             return G.Geom(G.MULTIPOINT, parts)
         while True:
             if lex.peek() == "(":
-                coords = _parse_coord_list(lex, ndim)
-                parts.append(G.Geom(G.POINT, coords[:1]))
+                coords, zs, ms = _parse_seq(lex, kind)
+                parts.append(
+                    G.Geom(
+                        G.POINT,
+                        coords[:1],
+                        zs=None if zs is None else zs[:1],
+                        ms=None if ms is None else ms[:1],
+                    )
+                )
             elif lex.peek() and lex.peek().upper() == "EMPTY":
                 lex.next()
-                parts.append(G.Geom.empty(G.POINT))
+                parts.append(_declare_empty(G.POINT, kind))
             else:
-                coords = _parse_bare_coord(lex, ndim)
-                parts.append(G.Geom(G.POINT, coords))
+                coords, zs, ms = _parse_bare_coord(lex, kind)
+                parts.append(G.Geom(G.POINT, coords, zs=zs, ms=ms))
             if lex.next() == ")":
                 break
         return G.Geom(G.MULTIPOINT, parts)
@@ -145,9 +182,10 @@ def _parse_geom(lex: _Lexer) -> G.Geom:
         while True:
             if lex.peek() and lex.peek().upper() == "EMPTY":
                 lex.next()
-                parts.append(G.Geom.empty(G.LINESTRING))
+                parts.append(_declare_empty(G.LINESTRING, kind))
             else:
-                parts.append(G.Geom(G.LINESTRING, _parse_coord_list(lex, ndim)))
+                coords, zs, ms = _parse_seq(lex, kind)
+                parts.append(G.Geom(G.LINESTRING, coords, zs=zs, ms=ms))
             if lex.next() == ")":
                 break
         return G.Geom(G.MULTILINESTRING, parts)
@@ -160,9 +198,10 @@ def _parse_geom(lex: _Lexer) -> G.Geom:
         while True:
             if lex.peek() and lex.peek().upper() == "EMPTY":
                 lex.next()
-                parts.append(G.Geom.empty(G.POLYGON))
+                parts.append(_declare_empty(G.POLYGON, kind))
             else:
-                parts.append(G.Geom(G.POLYGON, _parse_ring_list(lex, ndim)))
+                rings, zl, ml = _parse_ring_list(lex, kind)
+                parts.append(G.Geom(G.POLYGON, rings, zs=zl, ms=ml))
             if lex.next() == ")":
                 break
         return G.Geom(G.MULTIPOLYGON, parts)
@@ -173,13 +212,13 @@ def _parse_geom(lex: _Lexer) -> G.Geom:
         lex.next()
         return G.Geom(G.GEOMETRYCOLLECTION, parts)
     while True:
-        parts.append(_parse_geom(lex))
+        parts.append(_parse_geom(lex, kind))
         if lex.next() == ")":
             break
     return G.Geom(G.GEOMETRYCOLLECTION, parts)
 
 
-def _parse_member_list(lex: _Lexer, ndim: int, member_fn) -> list:
+def _parse_member_list(lex: _Lexer, kind, member_fn) -> list:
     """Parenthesized comma list of members (or nothing for EMPTY —
     the EMPTY token is consumed by the caller's dispatch)."""
     lex.expect("(")
@@ -188,23 +227,24 @@ def _parse_member_list(lex: _Lexer, ndim: int, member_fn) -> list:
         lex.next()
         return parts
     while True:
-        parts.append(member_fn(lex, ndim))
+        parts.append(member_fn(lex, kind))
         if lex.next() == ")":
             break
     return parts
 
 
-def _parse_curve_member(lex: _Lexer, ndim: int) -> G.Geom:
+def _parse_curve_member(lex: _Lexer, kind) -> G.Geom:
     """readCurveText (WKTReader.cpp:385-398): bare '(' is an implicit
     LINESTRING; otherwise a tagged curve type; bare EMPTY defaults to
     LINESTRING EMPTY."""
     t = lex.peek()
     if t == "(":
-        return G.Geom(G.LINESTRING, _parse_coord_list(lex, ndim))
+        coords, zs, ms = _parse_seq(lex, kind)
+        return G.Geom(G.LINESTRING, coords, zs=zs, ms=ms)
     if t and t.upper() == "EMPTY":
         lex.next()
-        return G.Geom.empty(G.LINESTRING)
-    g = _parse_geom(lex)
+        return _declare_empty(G.LINESTRING, kind)
+    g = _parse_geom(lex, kind)
     if g.type_id not in (
         G.LINESTRING, G.CIRCULARSTRING, G.COMPOUNDCURVE
     ):
@@ -214,68 +254,129 @@ def _parse_curve_member(lex: _Lexer, ndim: int) -> G.Geom:
     return g
 
 
-def _parse_simple_curve_member(lex: _Lexer, ndim: int) -> G.Geom:
-    g = _parse_curve_member(lex, ndim)
+def _parse_simple_curve_member(lex: _Lexer, kind) -> G.Geom:
+    g = _parse_curve_member(lex, kind)
     if g.type_id == G.COMPOUNDCURVE:
         raise ValueError("expected LINESTRING or CIRCULARSTRING member")
     return g
 
 
-def _parse_surface_member(lex: _Lexer, ndim: int) -> G.Geom:
+def _parse_surface_member(lex: _Lexer, kind) -> G.Geom:
     """readSurfaceText (WKTReader.cpp:400-413): bare '(' is an
     implicit POLYGON; otherwise POLYGON or CURVEPOLYGON."""
     t = lex.peek()
     if t == "(":
-        return G.Geom(G.POLYGON, _parse_ring_list(lex, ndim))
+        rings, zl, ml = _parse_ring_list(lex, kind)
+        return G.Geom(G.POLYGON, rings, zs=zl, ms=ml)
     if t and t.upper() == "EMPTY":
         lex.next()
-        return G.Geom.empty(G.POLYGON)
-    g = _parse_geom(lex)
+        return _declare_empty(G.POLYGON, kind)
+    g = _parse_geom(lex, kind)
     if g.type_id not in (G.POLYGON, G.CURVEPOLYGON):
         raise ValueError("expected POLYGON or CURVEPOLYGON member")
     return g
 
 
-def _parse_bare_coord(lex: _Lexer, ndim: int) -> np.ndarray:
+def _split_rows(rows: list[list[float]], kind: str | None):
+    """Per-coordinate ordinate lists -> (coords(k,2), zs, ms).
+
+    The explicit tag wins ('POINT M (1 2 3)' is XYM); with no tag the
+    ordinate count decides — 3 is XYZ, >=4 is XYZM
+    (WKTReader::getCoordinates dimension inference)."""
+    if not rows:
+        empty = np.zeros((0, 2), dtype=np.float64)
+        if kind is None:
+            return empty, None, None
+        return (
+            empty,
+            np.zeros(0, dtype=np.float64) if "Z" in kind else None,
+            np.zeros(0, dtype=np.float64) if "M" in kind else None,
+        )
+    width = max(len(r) for r in rows)
+    if kind is None:
+        if width >= 4:
+            kind = "ZM"
+        elif width == 3:
+            kind = "Z"
+        else:
+            kind = ""
+    nan = float("nan")
+    coords = np.array(
+        [[r[0], r[1]] for r in rows], dtype=np.float64
+    ).reshape(-1, 2)
+    zs = ms = None
+    if kind == "Z":
+        zs = np.array(
+            [r[2] if len(r) > 2 else nan for r in rows], dtype=np.float64
+        )
+    elif kind == "M":
+        ms = np.array(
+            [r[2] if len(r) > 2 else nan for r in rows], dtype=np.float64
+        )
+    elif kind == "ZM":
+        zs = np.array(
+            [r[2] if len(r) > 2 else nan for r in rows], dtype=np.float64
+        )
+        ms = np.array(
+            [r[3] if len(r) > 3 else nan for r in rows], dtype=np.float64
+        )
+    return coords, zs, ms
+
+
+def _parse_bare_coord(lex: _Lexer, kind):
     vals = []
     while lex.peek() not in (",", ")", None):
         vals.append(float(lex.next()))
-    return np.array([vals[:2]], dtype=np.float64)
+    return _split_rows([vals], kind)
 
 
-def _parse_coord_list(lex: _Lexer, ndim: int) -> np.ndarray:
+def _parse_seq(lex: _Lexer, kind):
     lex.expect("(")
-    coords = []
+    rows: list[list[float]] = []
     cur: list[float] = []
     while True:
         t = lex.next()
         if t == ",":
-            coords.append(cur[:2])
+            rows.append(cur)
             cur = []
         elif t == ")":
             if cur:
-                coords.append(cur[:2])
+                rows.append(cur)
             break
         else:
             cur.append(float(t))
-    return np.array(coords, dtype=np.float64).reshape(-1, 2)
+    return _split_rows(rows, kind)
 
 
-def _parse_ring_list(lex: _Lexer, ndim: int) -> list[np.ndarray]:
+def _parse_ring_list(lex: _Lexer, kind):
     lex.expect("(")
-    rings = []
+    rings: list[np.ndarray] = []
+    zl: list = []
+    ml: list = []
+    any_z = any_m = False
     if lex.peek() == ")":
         lex.next()
-        return rings
+        return rings, None, None
     while True:
         if lex.peek() and lex.peek().upper() == "EMPTY":
             lex.next()
             rings.append(np.zeros((0, 2), dtype=np.float64))
+            zl.append(np.zeros(0, dtype=np.float64))
+            ml.append(np.zeros(0, dtype=np.float64))
         else:
-            rings.append(_parse_coord_list(lex, ndim))
+            coords, zs, ms = _parse_seq(lex, kind)
+            rings.append(coords)
+            any_z |= zs is not None
+            any_m |= ms is not None
+            zl.append(
+                zs if zs is not None else np.full(len(coords), np.nan)
+            )
+            ml.append(
+                ms if ms is not None else np.full(len(coords), np.nan)
+            )
         if lex.next() == ")":
             break
-    return rings
+    return rings, (zl if any_z else None), (ml if any_m else None)
 
 
 # ----------------------------------------------------------------------
@@ -284,6 +385,8 @@ def _parse_ring_list(lex: _Lexer, ndim: int) -> list[np.ndarray]:
 
 
 def _num(v: float, rounding: int | None) -> str:
+    if v != v:
+        return "NaN"
     if rounding is not None:
         v = round(v, rounding)
     if v == int(v) and abs(v) < 1e15:
@@ -291,39 +394,94 @@ def _num(v: float, rounding: int | None) -> str:
     return repr(float(v))
 
 
-def _coords_str(coords: np.ndarray, rounding) -> str:
-    return ", ".join(
-        f"{_num(x, rounding)} {_num(y, rounding)}" for x, y in coords
-    )
+def _coords_str(
+    coords: np.ndarray, rounding, zs=None, ms=None, wz=False, wm=False
+) -> str:
+    """One coordinate list. When the output ordinate set includes Z/M
+    but a leaf lacks the channel, NaN is written — exactly the
+    reference's getOrdinate(Z) fallback (CoordinateSequence.cpp:300)."""
+    if not wz and not wm:
+        return ", ".join(
+            f"{_num(x, rounding)} {_num(y, rounding)}" for x, y in coords
+        )
+    n = len(coords)
+    nanarr = None
+    if (wz and zs is None) or (wm and ms is None):
+        nanarr = np.full(n, np.nan)
+    parts = []
+    for i in range(n):
+        s = f"{_num(coords[i, 0], rounding)} {_num(coords[i, 1], rounding)}"
+        if wz:
+            zv = (zs if zs is not None else nanarr)[i]
+            s += f" {_num(zv, rounding)}"
+        if wm:
+            mv = (ms if ms is not None else nanarr)[i]
+            s += f" {_num(mv, rounding)}"
+        parts.append(s)
+    return ", ".join(parts)
 
 
-def _curve_member_str(p: G.Geom, rounding) -> str:
+def _tag(name: str, wz: bool, wm: bool) -> str:
+    """appendOrdinateText (WKTWriter.cpp:265-287), new-style tags."""
+    if wz and wm:
+        return f"{name} ZM"
+    if wz:
+        return f"{name} Z"
+    if wm:
+        return f"{name} M"
+    return name
+
+
+def _curve_member_str(p: G.Geom, rounding, wz, wm) -> str:
     """Member text inside COMPOUNDCURVE/CURVEPOLYGON/MULTICURVE:
     LINESTRING children are written bare, CIRCULARSTRING tagged,
     COMPOUNDCURVE tagged (WKTWriter appendCurveText /
     appendSimpleCurveText, src/io/WKTWriter.cpp:311-334)."""
     if p.type_id == G.CIRCULARSTRING or p.type_id == G.COMPOUNDCURVE:
-        return write_wkt(p, rounding)
+        return _write_tagged(p, rounding, wz, wm)
     if p.is_empty:
         return "EMPTY"
-    return f"({_coords_str(p.data, rounding)})"
+    return f"({_coords_str(p.data, rounding, p.zs, p.ms, wz, wm)})"
 
 
-def _surface_member_str(p: G.Geom, rounding) -> str:
+def _surface_member_str(p: G.Geom, rounding, wz, wm) -> str:
     """Member text inside MULTISURFACE: POLYGON bare, CURVEPOLYGON
     tagged (appendMultiSurfaceText, WKTWriter.cpp:595-615)."""
     if p.type_id == G.CURVEPOLYGON:
-        return write_wkt(p, rounding)
+        return _write_tagged(p, rounding, wz, wm)
     if p.is_empty:
         return "EMPTY"
-    inner = ", ".join(f"({_coords_str(r, rounding)})" for r in p.data)
-    return f"({inner})"
+    return f"({_poly_rings_str(p, rounding, wz, wm)})"
+
+
+def _poly_rings_str(p: G.Geom, rounding, wz, wm) -> str:
+    nr = len(p.data)
+    zl = p.zs if p.zs is not None else [None] * nr
+    ml = p.ms if p.ms is not None else [None] * nr
+    return ", ".join(
+        f"({_coords_str(r, rounding, z, m, wz, wm)})"
+        for r, z, m in zip(p.data, zl, ml)
+    )
 
 
 def write_wkt(g: G.Geom, rounding: int | None = None) -> str:
-    name = {v: k for k, v in _TYPE_BY_NAME.items() if k != "LINEARRING"}[
-        g.type_id
-    ]
+    """The output ordinate set is the geometry's declared hasZ/hasM
+    (outputDimension 4, removeEmptyDimensions=false — the reference
+    writer defaults) and is passed down to every nested member
+    (appendGeometryTaggedText recursion)."""
+    return _write_tagged(g, rounding, g.has_z, g.has_m)
+
+
+def _write_tagged(
+    g: G.Geom, rounding, wz: bool, wm: bool
+) -> str:
+    name = _tag(
+        {v: k for k, v in _TYPE_BY_NAME.items() if k != "LINEARRING"}[
+            g.type_id
+        ],
+        wz,
+        wm,
+    )
     if g.type_id in (G.MULTICURVE, G.MULTISURFACE):
         # reference writes EMPTY only for zero members
         # (appendMultiCurveText, WKTWriter.cpp:563-585)
@@ -334,46 +492,51 @@ def write_wkt(g: G.Geom, rounding: int | None = None) -> str:
             if g.type_id == G.MULTICURVE
             else _surface_member_str
         )
-        inner = ", ".join(member(p, rounding) for p in g.data)
+        inner = ", ".join(member(p, rounding, wz, wm) for p in g.data)
         return f"{name} ({inner})"
     if g.is_empty:
         return f"{name} EMPTY"
     if g.type_id == G.CIRCULARSTRING:
-        return f"CIRCULARSTRING ({_coords_str(g.data, rounding)})"
+        return f"{name} ({_coords_str(g.data, rounding, g.zs, g.ms, wz, wm)})"
     if g.type_id == G.COMPOUNDCURVE:
         inner = ", ".join(
-            _curve_member_str(p, rounding) for p in g.data
+            _curve_member_str(p, rounding, wz, wm) for p in g.data
         )
-        return f"COMPOUNDCURVE ({inner})"
+        return f"{name} ({inner})"
     if g.type_id == G.CURVEPOLYGON:
         inner = ", ".join(
-            _curve_member_str(p, rounding) for p in g.data
+            _curve_member_str(p, rounding, wz, wm) for p in g.data
         )
-        return f"CURVEPOLYGON ({inner})"
+        return f"{name} ({inner})"
     if g.type_id == G.POINT:
-        return f"POINT ({_coords_str(g.data, rounding)})"
+        return f"{name} ({_coords_str(g.data, rounding, g.zs, g.ms, wz, wm)})"
     if g.type_id == G.LINESTRING:
-        return f"LINESTRING ({_coords_str(g.data, rounding)})"
+        return f"{name} ({_coords_str(g.data, rounding, g.zs, g.ms, wz, wm)})"
     if g.type_id == G.POLYGON:
-        inner = ", ".join(f"({_coords_str(r, rounding)})" for r in g.data)
-        return f"POLYGON ({inner})"
+        return f"{name} ({_poly_rings_str(g, rounding, wz, wm)})"
     if g.type_id == G.MULTIPOINT:
         inner = ", ".join(
-            f"({_coords_str(p.data, rounding)})" for p in g.data
-        )
-        return f"MULTIPOINT ({inner})"
-    if g.type_id == G.MULTILINESTRING:
-        inner = ", ".join(
-            f"({_coords_str(p.data, rounding)})" for p in g.data
-        )
-        return f"MULTILINESTRING ({inner})"
-    if g.type_id == G.MULTIPOLYGON:
-        inner = ", ".join(
-            "("
-            + ", ".join(f"({_coords_str(r, rounding)})" for r in p.data)
-            + ")"
+            "EMPTY"
+            if p.is_empty
+            else f"({_coords_str(p.data, rounding, p.zs, p.ms, wz, wm)})"
             for p in g.data
         )
-        return f"MULTIPOLYGON ({inner})"
-    inner = ", ".join(write_wkt(p, rounding) for p in g.data)
-    return f"GEOMETRYCOLLECTION ({inner})"
+        return f"{name} ({inner})"
+    if g.type_id == G.MULTILINESTRING:
+        inner = ", ".join(
+            "EMPTY"
+            if p.is_empty
+            else f"({_coords_str(p.data, rounding, p.zs, p.ms, wz, wm)})"
+            for p in g.data
+        )
+        return f"{name} ({inner})"
+    if g.type_id == G.MULTIPOLYGON:
+        inner = ", ".join(
+            "EMPTY" if p.is_empty else f"({_poly_rings_str(p, rounding, wz, wm)})"
+            for p in g.data
+        )
+        return f"{name} ({inner})"
+    inner = ", ".join(
+        _write_tagged(p, rounding, wz, wm) for p in g.data
+    )
+    return f"{name} ({inner})"

@@ -565,6 +565,100 @@ def q_geom_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geom_zm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z/M ordinate surface end-to-end (GEOSHasZ/HasM/GeomGetZ/GetM,
+    GEOSGeom_getCoordinateDimension; kernels Z/M side channels): per
+    doc a POINT Z or POINT ZM (every 4th doc Z-only) is built as WKT
+    from integer params, parsed, probed with the accessors, flattened
+    (force2d), re-lifted (force3dz), and round-tripped through the
+    writer; a LINESTRING Z exercises the zmin/zmax extremes. The
+    reference's NaN fallback for a missing M channel
+    (CoordinateSequence::getOrdinate) is pinned via nanvl(-1).
+    Every value has a closed-form oracle."""
+    from geos_spark.functions.st import (
+        st_astext,
+        st_coorddim,
+        st_force2d,
+        st_force3dz,
+        st_geomfromtext,
+        st_hasm,
+        st_hasz,
+        st_m,
+        st_z,
+        st_zmax,
+        st_zmin,
+    )
+
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("x", (F.col("doc_id") * 7) % 100)
+        .withColumn("y", (F.col("doc_id") * 13) % 100)
+        .withColumn("z", (F.col("doc_id") * 3) % 50)
+        .withColumn("m", F.col("doc_id") % 20)
+        .withColumn("z1", F.col("doc_id") % 10)
+    )
+    sp = F.lit(" ")
+    xs = F.col("x").cast("string")
+    ys = F.col("y").cast("string")
+    zs = F.col("z").cast("string")
+    ms = F.col("m").cast("string")
+    wkt = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit("POINT Z ("), xs, sp, ys, sp, zs, F.lit(")")),
+    ).otherwise(
+        F.concat(
+            F.lit("POINT ZM ("), xs, sp, ys, sp, zs, sp, ms, F.lit(")")
+        )
+    )
+    z1s = F.col("z1").cast("string")
+    z2s = (F.col("z1") + 5).cast("string")
+    ls_wkt = F.concat(
+        F.lit("LINESTRING Z ("),
+        xs, sp, ys, sp, z2s,
+        F.lit(", "),
+        ys, sp, xs, sp, z1s,
+        F.lit(")"),
+    )
+    g = d.withColumn("wkb", st_geomfromtext(wkt)).withColumn(
+        "ls", st_geomfromtext(ls_wkt)
+    )
+    flat = st_force2d(F.col("wkb"))
+    return g.select(
+        "doc_id",
+        st_hasz(F.col("wkb")).alias("hasz"),
+        st_hasm(F.col("wkb")).alias("hasm"),
+        st_coorddim(F.col("wkb")).alias("cd"),
+        st_z(F.col("wkb")).alias("z"),
+        F.nanvl(st_m(F.col("wkb")), F.lit(-1.0)).alias("m"),
+        st_coorddim(flat).alias("cd_flat"),
+        F.nanvl(st_z(flat), F.lit(-1.0)).alias("z_flat"),
+        st_zmax(st_force3dz(flat, 9.0)).alias("z_lift"),
+        st_zmin(F.col("ls")).alias("zmin_l"),
+        st_zmax(F.col("ls")).alias("zmax_l"),
+        (st_astext(F.col("wkb")) == wkt).alias("rt_ok"),
+    )
+
+
+def q_geom_zm_sql() -> str:
+    return """
+SELECT doc_id,
+       TRUE AS hasz,
+       (doc_id % 4) <> 0 AS hasm,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 4 END AS INTEGER) AS cd,
+       CAST((doc_id * 3) % 50 AS DOUBLE) AS z,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN -1 ELSE doc_id % 20 END
+            AS DOUBLE) AS m,
+       CAST(2 AS INTEGER) AS cd_flat,
+       CAST(-1 AS DOUBLE) AS z_flat,
+       CAST(9 AS DOUBLE) AS z_lift,
+       CAST(doc_id % 10 AS DOUBLE) AS zmin_l,
+       CAST(doc_id % 10 + 5 AS DOUBLE) AS zmax_l,
+       TRUE AS rt_ok
+FROM documents
+"""
+
+
 def q_geom_accessors_sql() -> str:
     return """
 WITH params AS (
@@ -2678,6 +2772,7 @@ QUERIES = {
     "star_centroid": q_star_centroid,
     "curve_measures": q_curve_measures,
     "geom_accessors": q_geom_accessors,
+    "geom_zm": q_geom_zm,
     "extent_agg": q_extent_agg,
     "hilbert_topk": q_hilbert_topk,
     "dedup_exact": q_dedup_exact,
@@ -2746,6 +2841,7 @@ ORACLES = {
     "star_centroid": q_star_centroid_sql(),
     "curve_measures": q_curve_measures_sql(),
     "geom_accessors": q_geom_accessors_sql(),
+    "geom_zm": q_geom_zm_sql(),
     "extent_agg": q_extent_agg_sql(),
     "hilbert_topk": q_hilbert_topk_sql(),
     "dedup_exact": q_dedup_exact_sql(),

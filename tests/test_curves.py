@@ -71,9 +71,11 @@ def test_wkt_reader_tolerance():
         "1.4 0.4, 1.6 0.4, 1.6 0.5, 1.7 1))"
     )
     assert S.equals_identical(a, b)
-    # Z/M ordinates parse and truncate to XY (engine is 2-D)
+    # Z/M ordinates are preserved through the writer (outputDimension 4,
+    # the reference WKTWriter default since 3.12)
     z = parse_wkt("CIRCULARSTRING Z (0 0 5, 1 1 5, 2 0 5)")
-    assert write_wkt(z) == "CIRCULARSTRING (0 0, 1 1, 2 0)"
+    assert write_wkt(z) == "CIRCULARSTRING Z (0 0 5, 1 1 5, 2 0 5)"
+    assert z.has_z and not z.has_m
 
 
 def test_wkt_member_type_errors():
