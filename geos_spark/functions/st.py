@@ -1123,7 +1123,10 @@ def st_point(x_col, y_col):
 def _overlay_pair_udf(op_code: int):
     @pandas_udf(T.BinaryType())
     def _f(wkb_a: pd.Series, wkb_b: pd.Series) -> pd.Series:
-        from geos_spark.kernels import overlay as OV
+        # overlay_zm = overlay_robust + the reference's Z/M population
+        # post-pass (OverlayNG::getResult elevation-model tier); exact
+        # no-op for XY operands
+        from geos_spark.kernels.zpop import overlay_zm
 
         out = []
         for a, b in zip(wkb_a, wkb_b):
@@ -1133,7 +1136,7 @@ def _overlay_pair_udf(op_code: int):
             try:
                 out.append(
                     write_wkb(
-                        OV.overlay_robust(parse_wkb(a), parse_wkb(b), op_code)
+                        overlay_zm(parse_wkb(a), parse_wkb(b), op_code)
                     )
                 )
             except Exception:
