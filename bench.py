@@ -346,6 +346,26 @@ def _bench_queries(spark):
             "doc_id", "n_chars", "n_tokens", "stopword_hits"
         )
 
+    def pages_extract_1m():
+        # the input-table contract at throughput: synthesize 1m
+        # Common-Crawl-shape pages, extract text from the html bytes
+        # (all-native regexp chain, zero python) and verify the
+        # byte-identity invariant inline. Oracle coverage: catalog row
+        # `pages_extract` (independent DuckDB text reconstruction).
+        from pyspark.sql import functions as F
+
+        from geos_spark.operators.text import extract_text, token_count
+        from geos_spark.sources.pages import synth_pages
+
+        p = synth_pages(spark, N_SYNTH)
+        ex = extract_text(F.col("html"))
+        return p.select(
+            (ex == F.col("text")).alias("ok"),
+            token_count(ex).alias("n_tokens"),
+        ).groupBy("ok").agg(
+            F.count("*").alias("n"), F.sum("n_tokens").alias("toks")
+        )
+
     dedup_src = _dedup_corpus_parquet(spark, 200_000, CPUS)
 
     def dedup_clusters_200k():
@@ -408,6 +428,7 @@ def _bench_queries(spark):
         "stream_pip_1m": (stream_pip_1m, N_SYNTH),
         "dedup_exact": (dedup_exact_sf, None),
         "token_stats": (token_stats_sf, None),
+        "pages_extract_1m": (pages_extract_1m, N_SYNTH),
         "dedup_clusters_200k": (dedup_clusters_200k, 200_000),
         "pip_join_10m": (pip_join_10m, 10 * N_SYNTH),
         "pip_native_10m": (pip_native_10m, 10 * N_SYNTH),

@@ -30,6 +30,40 @@ def token_count(text: Column) -> Column:
     return F.size(F.split(F.trim(text), r"\s+"))
 
 
+def extract_text(html: Column) -> Column:
+    """html binary -> extracted text, as a pure native expression chain
+    (decode -> drop script/style subtrees -> strip tags -> decode the
+    basic entities -> normalize whitespace). Zero python, whole-stage
+    codegen at any scale.
+
+    Contract: on whitespace-normalized body text (the corpus shape —
+    ``sources/pages.py::synth_pages`` embeds ``text`` verbatim), the
+    extraction is BYTE-IDENTICAL to the original text column; this is
+    the per-row invariant the pipeline preserves end-to-end (scored by
+    the ``pages_extract`` catalog query against an independent DuckDB
+    reconstruction). General html additionally gets the script/style
+    drop and entity decode, with whitespace normalized.
+    """
+    # cast, not decode(utf-8): decode is strict in Spark 4 and a single
+    # invalid byte sequence would abort the whole job — real web crawls
+    # always contain some. The cast is byte-preserving and tolerant
+    # (exactly utf8-lossy), the per-row contract a 100 TB crawl needs.
+    s = F.col(html).cast("string") if isinstance(html, str) else html.cast("string")
+    s = F.regexp_replace(s, r"(?is)<(script|style)[^>]*>.*?</\1\s*>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),  # last, so &amp;lt; decodes to &lt; not <
+    ):
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
 # GPT-2-style pretokenizer, lookahead-free so Java regex (Spark,
 # whole-stage codegen) and RE2 (DuckDB oracle) tokenize identically:
 # contractions | space?+letters | space?+digits | space?+other | ws-run

@@ -659,6 +659,66 @@ FROM documents
 """
 
 
+def q_pages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input-table contract end-to-end: a Common-Crawl-style pages
+    table (url, warc_ts, html binary, text, lang — FIXTURES.md §1) is
+    synthesized at the scale factor's document count, text is extracted
+    from the html bytes with the native expression chain
+    (operators/text.py::extract_text), and the per-row byte-identity
+    invariant is proven cross-engine: the DuckDB oracle reconstructs
+    the same text independently from the row id (same multiplicative
+    hash + wordlist) and compares md5, length, token count, url, lang
+    and the warc timestamp. Zero python anywhere in the plan."""
+    from geos_spark.operators.text import extract_text, token_count
+    from geos_spark.sources.pages import synth_pages
+
+    n = _docs(spark, sf_dir).count()
+    p = synth_pages(spark, n)
+    ex = extract_text(F.col("html"))
+    return p.select(
+        "page_id",
+        "url",
+        "lang",
+        F.col("warc_ts").cast("long").alias("warc_epoch"),
+        (ex == F.col("text")).alias("extract_ok"),
+        F.md5(F.encode(ex, "utf-8")).alias("text_md5"),
+        token_count(ex).alias("n_tokens"),
+        F.length(ex).alias("n_chars"),
+    )
+
+
+def q_pages_extract_sql() -> str:
+    from geos_spark.sources.pages import _KX, _M32, _WORDS, LANGS
+
+    words = ", ".join(f"'{w}'" for w in _WORDS)
+    langs = ", ".join(f"'{x}'" for x in LANGS)
+    return f"""
+WITH params AS (
+    SELECT doc_id AS page_id,
+           (doc_id * {_KX} + 17) % {_M32} AS k
+    FROM documents
+), built AS (
+    SELECT page_id, k,
+           (k % 181 + 20)::INT AS ntok,
+           array_to_string(
+               list_transform(range((k % 181 + 20)::INT),
+                   j -> ([{words}])[((k + j * 131) % {len(_WORDS)})::INT + 1]),
+               ' ') AS text
+    FROM params
+)
+SELECT page_id,
+       'https://site' || (page_id % 997)::VARCHAR ||
+           '.example/page/' || page_id::VARCHAR AS url,
+       ([{langs}])[(page_id % 6)::INT + 1] AS lang,
+       1735689600 + page_id * 137 AS warc_epoch,
+       TRUE AS extract_ok,
+       md5(text) AS text_md5,
+       ntok AS n_tokens,
+       length(text)::INT AS n_chars
+FROM built
+"""
+
+
 def q_geom_accessors_sql() -> str:
     return """
 WITH params AS (
@@ -2773,6 +2833,7 @@ QUERIES = {
     "curve_measures": q_curve_measures,
     "geom_accessors": q_geom_accessors,
     "geom_zm": q_geom_zm,
+    "pages_extract": q_pages_extract,
     "extent_agg": q_extent_agg,
     "hilbert_topk": q_hilbert_topk,
     "dedup_exact": q_dedup_exact,
@@ -2842,6 +2903,7 @@ ORACLES = {
     "curve_measures": q_curve_measures_sql(),
     "geom_accessors": q_geom_accessors_sql(),
     "geom_zm": q_geom_zm_sql(),
+    "pages_extract": q_pages_extract_sql(),
     "extent_agg": q_extent_agg_sql(),
     "hilbert_topk": q_hilbert_topk_sql(),
     "dedup_exact": q_dedup_exact_sql(),

@@ -204,6 +204,48 @@ def test_pages_generator_invariants(spark):
     assert 20 <= ntok <= 200
 
 
+def test_extract_text_byte_identity(spark):
+    """The input-table invariant: text extracted from the html bytes is
+    byte-identical to the original text column, for every row."""
+    from geos_spark.operators.text import extract_text
+    from geos_spark.sources.pages import synth_pages
+
+    p = synth_pages(spark, 3000)
+    bad = (
+        p.withColumn("ex", extract_text("html"))
+        .where(F.col("ex") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_extract_text_general_html(spark):
+    from geos_spark.operators.text import extract_text
+
+    rows = [
+        (
+            1,
+            "<html><head><script>var x = '<p>no</p>';</script>"
+            "<style>a{color:red}</style></head><body><h1>Title</h1>"
+            "<p>Hello &amp; welcome to   O&#39;Brien&nbsp;&lt;co&gt;</p>"
+            "<!-- comment --></body></html>",
+            "Title Hello & welcome to O'Brien <co>",
+        ),
+        (2, "no tags at all", "no tags at all"),
+        (3, "<div><br/><img src='x'></div>", ""),
+        # double-encoded entity must NOT double-decode
+        (4, "<p>&amp;lt;</p>", "&lt;"),
+    ]
+    df = spark.createDataFrame(rows, "id int, h string, want string").select(
+        "id", F.encode("h", "utf-8").alias("html"), "want"
+    )
+    out = df.select(
+        "id", extract_text("html").alias("got"), "want"
+    ).collect()
+    for r in out:
+        assert r["got"] == r["want"], (r["id"], r["got"])
+
+
 def test_cosine_topk_lsh_recall(spark):
     from geos_spark.operators.similarity import cosine_topk, cosine_topk_lsh
 
