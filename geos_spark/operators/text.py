@@ -95,6 +95,80 @@ def word_count(text: Column, word: str) -> Column:
     return substr_count(padded, f" {word} ")
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int | None = None,
+    min_frac: float = 0.005,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style boilerplate removal: drop every line that occurs in
+    at least ``min_docs`` distinct documents (default: ``min_frac`` of
+    the corpus) — nav bars, cookie banners, copyright footers.
+
+    Scale shape (the 100 TB plan):
+    - line doc-frequency counts on ``xxhash64(line)`` — the wide line
+      strings never enter the counting shuffle;
+    - the boilerplate set is tiny by construction (lines above a
+      corpus-fraction threshold), so the filter is a BROADCAST anti
+      join — the corpus-side scan never shuffles;
+    - reassembly groups by document (one shuffle keyed by the id),
+      ordering lines with array_sort over (pos, line) structs.
+
+    Returns the input frame plus ``clean_text``, ``n_lines`` and
+    ``n_lines_kept`` (documents that were pure boilerplate keep an
+    empty clean_text).
+    """
+    n_docs = df.count()
+    thresh = (
+        int(min_docs)
+        if min_docs is not None
+        else max(2, int(n_docs * min_frac + 0.999999))
+    )
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias(
+            "pos", "line"
+        ),
+    )
+    # distinct docs per line, hash-keyed (two-phase: dedupe (doc, hash)
+    # partials map-side, then count per hash)
+    boiler = (
+        lines.select(id_col, F.xxhash64("line").alias("lh"))
+        .distinct()
+        .groupBy("lh")
+        .agg(F.count("*").alias("docs"))
+        .where(F.col("docs") >= thresh)
+        .select("lh")
+    )
+    kept = lines.join(
+        F.broadcast(boiler),
+        F.xxhash64(lines["line"]) == boiler["lh"],
+        "left_anti",
+    )
+    clean = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            line_sep,
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    return (
+        df.withColumn(
+            "n_lines", F.size(F.split(F.col(text_col), line_sep))
+        )
+        .join(clean, id_col, "left")
+        .withColumn("clean_text", F.coalesce("clean_text", F.lit("")))
+        .withColumn(
+            "n_lines_kept", F.coalesce("n_lines_kept", F.lit(0))
+        )
+    )
+
+
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add quality-signal columns: n_chars, n_tokens, stopword_hits,
     punct_hits, upper_ratio-free (all integer/exact except ratios)."""

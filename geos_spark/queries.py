@@ -719,6 +719,88 @@ FROM built
 """
 
 
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate line removal, scored end-to-end: a
+    deterministic multi-line corpus is built per doc (a nav header on
+    every 2nd doc, a unique body line, a unique extra line on every
+    3rd doc, a copyright footer on all) and
+    ``remove_boilerplate_lines(min_frac=0.4)`` must strip exactly the
+    header+footer. The oracle replays the WHOLE ALGORITHM in SQL
+    (line doc-frequency over the same corpus, threshold, ordered
+    reassembly) — not the expected answer."""
+    from geos_spark.operators.text import remove_boilerplate_lines
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    nl = F.lit("\n")
+    text = F.concat(
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("nav home about contact\n")
+        ).otherwise(F.lit("")),
+        F.lit("body "),
+        F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                nl,
+                F.lit("extra "),
+                F.md5(
+                    F.encode(
+                        (F.col("doc_id") * 31 + 7).cast("string"), "utf-8"
+                    )
+                ),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("\n(c) example.com all rights reserved"),
+    )
+    corpus = d.withColumn("text", text)
+    out = remove_boilerplate_lines(corpus, min_frac=0.4)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_lines_kept",
+        F.md5(F.encode(F.col("clean_text"), "utf-8")).alias("clean_md5"),
+    )
+
+
+def q_boilerplate_sql() -> str:
+    return """
+WITH corpus AS (
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0
+                 THEN 'nav home about contact' || chr(10) ELSE '' END)
+           || 'body ' || md5(doc_id::VARCHAR)
+           || (CASE WHEN doc_id % 3 = 0
+                    THEN chr(10) || 'extra ' || md5((doc_id * 31 + 7)::VARCHAR)
+                    ELSE '' END)
+           || chr(10) || '(c) example.com all rights reserved' AS text
+    FROM documents
+), lines AS (
+    SELECT doc_id, u.line, u.pos
+    FROM corpus,
+         LATERAL (SELECT unnest(string_split(text, chr(10))) AS line,
+                         generate_subscripts(string_split(text, chr(10)), 1) AS pos) u
+), thresh AS (
+    SELECT GREATEST(2, CEIL(COUNT(*) * 0.4)::BIGINT) AS t FROM corpus
+), boiler AS (
+    SELECT line FROM (
+        SELECT line, COUNT(DISTINCT doc_id) AS docs FROM lines GROUP BY line
+    ) f, thresh WHERE f.docs >= thresh.t
+), kept AS (
+    SELECT l.* FROM lines l ANTI JOIN boiler b ON l.line = b.line
+), clean AS (
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+           COUNT(*) AS n_lines_kept
+    FROM kept GROUP BY doc_id
+)
+SELECT c.doc_id,
+       len(string_split(c.text, chr(10)))::INT AS n_lines,
+       COALESCE(cl.n_lines_kept, 0) AS n_lines_kept,
+       md5(COALESCE(cl.clean_text, '')) AS clean_md5
+FROM corpus c LEFT JOIN clean cl ON c.doc_id = cl.doc_id
+"""
+
+
 def q_geom_accessors_sql() -> str:
     return """
 WITH params AS (
@@ -2834,6 +2916,7 @@ QUERIES = {
     "geom_accessors": q_geom_accessors,
     "geom_zm": q_geom_zm,
     "pages_extract": q_pages_extract,
+    "boilerplate": q_boilerplate,
     "extent_agg": q_extent_agg,
     "hilbert_topk": q_hilbert_topk,
     "dedup_exact": q_dedup_exact,
@@ -2904,6 +2987,7 @@ ORACLES = {
     "geom_accessors": q_geom_accessors_sql(),
     "geom_zm": q_geom_zm_sql(),
     "pages_extract": q_pages_extract_sql(),
+    "boilerplate": q_boilerplate_sql(),
     "extent_agg": q_extent_agg_sql(),
     "hilbert_topk": q_hilbert_topk_sql(),
     "dedup_exact": q_dedup_exact_sql(),

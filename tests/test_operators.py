@@ -246,6 +246,61 @@ def test_extract_text_general_html(spark):
         assert r["got"] == r["want"], (r["id"], r["got"])
 
 
+def test_remove_boilerplate_lines(spark):
+    from geos_spark.operators.text import remove_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "foot\nbody one"),
+            (2, "foot\nbody two"),
+            (3, "foot"),
+            (4, "solo\nfoot"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate_lines(df, min_docs=3).collect()
+    }
+    assert out[1]["clean_text"] == "body one"
+    assert out[1]["n_lines"] == 2 and out[1]["n_lines_kept"] == 1
+    # a pure-boilerplate doc keeps an empty clean_text, not a dropped row
+    assert out[3]["clean_text"] == "" and out[3]["n_lines_kept"] == 0
+    assert out[4]["clean_text"] == "solo"
+    # threshold boundary: min_docs=5 -> nothing is boilerplate
+    out5 = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_lines(df, min_docs=5).collect()
+    }
+    assert out5[1] == "foot\nbody one"
+    # line ORDER is preserved on reassembly (pos sort, not hash order)
+    df2 = spark.createDataFrame(
+        [(1, "z last\nfoot\na first"), (2, "foot"), (3, "foot")],
+        "doc_id long, text string",
+    )
+    r = (
+        remove_boilerplate_lines(df2, min_docs=3)
+        .where("doc_id = 1")
+        .first()
+    )
+    assert r["clean_text"] == "z last\na first"
+
+
+def test_boilerplate_anti_join_broadcasts(spark):
+    from geos_spark.operators.text import remove_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nc")], "doc_id long, text string"
+    )
+    plan = (
+        remove_boilerplate_lines(df, min_docs=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
 def test_cosine_topk_lsh_recall(spark):
     from geos_spark.operators.similarity import cosine_topk, cosine_topk_lsh
 
