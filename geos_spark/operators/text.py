@@ -169,6 +169,69 @@ def remove_boilerplate_lines(
     )
 
 
+# multi-label public suffixes that need one extra label for the
+# registered domain (tiny deterministic stand-in for the PSL — the
+# real list is a data file a deployment can swap in)
+_TWO_LABEL_SUFFIXES = (
+    "co.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx",
+    "co.in", "co.kr", "com.tr", "com.ar",
+)
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host of a URL (scheme/userinfo/port/path stripped),
+    as one native regexp_extract."""
+    return F.lower(
+        F.regexp_extract(
+            url, r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//(?:[^/@]*@)?([^/:?#]+)", 1
+        )
+    )
+
+
+def url_domain(url: Column) -> Column:
+    """Registered domain of a URL: the last two host labels, or the
+    last three when the two-label tail is a known multi-label public
+    suffix (co.uk etc). Pure native expressions."""
+    host = url_host(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    tail2 = F.concat_ws(
+        ".", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    is_two_label = tail2.isin(*_TWO_LABEL_SUFFIXES)
+    take3 = F.concat_ws(
+        ".",
+        F.element_at(parts, -3),
+        F.element_at(parts, -2),
+        F.element_at(parts, -1),
+    )
+    return (
+        F.when(host.isNull() | (host == ""), host)
+        .when(n <= 2, host)
+        .when(is_two_label & (n >= 3), take3)
+        .otherwise(tail2)
+    )
+
+
+def url_canonicalize(url: Column) -> Column:
+    """Canonical URL form for exact-URL dedup, all native expressions:
+    lowercase scheme+host, drop the fragment, drop utm_*/fbclid/gclid
+    tracking params, strip a trailing '?' and any trailing slash,
+    drop default ports (:80 http, :443 https)."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    # lowercase scheme and authority only (path stays case-sensitive)
+    u = F.concat(
+        F.lower(F.regexp_extract(u, r"^([^/]*//[^/]*)", 1)),
+        F.regexp_replace(u, r"^[^/]*//[^/]*", ""),
+    )
+    u = F.regexp_replace(u, r"(?<=[?&])(?:utm_[a-z]+|fbclid|gclid)=[^&#]*&?", "")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    u = F.regexp_replace(u, r"^(http://[^/]*):80(/|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/]*):443(/|$)", r"$1$2")
+    return F.regexp_replace(u, r"(.)/$", r"$1")
+
+
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add quality-signal columns: n_chars, n_tokens, stopword_hits,
     punct_hits, upper_ratio-free (all integer/exact except ratios)."""

@@ -801,6 +801,60 @@ FROM corpus c LEFT JOIN clean cl ON c.doc_id = cl.doc_id
 """
 
 
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host/registered-domain extraction over a
+    deterministically-decorated messy URL corpus (uppercase authority,
+    default port on every 5th, utm tracking params on every 2nd,
+    trailing slash instead of a query on every 7th, fragment on every
+    11th). The oracle computes the expected canonical forms closed-form
+    from the same row ids (operators/text.py::url_canonicalize /
+    url_host / url_domain are all-native expression chains)."""
+    from geos_spark.operators.text import (
+        url_canonicalize,
+        url_domain,
+        url_host,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    i = F.col("doc_id")
+    ids = i.cast("string")
+    url = F.concat(
+        F.lit("https://WWW.Site"),
+        (i % 97).cast("string"),
+        F.lit(".CO.UK"),
+        F.when(i % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Page/"),
+        ids,
+        F.when(i % 7 == 0, F.lit("/"))
+        .when(
+            i % 2 == 0, F.concat(F.lit("?utm_source=abc&q="), ids)
+        )
+        .otherwise(F.concat(F.lit("?q="), ids)),
+        F.when(i % 11 == 0, F.concat(F.lit("#sec"), ids)).otherwise(
+            F.lit("")
+        ),
+    )
+    return d.withColumn("url", url).select(
+        "doc_id",
+        url_host(F.col("url")).alias("host"),
+        url_domain(F.col("url")).alias("domain"),
+        url_canonicalize(F.col("url")).alias("canon"),
+    )
+
+
+def q_url_canon_sql() -> str:
+    return """
+SELECT doc_id,
+       'www.site' || (doc_id % 97)::VARCHAR || '.co.uk' AS host,
+       'site' || (doc_id % 97)::VARCHAR || '.co.uk' AS domain,
+       'https://www.site' || (doc_id % 97)::VARCHAR || '.co.uk/Page/'
+           || doc_id::VARCHAR
+           || CASE WHEN doc_id % 7 = 0 THEN ''
+                   ELSE '?q=' || doc_id::VARCHAR END AS canon
+FROM documents
+"""
+
+
 def q_geom_accessors_sql() -> str:
     return """
 WITH params AS (
@@ -2917,6 +2971,7 @@ QUERIES = {
     "geom_zm": q_geom_zm,
     "pages_extract": q_pages_extract,
     "boilerplate": q_boilerplate,
+    "url_canon": q_url_canon,
     "extent_agg": q_extent_agg,
     "hilbert_topk": q_hilbert_topk,
     "dedup_exact": q_dedup_exact,
@@ -2988,6 +3043,7 @@ ORACLES = {
     "geom_zm": q_geom_zm_sql(),
     "pages_extract": q_pages_extract_sql(),
     "boilerplate": q_boilerplate_sql(),
+    "url_canon": q_url_canon_sql(),
     "extent_agg": q_extent_agg_sql(),
     "hilbert_topk": q_hilbert_topk_sql(),
     "dedup_exact": q_dedup_exact_sql(),

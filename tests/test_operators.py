@@ -301,6 +301,51 @@ def test_boilerplate_anti_join_broadcasts(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_url_functions(spark):
+    from geos_spark.operators.text import (
+        url_canonicalize,
+        url_domain,
+        url_host,
+    )
+
+    cases = [
+        # (url, host, domain, canonical)
+        ("https://WWW.Example.COM:443/Path/?utm_source=x&q=1#frag",
+         "www.example.com", "example.com",
+         "https://www.example.com/Path/?q=1"),
+        ("http://user:pw@sub.shop.co.uk:80/a/b/",
+         "sub.shop.co.uk", "shop.co.uk",
+         "http://user:pw@sub.shop.co.uk/a/b"),
+        ("http://example.com", "example.com", "example.com",
+         "http://example.com"),
+        ("https://a.b.c.d.com/x?fbclid=123", "a.b.c.d.com", "d.com",
+         "https://a.b.c.d.com/x"),
+        ("ftp://files.example.org/pub/", "files.example.org",
+         "example.org", "ftp://files.example.org/pub"),
+        ("//rel.example.net/x", "rel.example.net", "example.net",
+         "//rel.example.net/x"),
+        ("https://example.com/?gclid=1&utm_campaign=z", "example.com",
+         "example.com", "https://example.com"),
+        # non-default port survives
+        ("http://h.com:8080/x", "h.com", "h.com", "http://h.com:8080/x"),
+        (None, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(c[0],) for c in cases], "url string"
+    ).select(
+        "url",
+        url_host("url").alias("h"),
+        url_domain("url").alias("d"),
+        url_canonicalize("url").alias("c"),
+    )
+    got = {r["url"]: r for r in df.collect()}
+    for url, h, d, c in cases:
+        r = got[url]
+        assert r["h"] == h, (url, r["h"])
+        assert r["d"] == d, (url, r["d"])
+        assert r["c"] == c, (url, r["c"])
+
+
 def test_cosine_topk_lsh_recall(spark):
     from geos_spark.operators.similarity import cosine_topk, cosine_topk_lsh
 
