@@ -1,16 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)  -> flagship point-in-polygon spatial join at sf0.001.
-queries()     -> operator catalog (geos_spark.queries.QUERIES; 67 as
+queries()     -> operator catalog (geos_spark.queries.QUERIES; 69 as
                  of round 4) — synthetic-table operators (joins,
                  tiling, kNN, clustering, coverage
                  validate/simplify/clean, dedup + the full near-dup
                  pipeline, corpus shaping (hash sampling, source
-                 quota), ANN (exact/LSH/matmul/IVF/IVF-PQ), text,
-                 html->text extraction with the cross-engine
-                 byte-identity oracle (pages_extract), Z/M ordinate
-                 surface (geom_zm), SQL/MM curve measures,
-                 structural accessors),
+                 quota, boilerplate line removal, URL
+                 canonicalization), ANN (exact/LSH/matmul/IVF/
+                 IVF-PQ), text, html->text extraction with the
+                 cross-engine byte-identity oracle (pages_extract),
+                 Z/M ordinate surface (geom_zm), SQL/MM curve
+                 measures, structural accessors),
                  Structured-Streaming twins run to completion
                  (stream_dedup/tiles/sessions/first_seen/pip/quota/
                  ann), plus the xmltester corpus promoted as xt_*

@@ -572,3 +572,55 @@ def dedup_clusters(
             (F.col("id") == F.col("canonical")).alias("keep"),
         )
     )
+
+
+def ngram_dup_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Substring-level duplication score (the Pile/GPT-3 dedup
+    heuristic): per document, the fraction of its distinct n-word
+    shingles that also occur in at least one other document. High
+    ``dup_frac`` flags boilerplate-heavy or near-copied pages that
+    whole-document dedup misses.
+
+    Scale shape: shingles are counted by ``xxhash64`` so the wide
+    strings never enter the frequency shuffle; the frequency table and
+    the per-doc scoring join are both keyed on that hash, so the join
+    reuses the aggregation's partitioning (one exchange per side, no
+    broadcast needed — duplicated content is NOT small at crawl
+    scale). Adds ``n_shingles``, ``n_dup`` and ``dup_frac``
+    (null for token-less docs).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode_outer(word_shingles(F.col(text_col), n)).alias("sh"),
+    ).where(F.col("sh").isNotNull())
+    keyed = sh.select(id_col, F.xxhash64("sh").alias("h"))
+    freq = keyed.groupBy("h").agg(
+        F.count_distinct(F.col(id_col)).alias("docs")
+    )
+    scored = (
+        keyed.join(freq, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("docs") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup"),
+        )
+    )
+    return (
+        df.join(scored, id_col, "left")
+        .withColumn("n_shingles", F.coalesce("n_shingles", F.lit(0)))
+        .withColumn("n_dup", F.coalesce("n_dup", F.lit(0)))
+        .withColumn(
+            "dup_frac",
+            F.when(
+                F.col("n_shingles") > 0,
+                F.col("n_dup") / F.col("n_shingles"),
+            ),
+        )
+    )

@@ -855,6 +855,56 @@ FROM documents
 """
 
 
+def q_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-duplication scoring over the documents corpus (3-word
+    shingles at gate scale so the planted near-dup clones actually
+    overlap): per doc the count of distinct shingles, how many occur in
+    other docs too, and the dup fraction. The oracle replays the whole
+    algorithm in SQL on the shingle STRINGS; the operator counts
+    xxhash64 of the shingle (the wide strings stay out of the shuffle)
+    — identical results barring a 64-bit hash collision inside the
+    corpus (~1e-11 at gate scale)."""
+    from geos_spark.operators.dedup import ngram_dup_score
+
+    out = ngram_dup_score(_docs(spark, sf_dir), n=3)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_dup",
+        F.round(F.col("dup_frac"), 6).alias("dup_frac_r"),
+    )
+
+
+def q_ngram_dup_sql() -> str:
+    return """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+    FROM documents
+    WHERE text IS NOT NULL AND trim(text) <> ''
+), shingles AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, GREATEST(len(t) - 2, 1) + 1),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS sh
+    FROM toks
+), freq AS (
+    SELECT sh, COUNT(DISTINCT doc_id) AS docs FROM shingles GROUP BY sh
+), scored AS (
+    SELECT s.doc_id,
+           COUNT(*) AS n_shingles,
+           SUM(CASE WHEN f.docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+    FROM shingles s JOIN freq f USING (sh)
+    GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(sc.n_shingles, 0) AS n_shingles,
+       COALESCE(sc.n_dup, 0) AS n_dup,
+       CASE WHEN COALESCE(sc.n_shingles, 0) > 0
+            THEN ROUND(sc.n_dup / sc.n_shingles::DOUBLE, 6) END AS dup_frac_r
+FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id
+"""
+
+
 def q_geom_accessors_sql() -> str:
     return """
 WITH params AS (
@@ -2972,6 +3022,7 @@ QUERIES = {
     "pages_extract": q_pages_extract,
     "boilerplate": q_boilerplate,
     "url_canon": q_url_canon,
+    "ngram_dup": q_ngram_dup,
     "extent_agg": q_extent_agg,
     "hilbert_topk": q_hilbert_topk,
     "dedup_exact": q_dedup_exact,
@@ -3044,6 +3095,7 @@ ORACLES = {
     "pages_extract": q_pages_extract_sql(),
     "boilerplate": q_boilerplate_sql(),
     "url_canon": q_url_canon_sql(),
+    "ngram_dup": q_ngram_dup_sql(),
     "extent_agg": q_extent_agg_sql(),
     "hilbert_topk": q_hilbert_topk_sql(),
     "dedup_exact": q_dedup_exact_sql(),

@@ -301,6 +301,31 @@ def test_boilerplate_anti_join_broadcasts(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_ngram_dup_score(spark):
+    from geos_spark.operators.dedup import ngram_dup_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # shares 'a b c'+'b c d' with doc 2
+            (2, "a b c d x"),          # shares 2 of its 3 shingles
+            (3, "q r s t u"),          # unique
+            (4, None),                 # token-less
+            (5, "a b"),                # short doc: single partial shingle
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in ngram_dup_score(df, n=3).collect()
+    }
+    # doc1 shingles: {a b c, b c d, c d e} — 2 shared with doc2
+    assert out[1]["n_shingles"] == 3 and out[1]["n_dup"] == 2
+    assert abs(out[1]["dup_frac"] - 2 / 3) < 1e-12
+    assert out[2]["n_shingles"] == 3 and out[2]["n_dup"] == 2
+    assert out[3]["n_dup"] == 0
+    assert out[4]["n_shingles"] == 0 and out[4]["dup_frac"] is None
+    assert out[5]["n_shingles"] == 1 and out[5]["n_dup"] == 0
+
+
 def test_url_functions(spark):
     from geos_spark.operators.text import (
         url_canonicalize,
