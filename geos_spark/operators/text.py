@@ -280,3 +280,91 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """128-bit-ish document fingerprint: md5 of the raw text (exact
     content identity; collision-safe at corpus scale)."""
     return df.withColumn("fingerprint", F.md5(F.col(text_col)))
+
+
+def with_repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText
+    quality-filter family), all native expressions:
+
+    - ``dup_line_frac``: fraction of the doc's lines that are repeats
+      of an earlier identical line;
+    - ``dup_line_char_frac``: fraction of characters inside those
+      repeated lines;
+    - ``top_bigram_char_frac``: characters covered by the most frequent
+      word 2-gram over total characters in tokens.
+
+    Everything is per-row array algebra (split / transform /
+    aggregate) — no explode, no shuffle: a pure map over the corpus.
+    Token-less or single-line docs yield 0.0 fractions.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    # count of line occurrences beyond the first, via distinct
+    n_lines = F.size(lines)
+    n_uniq = F.size(F.array_distinct(lines))
+    dup_line_frac = F.when(
+        n_lines > 0, (n_lines - n_uniq) / n_lines
+    ).otherwise(F.lit(0.0))
+    # chars inside repeated lines: total chars of lines minus chars of
+    # one copy of each distinct line, over total line chars
+    chars_all = F.aggregate(
+        lines, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    chars_uniq = F.aggregate(
+        F.array_distinct(lines), F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    dup_line_char_frac = F.when(
+        chars_all > 0, (chars_all - chars_uniq) / chars_all
+    ).otherwise(F.lit(0.0))
+    # top word-bigram coverage
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    nt = F.size(toks)
+    bigrams = F.when(nt >= 2, F.transform(
+        F.sequence(F.lit(1), nt - 1),
+        lambda i: F.concat_ws(
+            " ", F.try_element_at(toks, i), F.try_element_at(toks, i + 1)
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    # modal bigram via sort + linear run scan (O(n log n) per row; the
+    # naive distinct x filter form is O(n^2) and melts on long docs).
+    # Accumulator: (prev value, current run, best count, best token
+    # chars among modal bigrams — the longest-of-ties rule).
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("bestc"),
+        F.lit(0).alias("bestl"),
+    )
+
+    def _step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        xlen = F.length(x) - 1  # chars of the two tokens, no separator
+        bestc = F.greatest(acc["bestc"], run)
+        bestl = (
+            F.when(run > acc["bestc"], xlen)
+            .when(run == acc["bestc"], F.greatest(acc["bestl"], xlen))
+            .otherwise(acc["bestl"])
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            bestc.alias("bestc"),
+            bestl.alias("bestl"),
+        )
+
+    scan = F.aggregate(F.array_sort(bigrams), zero, _step)
+    top_count = scan["bestc"]
+    top_len = scan["bestl"]
+    tok_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    top_bigram_char_frac = F.when(
+        (tok_chars > 0) & (top_count > 0),
+        (top_count * top_len).cast("double") / tok_chars,
+    ).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("dup_line_frac", dup_line_frac)
+        .withColumn("dup_line_char_frac", dup_line_char_frac)
+        .withColumn("top_bigram_char_frac", top_bigram_char_frac)
+    )

@@ -905,6 +905,90 @@ FROM documents d LEFT JOIN scored sc ON d.doc_id = sc.doc_id
 """
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText within-document repetition filters over a
+    deterministic corpus with planted repeats (a duplicated line on
+    every 2nd doc, an overlapping-bigram spam line on every 3rd): the
+    duplicate-line fraction, duplicate-line character fraction and
+    top-bigram character coverage. The oracle replays the generic
+    algorithm in SQL (including the tie rule: longest among modal
+    bigrams), not the per-class expected answers."""
+    from geos_spark.operators.text import with_repetition_signals
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    i = F.col("doc_id")
+    md5_id = F.md5(F.encode(i.cast("string"), "utf-8"))
+    md5_alt = F.md5(F.encode((i * 7 + 1).cast("string"), "utf-8"))
+    text = F.concat(
+        F.lit("u "),
+        md5_id,
+        F.lit("\n"),
+        F.when(
+            i % 2 == 0, F.lit("same line\nsame line")
+        ).otherwise(F.concat(F.lit("x "), md5_alt)),
+        F.when(
+            i % 3 == 0, F.lit("\nspam spam spam spam")
+        ).otherwise(F.lit("")),
+    )
+    out = with_repetition_signals(d.withColumn("text", text))
+    return out.select(
+        "doc_id",
+        F.round(F.col("dup_line_frac"), 6).alias("dlf_r"),
+        F.round(F.col("dup_line_char_frac"), 6).alias("dlcf_r"),
+        F.round(F.col("top_bigram_char_frac"), 6).alias("tbcf_r"),
+    )
+
+
+def q_repetition_sql() -> str:
+    return """
+WITH corpus AS (
+    SELECT doc_id,
+           'u ' || md5(doc_id::VARCHAR) || chr(10)
+           || (CASE WHEN doc_id % 2 = 0
+                    THEN 'same line' || chr(10) || 'same line'
+                    ELSE 'x ' || md5((doc_id * 7 + 1)::VARCHAR) END)
+           || (CASE WHEN doc_id % 3 = 0
+                    THEN chr(10) || 'spam spam spam spam' ELSE '' END)
+           AS text
+    FROM documents
+), l AS (
+    SELECT doc_id,
+           string_split(text, chr(10)) AS ls,
+           string_split_regex(trim(text), '\\s+') AS t
+    FROM corpus
+), stats AS (
+    SELECT doc_id,
+           len(ls) AS nl,
+           len(list_distinct(ls)) AS nu,
+           list_aggregate(list_transform(ls, x -> length(x)), 'sum') AS ca,
+           list_aggregate(list_transform(list_distinct(ls),
+                                         x -> length(x)), 'sum') AS cu,
+           list_aggregate(list_transform(t, x -> length(x)), 'sum') AS tc
+    FROM l
+), bg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i+1])) AS b
+    FROM l WHERE len(t) >= 2
+), bgc AS (
+    SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b
+), top AS (
+    SELECT doc_id, MAX(c) AS topc FROM bgc GROUP BY doc_id
+), toplen AS (
+    SELECT bgc.doc_id,
+           MAX(length(bgc.b) - 1) AS topl,
+           ANY_VALUE(top.topc) AS topc
+    FROM bgc JOIN top ON bgc.doc_id = top.doc_id AND bgc.c = top.topc
+    GROUP BY bgc.doc_id
+)
+SELECT s.doc_id,
+       ROUND((s.nl - s.nu) / s.nl::DOUBLE, 6) AS dlf_r,
+       ROUND((s.ca - s.cu) / s.ca::DOUBLE, 6) AS dlcf_r,
+       ROUND(COALESCE(tl.topc * tl.topl, 0) / s.tc::DOUBLE, 6) AS tbcf_r
+FROM stats s LEFT JOIN toplen tl ON s.doc_id = tl.doc_id
+"""
+
+
 def q_geom_accessors_sql() -> str:
     return """
 WITH params AS (
@@ -3023,6 +3107,7 @@ QUERIES = {
     "boilerplate": q_boilerplate,
     "url_canon": q_url_canon,
     "ngram_dup": q_ngram_dup,
+    "repetition": q_repetition,
     "extent_agg": q_extent_agg,
     "hilbert_topk": q_hilbert_topk,
     "dedup_exact": q_dedup_exact,
@@ -3096,6 +3181,7 @@ ORACLES = {
     "boilerplate": q_boilerplate_sql(),
     "url_canon": q_url_canon_sql(),
     "ngram_dup": q_ngram_dup_sql(),
+    "repetition": q_repetition_sql(),
     "extent_agg": q_extent_agg_sql(),
     "hilbert_topk": q_hilbert_topk_sql(),
     "dedup_exact": q_dedup_exact_sql(),

@@ -326,6 +326,36 @@ def test_ngram_dup_score(spark):
     assert out[5]["n_shingles"] == 1 and out[5]["n_dup"] == 0
 
 
+def test_repetition_signals(spark):
+    from geos_spark.operators.text import with_repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa\nbb\naa\ncc"),       # line 'aa' repeated once
+            (2, "x y x y x y"),          # modal bigram 'x y' x3 of 5
+            (3, "unique words only"),
+            (4, ""),                     # empty
+            (5, "w"),                    # single token: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in with_repetition_signals(df).collect()
+    }
+    # doc1: 4 lines, 3 distinct -> 1/4; chars 2*4=8, distinct 6 -> 2/8
+    assert abs(out[1]["dup_line_frac"] - 0.25) < 1e-12
+    assert abs(out[1]["dup_line_char_frac"] - 0.25) < 1e-12
+    # doc2: bigrams x y, y x, x y, y x, x y -> top 'x y' count 3,
+    # covered chars 3*2=6 over 6 token chars -> 1.0
+    assert abs(out[2]["top_bigram_char_frac"] - 1.0) < 1e-12
+    assert out[3]["dup_line_frac"] == 0.0
+    # tie rule: longest among modal bigrams — 'unique words' (11 token
+    # chars) over 15 total token chars
+    assert abs(out[3]["top_bigram_char_frac"] - 11 / 15) < 1e-12
+    assert out[4]["top_bigram_char_frac"] == 0.0
+    assert out[5]["top_bigram_char_frac"] == 0.0
+
+
 def test_url_functions(spark):
     from geos_spark.operators.text import (
         url_canonicalize,
