@@ -624,3 +624,75 @@ def ngram_dup_score(
             ),
         )
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """C4-style exact paragraph deduplication: across the whole
+    corpus, every distinct paragraph (line) is kept only at its FIRST
+    occurrence — ordered by (doc_id, position) — and removed
+    everywhere else; each document's text is rebuilt from its
+    surviving paragraphs in original order.
+
+    Scale shape (the 100 TB plan):
+    - paragraphs explode to (xxhash64(line), doc_id, pos) — the wide
+      strings never enter the ownership shuffle, only 8-byte hashes;
+    - first-occurrence ownership is one hash-keyed aggregation
+      (``min_by`` on the (doc_id, pos) struct — partial/final, so the
+      map side pre-collapses repeated paragraphs);
+    - survivors are an equijoin on the hash (AQE handles skew; a
+      paragraph repeated 10^9 times is ONE row on the build side);
+    - reassembly is one groupBy(doc_id) with array_sort — the only
+      shuffle keyed by document.
+
+    Returns (id_col, n_paras, n_paras_kept, clean_text); fully
+    deduplicated documents keep an empty clean_text.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias(
+            "pos", "line"
+        ),
+    ).withColumn("lh", F.xxhash64("line"))
+    owner = (
+        lines.groupBy("lh")
+        .agg(F.min(F.struct(id_col, "pos")).alias("first_at"))
+        .select(
+            "lh",
+            F.col("first_at")[id_col].alias("__own_id"),
+            F.col("first_at.pos").alias("__own_pos"),
+        )
+    )
+    kept = (
+        lines.join(owner, on="lh")
+        .where(
+            (F.col(id_col) == F.col("__own_id"))
+            & (F.col("pos") == F.col("__own_pos"))
+        )
+        .select(id_col, "pos", "line")
+    )
+    per_doc_total = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), line_sep)).alias("n_paras"),
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_paras_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            line_sep,
+        ).alias("clean_text"),
+    )
+    return (
+        per_doc_total.join(rebuilt, on=id_col, how="left")
+        .withColumn(
+            "n_paras_kept", F.coalesce("n_paras_kept", F.lit(0))
+        )
+        .withColumn("clean_text", F.coalesce("clean_text", F.lit("")))
+    )

@@ -80,3 +80,40 @@ def source_quota(
         pruned.withColumn("rank", F.row_number().over(final))
         .where(F.col("rank") <= k)
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a hash-chosen
+    ``fractions[stratum]`` of each stratum (language rebalancing,
+    domain downweighting).
+
+    Same determinism contract as :func:`hash_sample` — the kept set
+    is a pure function of (key, salt), invariant under partitioning
+    and cluster size. The per-stratum thresholds ride along as a
+    BROADCAST dim join (the fractions map is tiny by construction),
+    so the corpus-side scan never shuffles: at 100 TB this stays a
+    map-only pass.
+
+    Strata absent from ``fractions`` keep ``default_fraction``.
+    """
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(k, int(round(v * _DENOM))) for k, v in sorted(fractions.items())],
+        schema=f"{strata_col} string, __thresh int",
+    )
+    h = md5_i64(
+        F.concat(F.col(key_col).cast("string"), F.lit(":" + salt))
+    )
+    default_thresh = int(round(default_fraction * _DENOM))
+    joined = df.join(F.broadcast(dim), on=strata_col, how="left")
+    return joined.where(
+        F.pmod(h, F.lit(_DENOM))
+        < F.coalesce(F.col("__thresh"), F.lit(default_thresh))
+    ).drop("__thresh")

@@ -368,3 +368,78 @@ def with_repetition_signals(
         .withColumn("dup_line_char_frac", dup_line_char_frac)
         .withColumn("top_bigram_char_frac", top_bigram_char_frac)
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+    min_alpha_ratio: float = 0.6,
+) -> DataFrame:
+    """Gopher/C4-style composite quality filter (Rae et al. 2021 §A1;
+    Raffel et al. 2020 C4): per-document boolean rule columns plus the
+    conjunctive ``keep`` flag.
+
+    Rules (all native expressions, zero python, zero shuffle):
+      - ``r_words``: whitespace word count in [min_words, max_words]
+      - ``r_mean_len``: mean word length in [min_mean_word_len,
+        max_mean_word_len]
+      - ``r_symbols``: '#'+ellipsis occurrences per word <=
+        max_symbol_ratio
+      - ``r_stopwords``: at least min_stopword_hits stopword
+        occurrences (Gopher's "stop word" rule, occurrence-counted)
+      - ``r_alpha``: fraction of non-space chars that are ASCII
+        letters >= min_alpha_ratio
+      - ``r_blocklist``: no C4 blocklist marker ('javascript',
+        'lorem ipsum', '{')
+
+    Scale shape: stateless projection inside whole-stage codegen — at
+    100 TB this is a map-only pass bounded by the scan, and Catalyst
+    pushes the ``keep`` predicate into the parquet reader when the
+    caller filters on it.
+    """
+    t = F.col(text_col)
+    wc = token_count(t)
+    nonspace = F.length(F.regexp_replace(t, r"\s+", ""))
+    mean_len = nonspace.cast("double") / F.greatest(wc, F.lit(1)).cast(
+        "double"
+    )
+    symbols = substr_count(t, "#") + substr_count(t, "...")
+    sym_ratio = symbols.cast("double") / F.greatest(wc, F.lit(1)).cast(
+        "double"
+    )
+    stop_hits = None
+    for w in EN_STOPWORDS:
+        c = word_count(t, w)
+        stop_hits = c if stop_hits is None else stop_hits + c
+    alpha = F.length(t) - F.length(F.regexp_replace(t, r"[A-Za-z]", ""))
+    alpha_ratio = alpha.cast("double") / F.greatest(
+        nonspace, F.lit(1)
+    ).cast("double")
+    lowered = F.lower(t)
+    blocked = (
+        F.contains(lowered, F.lit("javascript"))
+        | F.contains(lowered, F.lit("lorem ipsum"))
+        | F.contains(lowered, F.lit("{"))
+    )
+    rules = {
+        "r_words": (wc >= min_words) & (wc <= max_words),
+        "r_mean_len": (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len),
+        "r_symbols": sym_ratio <= max_symbol_ratio,
+        "r_stopwords": stop_hits >= min_stopword_hits,
+        "r_alpha": alpha_ratio >= min_alpha_ratio,
+        "r_blocklist": ~blocked,
+    }
+    out = df
+    for name, expr in rules.items():
+        out = out.withColumn(name, expr)
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("keep", keep)

@@ -3229,3 +3229,340 @@ ORACLES = {
 }
 
 ORACLES.update(_fixture_oracles())
+
+
+# --------------------------------------------------------------------
+# Late round 4 (continuation): webtext pipeline tranche 2 —
+# PII redaction, Gopher/C4 quality filter, stratified sampling,
+# paragraph-level dedup, BM25 ranking, inverted index.
+# --------------------------------------------------------------------
+
+
+def _pii_laced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PII-laced corpus: every doc gets an email, every
+    3rd a phone, every 5th an IPv4, every 7th an SSN — the same
+    construction the oracle replays in SQL."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    did = F.col("doc_id")
+    laced = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@mail.example.org"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                ((did * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" ssn 123-45-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", laced.alias("text"))
+
+
+_PII_LACED_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.org'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' call 555-'"
+    " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' from 10.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
+    " || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub scored end-to-end: per-class counts + the md5 of the
+    fully redacted text, hash-strict against a DuckDB oracle that is
+    GENERATED from the same pattern table (operators/pii.py)."""
+    from geos_spark.operators.pii import redact_pii
+
+    out = redact_pii(_pii_laced(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ip",
+        "n_ssn",
+        "n_phone",
+        F.md5(F.encode(F.col("text_redacted"), "utf-8")).alias(
+            "redacted_md5"
+        ),
+    )
+
+
+def q_pii_redact_sql() -> str:
+    from geos_spark.operators.pii import pii_oracle_exprs
+
+    counts, red = pii_oracle_exprs("t")
+    cols = ", ".join(counts)
+    return f"""
+WITH corpus AS (SELECT doc_id, {_PII_LACED_SQL} AS t FROM documents)
+SELECT doc_id, {cols}, md5({red}) AS redacted_md5
+FROM corpus
+"""
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 composite quality filter: six named boolean rules +
+    the conjunctive keep flag, all native codegen expressions."""
+    from geos_spark.operators.text import gopher_rules
+
+    out = gopher_rules(_docs(spark, sf_dir), min_words=20)
+    flags = [
+        "r_words",
+        "r_mean_len",
+        "r_symbols",
+        "r_stopwords",
+        "r_alpha",
+        "r_blocklist",
+        "keep",
+    ]
+    return out.select(
+        "doc_id", *[F.col(c).cast("int").alias(c) for c in flags]
+    )
+
+
+def q_gopher_filter_sql() -> str:
+    words = ["the", "and", "of", "to", "in", "is", "was", "for"]
+    hits = " + ".join(
+        f"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+        for w in words
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id, text,
+         length(string_split_regex(trim(text), '\\s+')) AS wc,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace,
+         CAST((length(text) - length(replace(text, '#', ''))) AS BIGINT)
+           + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS symbols,
+         {hits} AS stop_hits,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS alpha
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         CAST(wc >= 20 AND wc <= 100000 AS INT) AS r_words,
+         CAST(CAST(nonspace AS DOUBLE) / greatest(wc, 1) >= 2.0
+              AND CAST(nonspace AS DOUBLE) / greatest(wc, 1) <= 10.0 AS INT) AS r_mean_len,
+         CAST(CAST(symbols AS DOUBLE) / greatest(wc, 1) <= 0.1 AS INT) AS r_symbols,
+         CAST(stop_hits >= 2 AS INT) AS r_stopwords,
+         CAST(CAST(alpha AS DOUBLE) / greatest(nonspace, 1) >= 0.6 AS INT) AS r_alpha,
+         CAST(NOT (contains(lower(text), 'javascript')
+                   OR contains(lower(text), 'lorem ipsum')
+                   OR contains(lower(text), '{{')) AS INT) AS r_blocklist
+  FROM m
+)
+SELECT doc_id, r_words, r_mean_len, r_symbols, r_stopwords, r_alpha, r_blocklist,
+       CAST(r_words = 1 AND r_mean_len = 1 AND r_symbols = 1 AND r_stopwords = 1
+            AND r_alpha = 1 AND r_blocklist = 1 AS INT) AS keep
+FROM r
+"""
+
+
+def q_sample_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-language) deterministic sampling: broadcast
+    fraction dim + portable hash threshold; 'es' exercises the
+    default fraction."""
+    from geos_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(
+        _docs(spark, sf_dir),
+        {"en": 0.5, "de": 0.2, "fr": 0.8, "zh": 1.0},
+        strata_col="lang",
+        salt="s7",
+        default_fraction=0.05,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+def q_sample_strat_sql() -> str:
+    return """
+SELECT doc_id, lang, source
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s7'), 1, 8)
+           AS BIGINT) % 1000000 <
+      CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 200000
+                WHEN 'fr' THEN 800000 WHEN 'zh' THEN 1000000
+                ELSE 50000 END
+"""
+
+
+def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style exact paragraph dedup scored end-to-end over a
+    deterministic multi-line corpus (a 50-way shared intro, a unique
+    body line, a 7-way shared quote on every 4th doc). The oracle
+    replays the WHOLE first-occurrence algorithm in SQL."""
+    from geos_spark.operators.dedup import paragraph_dedup
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    text = F.concat(
+        F.lit("intro "),
+        F.md5(F.encode((did % 50).cast("string"), "utf-8")),
+        F.lit("\nbody "),
+        F.md5(F.encode(did.cast("string"), "utf-8")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit("\nquote "),
+                F.md5(F.encode((did % 7).cast("string"), "utf-8")),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    corpus = d.select("doc_id", text.alias("text"))
+    out = paragraph_dedup(corpus)
+    return out.select(
+        "doc_id",
+        "n_paras",
+        "n_paras_kept",
+        F.md5(F.encode(F.col("clean_text"), "utf-8")).alias("clean_md5"),
+    )
+
+
+def q_para_dedup_sql() -> str:
+    return """
+WITH corpus AS (
+  SELECT doc_id,
+         'intro ' || md5(CAST(doc_id % 50 AS VARCHAR)) || chr(10) ||
+         'body ' || md5(CAST(doc_id AS VARCHAR)) ||
+         CASE WHEN doc_id % 4 = 0
+              THEN chr(10) || 'quote ' || md5(CAST(doc_id % 7 AS VARCHAR))
+              ELSE '' END AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(generate_series(0, length(string_split(text, chr(10))) - 1)) AS pos
+  FROM corpus
+), owner AS (
+  SELECT line, min(doc_id * 1000 + pos) AS own FROM lines GROUP BY line
+), kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l JOIN owner o ON l.line = o.line
+  WHERE l.doc_id * 1000 + l.pos = o.own
+), rebuilt AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_paras_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(length(string_split(c.text, chr(10))) AS INT) AS n_paras,
+       COALESCE(r.n_paras_kept, 0) AS n_paras_kept,
+       md5(COALESCE(r.clean_text, '')) AS clean_md5
+FROM corpus c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id
+"""
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical ranking (Lucene +1-smoothed idf) for a 3-term
+    query, scored to 6 decimals against the closed-form SQL oracle."""
+    from geos_spark.operators.ranking import bm25_scores
+
+    out = bm25_scores(
+        _docs(spark, sf_dir), ["spark", "hash", "merge"]
+    )
+    return out.select(
+        "doc_id",
+        "n_hits",
+        F.round(F.col("score"), 6).alias("score_r"),
+    )
+
+
+def q_bm25_sql() -> str:
+    return r"""
+WITH dl AS (
+  SELECT doc_id, length(string_split_regex(trim(text), '\s+')) AS dl
+  FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+), toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN ('spark', 'hash', 'merge')
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_t FROM tf GROUP BY term
+)
+SELECT tf.doc_id,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       ROUND(SUM(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                 * tf * 2.2
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score_r
+FROM tf
+JOIN dl ON tf.doc_id = dl.doc_id
+CROSS JOIN stats
+JOIN dft ON tf.term = dft.term
+GROUP BY tf.doc_id
+"""
+
+
+def q_inv_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per-(term, doc) posting rows with term
+    frequency and first/last token positions."""
+    from geos_spark.operators.ranking import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir)).select(
+        "term", "doc_id", "tf", "first_pos", "last_pos"
+    )
+
+
+def q_inv_index_sql() -> str:
+    return r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\s+')) AS term,
+         unnest(generate_series(0, length(string_split_regex(trim(text), '\s+')) - 1)) AS pos
+  FROM documents
+)
+SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+       CAST(min(pos) AS INT) AS first_pos,
+       CAST(max(pos) AS INT) AS last_pos
+FROM toks GROUP BY term, doc_id
+"""
+
+
+QUERIES.update(
+    {
+        "pii_redact": q_pii_redact,
+        "gopher_filter": q_gopher_filter,
+        "sample_strat": q_sample_strat,
+        "para_dedup": q_para_dedup,
+        "bm25": q_bm25,
+        "inv_index": q_inv_index,
+    }
+)
+
+ORACLES.update(
+    {
+        "pii_redact": q_pii_redact_sql(),
+        "gopher_filter": q_gopher_filter_sql(),
+        "sample_strat": q_sample_strat_sql(),
+        "para_dedup": q_para_dedup_sql(),
+        "bm25": q_bm25_sql(),
+        "inv_index": q_inv_index_sql(),
+    }
+)

@@ -1,0 +1,159 @@
+"""Webtext pipeline tranche 2: PII redaction, Gopher/C4 quality
+filter, stratified sampling, paragraph dedup, BM25 + inverted index.
+
+Each operator's catalog query is gate-scored against a DuckDB oracle
+(tools/check_queries.py); these tests pin the SEMANTICS on hand-built
+edge cases the synthetic corpus can't exercise.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_redact_pii_classes_and_sequence(spark):
+    from geos_spark.operators.pii import redact_pii
+
+    rows = [
+        (1, "mail a.b+c@ex-am.ple.org and 10.0.0.1 now"),
+        (2, "ssn 123-45-6789 phone 555-123-4567 plain"),
+        (3, "no pii here at all"),
+        (4, "two mails x@y.zw and w@v.uk"),
+        # ip then ssn-shaped digits inside a phone — sequential
+        # contract: ip redacted first, ssn before phone
+        (5, "999.999.999.999 and 111-22-3333"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r
+        for r in redact_pii(df).collect()
+    }
+    assert out[1]["n_email"] == 1 and out[1]["n_ip"] == 1
+    assert "<EMAIL>" in out[1]["text_redacted"]
+    assert "<IP>" in out[1]["text_redacted"]
+    assert out[2]["n_ssn"] == 1 and out[2]["n_phone"] == 1
+    assert out[2]["text_redacted"] == "ssn <SSN> phone <PHONE> plain"
+    assert out[3]["text_redacted"] == "no pii here at all"
+    assert sum(out[3][c] for c in ("n_email", "n_ip", "n_ssn", "n_phone")) == 0
+    assert out[4]["n_email"] == 2
+    assert out[5]["n_ip"] == 1 and out[5]["n_ssn"] == 1
+
+
+def test_gopher_rules_edges(spark):
+    from geos_spark.operators.text import gopher_rules
+
+    rows = [
+        (1, "the and of to in is was for good text here all fine"),
+        (2, "short"),  # fails r_words (min 5)
+        (3, "pharmacological internationalization " * 5),  # long words
+        (4, "the of # # # # is to"),  # symbol-heavy
+        (5, "the of javascript is to in here now"),  # blocklist
+        (6, "zz qq ww ee rr tt yy uu"),  # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["r_words"] is False and out[2]["keep"] is False
+    assert out[3]["r_mean_len"] is False
+    assert out[4]["r_symbols"] is False
+    assert out[5]["r_blocklist"] is False
+    assert out[6]["r_stopwords"] is False
+
+
+def test_stratified_sample_determinism(spark):
+    from geos_spark.operators.sampling import stratified_sample
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("xx")
+        .alias("lang"),
+    )
+    frac = {"en": 0.5, "de": 0.1}
+    a = stratified_sample(df, frac, salt="t")
+    b = stratified_sample(df.repartition(17), frac, salt="t")
+    ids_a = {r["doc_id"] for r in a.collect()}
+    ids_b = {r["doc_id"] for r in b.collect()}
+    # partitioning-invariant
+    assert ids_a == ids_b
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in a.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # en ~ 0.5 * 1334, de ~ 0.1 * 1333, default 0 for 'xx'
+    assert 520 <= by_lang["en"] <= 810
+    assert 60 <= by_lang["de"] <= 220
+    assert "xx" not in by_lang
+    # independent salts draw different sets
+    c = stratified_sample(df, frac, salt="u")
+    assert {r["doc_id"] for r in c.collect()} != ids_a
+
+
+def test_paragraph_dedup_first_occurrence(spark):
+    from geos_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "shared\nuniq1"),
+        (2, "shared\nuniq2\nshared"),  # in-doc repeat also deduped
+        (3, "shared"),  # fully boilerplate -> empty
+        (4, "uniq4\nshared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert out[1]["clean_text"] == "shared\nuniq1"
+    assert out[1]["n_paras"] == 2 and out[1]["n_paras_kept"] == 2
+    assert out[2]["clean_text"] == "uniq2"
+    assert out[2]["n_paras"] == 3 and out[2]["n_paras_kept"] == 1
+    assert out[3]["clean_text"] == "" and out[3]["n_paras_kept"] == 0
+    assert out[4]["clean_text"] == "uniq4"
+
+
+def test_bm25_closed_form(spark):
+    from geos_spark.operators.ranking import bm25_scores
+
+    rows = [
+        (1, "cat dog cat"),
+        (2, "dog bird"),
+        (3, "fish fish fish"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r for r in bm25_scores(df, ["cat", "dog"]).collect()
+    }
+    n, avgdl = 3, (3 + 2 + 3) / 3.0
+    k1, b = 1.2, 0.75
+
+    def idf(dft):
+        return math.log((n - dft + 0.5) / (dft + 0.5) + 1.0)
+
+    def part(tf, dl):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp1 = idf(1) * part(2, 3) + idf(2) * part(1, 3)
+    exp2 = idf(2) * part(1, 2)
+    assert out[1]["n_hits"] == 2
+    assert out[1]["score"] == pytest.approx(exp1, rel=1e-12)
+    assert out[2]["score"] == pytest.approx(exp2, rel=1e-12)
+    assert 3 not in out
+    # higher-tf doc with equal dl outranks
+    assert out[1]["score"] > out[2]["score"]
+
+
+def test_inverted_index_postings(spark):
+    from geos_spark.operators.ranking import inverted_index
+
+    df = spark.createDataFrame(
+        [(1, "a b a c a"), (2, "c a")], "doc_id int, text string"
+    )
+    out = {
+        (r["term"], r["doc_id"]): r
+        for r in inverted_index(df).collect()
+    }
+    assert out[("a", 1)]["tf"] == 3
+    assert out[("a", 1)]["first_pos"] == 0
+    assert out[("a", 1)]["last_pos"] == 4
+    assert out[("c", 2)]["first_pos"] == 0
+    assert out[("a", 2)]["tf"] == 1
+    assert len(out) == 5
