@@ -696,3 +696,57 @@ def paragraph_dedup(
         )
         .withColumn("clean_text", F.coalesce("clean_text", F.lit("")))
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C procedure, as
+    re-implemented by every open pipeline since): flag every corpus
+    document that shares at least one k-word shingle with the
+    benchmark/eval set.
+
+    Scale shape (the 100 TB plan):
+    - the benchmark gram set is tiny by construction (eval suites are
+      MBs, the corpus is TBs) — it broadcasts as 8-byte xxhash64 keys;
+    - the corpus side is a stateless shingle explode + BROADCAST hash
+      join; only MATCHED grams enter the per-doc count shuffle, so a
+      clean corpus shuffles ~nothing;
+    - per-doc gram counts come from the same shingle array (no second
+      tokenization pass).
+
+    Returns (id_col, n_grams, n_contam, contaminated): distinct
+    k-grams per doc, how many of them hit the benchmark set, and the
+    0/1 flag.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), k)).alias("g")
+        )
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    with_sh = corpus.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), k).alias("__sh"),
+    )
+    grams = with_sh.select(
+        id_col, F.explode("__sh").alias("g")
+    ).select(id_col, F.xxhash64("g").alias("gh"))
+    matched = (
+        grams.join(F.broadcast(bench_grams), on="gh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contam"))
+    )
+    return (
+        with_sh.select(id_col, F.size("__sh").alias("n_grams"))
+        .join(matched, on=id_col, how="left")
+        .withColumn("n_contam", F.coalesce("n_contam", F.lit(0)))
+        .withColumn(
+            "contaminated", (F.col("n_contam") > 0).cast("int")
+        )
+    )

@@ -443,3 +443,29 @@ def gopher_rules(
     for name in rules:
         keep = F.col(name) if keep is None else keep & F.col(name)
     return out.withColumn("keep", keep)
+
+
+def char_entropy(text: Column) -> Column:
+    """Character-level Shannon entropy in nats — the classic cheap
+    perplexity proxy (low entropy = repetitive/degenerate text, high
+    = encrypted/binary junk; C4/CCNet-era pipelines threshold both
+    tails).
+
+    Zero shuffle, zero explode: the distinct-char array stays inside
+    one codegen projection, per-char counts via the length-difference
+    trick, summed with an ``aggregate`` HOF. Cost is
+    O(distinct_chars * len) per row with no data movement — at 100 TB
+    this is a map-only pass.
+    """
+    n = F.length(text).cast("double")
+    uniq = F.array_distinct(F.split(text, ""))
+
+    def _term(acc, c):
+        cnt = (F.length(text) - F.length(F.replace(text, c))).cast(
+            "double"
+        )
+        return acc - (cnt / n) * F.log(cnt / n)
+
+    return F.when(F.length(text) <= 0, F.lit(0.0)).otherwise(
+        F.aggregate(uniq, F.lit(0.0), _term)
+    )

@@ -3566,3 +3566,86 @@ ORACLES.update(
         "inv_index": q_inv_index_sql(),
     }
 )
+
+
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 97 == 0 stand in
+    for the eval set; every corpus doc sharing a distinct 5-gram with
+    it is flagged. Broadcast gram-set join, matched-rows-only count
+    shuffle."""
+    from geos_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    out = decontaminate(docs, bench, k=5)
+    return out.select("doc_id", "n_grams", "n_contam", "contaminated")
+
+
+def q_decontam_sql() -> str:
+    return r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), shingles AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, GREATEST(len(t) - 4, 1) + 1),
+             i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])
+         )) AS sh
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(sh) AS g FROM shingles WHERE doc_id % 97 = 0
+), grams AS (
+  SELECT doc_id, unnest(sh) AS g FROM shingles
+), matched AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contam
+  FROM grams JOIN bench USING (g) GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(len(s.sh) AS INT) AS n_grams,
+       COALESCE(m.n_contam, 0) AS n_contam,
+       CAST(COALESCE(m.n_contam, 0) > 0 AS INT) AS contaminated
+FROM shingles s LEFT JOIN matched m ON s.doc_id = m.doc_id
+"""
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality proxy, zero-shuffle HOF plan; scored
+    to 6 decimals against an explode-and-aggregate SQL oracle."""
+    from geos_spark.operators.text import char_entropy
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(char_entropy(F.col("text")), 6).alias("entropy_r"),
+    )
+
+
+def q_char_entropy_sql() -> str:
+    return """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+), counts AS (
+  SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS cnt
+  FROM chars GROUP BY doc_id, c
+), tot AS (
+  SELECT doc_id, CAST(length(text) AS DOUBLE) AS n FROM documents
+)
+SELECT t.doc_id,
+       ROUND(COALESCE(-SUM((cnt / n) * ln(cnt / n)), 0.0), 6) AS entropy_r
+FROM tot t LEFT JOIN counts c ON t.doc_id = c.doc_id
+GROUP BY t.doc_id, t.n
+"""
+
+
+QUERIES.update(
+    {
+        "decontam": q_decontam,
+        "char_entropy": q_char_entropy,
+    }
+)
+
+ORACLES.update(
+    {
+        "decontam": q_decontam_sql(),
+        "char_entropy": q_char_entropy_sql(),
+    }
+)

@@ -157,3 +157,52 @@ def test_inverted_index_postings(spark):
     assert out[("c", 2)]["first_pos"] == 0
     assert out[("a", 2)]["tf"] == 1
     assert len(out) == 5
+
+
+def test_decontaminate_flags(spark):
+    from geos_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, "unrelated words entirely different here now"),
+            (4, None),
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "xx alpha beta gamma delta epsilon yy")],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(corpus, bench, k=5).collect()
+    }
+    # doc 1 shares the 5-gram "alpha beta gamma delta epsilon"
+    assert out[1]["contaminated"] == 1 and out[1]["n_contam"] == 1
+    assert out[2]["contaminated"] == 0
+    assert out[3]["contaminated"] == 0
+    assert out[4]["contaminated"] == 0 and out[4]["n_grams"] == 0
+    assert out[1]["n_grams"] == 2  # 6 words -> two 5-grams
+
+
+def test_char_entropy_closed_form(spark):
+    import math
+
+    from geos_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, ""), (4, "aabb")],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r["e"]
+        for r in df.select(
+            "doc_id", char_entropy(F.col("text")).alias("e")
+        ).collect()
+    }
+    assert out[1] == pytest.approx(0.0)
+    assert out[2] == pytest.approx(math.log(2), rel=1e-12)
+    assert out[3] == pytest.approx(0.0)
+    assert out[4] == pytest.approx(math.log(2), rel=1e-12)
