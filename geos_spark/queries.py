@@ -3649,3 +3649,108 @@ ORACLES.update(
         "char_entropy": q_char_entropy_sql(),
     }
 )
+
+
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web link-graph extraction: anchors pulled from html bytes with
+    an all-JVM regexp chain; the oracle reconstructs the edge list
+    independently from the generator formula (cross-engine proof that
+    the regex extraction is exact)."""
+    from geos_spark.operators.links import extract_links
+    from geos_spark.sources.pages import synth_linked_pages
+
+    n = _docs(spark, sf_dir).count()
+    return extract_links(synth_linked_pages(spark, n))
+
+
+def q_link_extract_sql() -> str:
+    return """
+WITH nd AS (SELECT count(*) AS n FROM documents),
+links AS (
+  SELECT doc_id AS i, unnest(range(2 + (doc_id % 3))) AS j
+  FROM documents
+)
+SELECT 'https://site' || (i % 997)::VARCHAR || '.example/page/'
+         || i::VARCHAR AS src_url,
+       'https://site' || (((i*7 + j*131 + 1) % n) % 997)::VARCHAR
+         || '.example/page/' || ((i*7 + j*131 + 1) % n)::VARCHAR AS dst_url
+FROM links CROSS JOIN nd
+"""
+
+
+def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full web-graph pipeline: extract anchors -> collapse to the
+    host graph -> 3 PageRank iterations. The oracle replays all three
+    iterations as chained SQL CTEs."""
+    from geos_spark.operators.links import (
+        extract_links,
+        host_edges,
+        pagerank,
+    )
+    from geos_spark.sources.pages import synth_linked_pages
+
+    n = _docs(spark, sf_dir).count()
+    edges = host_edges(extract_links(synth_linked_pages(spark, n)))
+    out = pagerank(edges, iterations=3)
+    return out.select(
+        "host", F.round(F.col("rank"), 6).alias("rank_r")
+    )
+
+
+def q_host_rank_sql() -> str:
+    head = """
+WITH nd AS (SELECT count(*) AS n FROM documents),
+links AS (
+  SELECT doc_id AS i, unnest(range(2 + (doc_id % 3))) AS j
+  FROM documents
+), edges0 AS (
+  SELECT 'site' || (i % 997)::VARCHAR || '.example' AS src_host,
+         'site' || (((i*7 + j*131 + 1) % n) % 997)::VARCHAR
+           || '.example' AS dst_host
+  FROM links CROSS JOIN nd
+), edges AS (
+  SELECT src_host, dst_host FROM edges0
+  WHERE src_host <> dst_host GROUP BY src_host, dst_host
+), nodes AS (
+  SELECT src_host AS host FROM edges
+  UNION SELECT dst_host FROM edges
+), nn AS (SELECT count(*) AS nh FROM nodes),
+outdeg AS (
+  SELECT src_host, CAST(count(*) AS BIGINT) AS outdeg
+  FROM edges GROUP BY src_host
+), r0 AS (
+  SELECT host, CAST(1.0 AS DOUBLE) / nh AS rank
+  FROM nodes CROSS JOIN nn
+)"""
+    it = """, r{next} AS (
+  SELECT nds.host,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.nh
+           + CAST(0.85 AS DOUBLE) * COALESCE(m.mass, CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes nds CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst_host AS host, SUM(r.rank / o.outdeg) AS mass
+    FROM edges e
+    JOIN r{cur} r ON e.src_host = r.host
+    JOIN outdeg o ON e.src_host = o.src_host
+    GROUP BY e.dst_host
+  ) m ON nds.host = m.host
+)"""
+    body = head + "".join(
+        it.format(cur=k, next=k + 1) for k in range(3)
+    )
+    return body + "\nSELECT host, ROUND(rank, 6) AS rank_r FROM r3"
+
+
+QUERIES.update(
+    {
+        "link_extract": q_link_extract,
+        "host_rank": q_host_rank,
+    }
+)
+
+ORACLES.update(
+    {
+        "link_extract": q_link_extract_sql(),
+        "host_rank": q_host_rank_sql(),
+    }
+)

@@ -206,3 +206,61 @@ def test_char_entropy_closed_form(spark):
     assert out[2] == pytest.approx(math.log(2), rel=1e-12)
     assert out[3] == pytest.approx(0.0)
     assert out[4] == pytest.approx(math.log(2), rel=1e-12)
+
+
+def test_extract_links_and_host(spark):
+    from geos_spark.operators.links import extract_links, host_edges
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.ex/p/1",
+                bytearray(
+                    b'<html><body>x <a href="https://b.ex/q">t</a>'
+                    b'<a href="https://a.ex/p/2">u</a></body></html>'
+                ),
+            ),
+            ("https://c.ex/", bytearray(b"<html><body>none</body></html>")),
+        ],
+        "url string, html binary",
+    )
+    links = extract_links(pages).collect()
+    assert {(r["src_url"], r["dst_url"]) for r in links} == {
+        ("https://a.ex/p/1", "https://b.ex/q"),
+        ("https://a.ex/p/1", "https://a.ex/p/2"),
+    }
+    he = {
+        (r["src_host"], r["dst_host"]): r["weight"]
+        for r in host_edges(extract_links(pages)).collect()
+    }
+    # self-loop a.ex -> a.ex dropped
+    assert he == {("a.ex", "b.ex"): 1}
+
+
+def test_pagerank_closed_form(spark):
+
+    from geos_spark.operators.links import pagerank
+
+    # 3-node graph: a->b, a->c, b->c, c->a
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")],
+        "src_host string, dst_host string",
+    )
+    got = {
+        r["host"]: r["rank"]
+        for r in pagerank(edges, iterations=4).collect()
+    }
+    hosts = ["a", "b", "c"]
+    out = {"a": ["b", "c"], "b": ["c"], "c": ["a"]}
+    r = {h: 1 / 3 for h in hosts}
+    for _ in range(4):
+        nxt = {}
+        for h in hosts:
+            mass = sum(
+                r[u] / len(out[u]) for u in hosts if h in out[u]
+            )
+            nxt[h] = 0.15 / 3 + 0.85 * mass
+        r = nxt
+    for h in hosts:
+        assert got[h] == pytest.approx(r[h], rel=1e-12), h
+    assert abs(sum(got.values()) - 1.0) < 0.25  # mass roughly conserved
