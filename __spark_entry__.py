@@ -1,17 +1,22 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)  -> flagship point-in-polygon spatial join at sf0.001.
-queries()     -> operator catalog (geos_spark.queries.QUERIES; 71 as
-                 of round 4) — synthetic-table operators (joins,
+queries()     -> operator catalog (geos_spark.queries.QUERIES; 81 as
+                 of late round 4) — synthetic-table operators (joins,
                  tiling, kNN, clustering, coverage
                  validate/simplify/clean, dedup + the full near-dup
-                 pipeline, corpus shaping (hash sampling, source
-                 quota, boilerplate line removal, URL
-                 canonicalization), ANN (exact/LSH/matmul/IVF/
-                 IVF-PQ), text, html->text extraction with the
-                 cross-engine byte-identity oracle (pages_extract),
-                 Z/M ordinate surface (geom_zm), SQL/MM curve
-                 measures, structural accessors),
+                 pipeline + paragraph dedup + benchmark
+                 decontamination, corpus shaping (hash/stratified
+                 sampling, source quota, boilerplate line removal,
+                 URL canonicalization, PII redaction, Gopher/C4
+                 quality filter, char entropy), lexical retrieval
+                 (BM25, inverted index), web link graph
+                 (anchor extraction, host PageRank), ANN
+                 (exact/LSH/matmul/IVF/IVF-PQ), text, html->text
+                 extraction with the cross-engine byte-identity
+                 oracle (pages_extract), Z/M ordinate surface
+                 (geom_zm), SQL/MM curve measures, structural
+                 accessors),
                  Structured-Streaming twins run to completion
                  (stream_dedup/tiles/sessions/first_seen/pip/quota/
                  ann), plus the xmltester corpus promoted as xt_*

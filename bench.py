@@ -120,6 +120,25 @@ def _dedup_corpus_parquet(spark, n: int, parts: int) -> str:
     return path
 
 
+def _pages_corpus_parquet(spark, n: int, linked: bool = False) -> str:
+    """Deterministic Common-Crawl-shape pages corpus (synth_pages /
+    synth_linked_pages), cached to parquet so bench lines time the
+    operator, not the generator."""
+    suffix = "_linked" if linked else ""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_cache",
+        f"pages_{n}{suffix}.parquet",
+    )
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from geos_spark.sources.pages import synth_linked_pages, synth_pages
+
+    gen = synth_linked_pages if linked else synth_pages
+    gen(spark, n).write.mode("overwrite").parquet(path)
+    return path
+
+
 def _bench_queries(spark):
     """Headline jobs. Each returns a DataFrame; timing includes full
     materialization (count)."""
@@ -380,6 +399,45 @@ def _bench_queries(spark):
             docs, num_hashes=16, bands=4, shingle_k=3, threshold=0.5
         )
 
+    pages_src = _pages_corpus_parquet(spark, N_SYNTH)
+    linked_src = _pages_corpus_parquet(spark, 2 * N_SYNTH, linked=True)
+
+    def pii_redact_1m():
+        # the pre-training PII scrub at throughput: 4 regex classes
+        # counted + replaced over 1m pages of text, all-JVM codegen;
+        # corpus read from cached parquet so only the scrub is timed.
+        # Oracle coverage: catalog row `pii_redact` (pattern-table-
+        # generated DuckDB twin).
+        from pyspark.sql import functions as F
+
+        from geos_spark.operators.pii import redact_pii
+
+        p = spark.read.parquet(pages_src).select(
+            F.col("page_id").alias("doc_id"), "text"
+        )
+        out = redact_pii(p)
+        return out.agg(
+            F.sum("n_email").alias("e"),
+            F.sum("n_phone").alias("p"),
+            F.sum(F.length("text_redacted")).alias("chars"),
+        )
+
+    def host_rank_2m():
+        # full web-graph pipeline: 2m pages (cached parquet) ->
+        # anchor extraction (6m hrefs, JVM regex) -> host-graph
+        # collapse -> 3 PageRank iterations over the 997-host graph.
+        # Oracle coverage: catalog rows `link_extract` + `host_rank`.
+        from geos_spark.operators.links import (
+            extract_links,
+            host_edges,
+            pagerank,
+        )
+
+        pages = spark.read.parquet(linked_src)
+        edges = host_edges(extract_links(pages))
+        # all 997 hosts appear as sources by construction (i % 997)
+        return pagerank(edges, iterations=3, n_nodes=997)
+
     # 10x tier: the three headline joins at the next scale decade
     # (10m rows) — direct evidence the plans grow ~linearly. Timed
     # once each (single run; the 1m tier carries the variance-managed
@@ -429,6 +487,8 @@ def _bench_queries(spark):
         "dedup_exact": (dedup_exact_sf, None),
         "token_stats": (token_stats_sf, None),
         "pages_extract_1m": (pages_extract_1m, N_SYNTH),
+        "pii_redact_1m": (pii_redact_1m, N_SYNTH),
+        "host_rank_2m": (host_rank_2m, 2 * N_SYNTH),
         "dedup_clusters_200k": (dedup_clusters_200k, 200_000),
         "pip_join_10m": (pip_join_10m, 10 * N_SYNTH),
         "pip_native_10m": (pip_native_10m, 10 * N_SYNTH),

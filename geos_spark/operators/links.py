@@ -74,6 +74,7 @@ def pagerank(
     dst_col: str = "dst_host",
     checkpoint_every: int | None = None,
     n_nodes: int | None = None,
+    cache_edges: bool = True,
 ) -> DataFrame:
     """Unweighted PageRank over the edge list, fixed iteration count:
 
@@ -87,6 +88,12 @@ def pagerank(
     Returns (host, rank). Deterministic up to float summation order;
     the catalog query rounds to 6 decimals.
     """
+    # every iteration re-joins the edge list; without caching, an
+    # upstream extraction pipeline would be re-executed per iteration
+    # (plus once each for nodes and outdeg). Persist unless the
+    # caller manages storage itself.
+    if cache_edges:
+        edges = edges.persist()
     nodes = (
         edges.select(F.col(src_col).alias("host"))
         .union(edges.select(F.col(dst_col).alias("host")))
