@@ -117,3 +117,70 @@ def stratified_sample(
         F.pmod(h, F.lit(_DENOM))
         < F.coalesce(F.col("__thresh"), F.lit(default_thresh))
     ).drop("__thresh")
+
+
+def pack_shards(
+    df: DataFrame,
+    budget: int,
+    size_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    num_ranges: int = 64,
+) -> DataFrame:
+    """GPT-style sequence packing: documents are laid end-to-end in
+    ``order_col`` order and cut into training shards of ``budget``
+    tokens (documents may straddle a cut — the concatenate-and-split
+    regime). Adds ``global_offset`` (tokens before this doc),
+    ``shard_id`` and ``shard_offset``.
+
+    Scale shape — a DISTRIBUTED PREFIX SUM, not a global window (a
+    window with no partition key collapses the whole corpus onto one
+    task):
+    1. ``repartitionByRange`` on the order key (RangePartitioner
+       assigns ascending key ranges to ascending partition ids);
+    2. within-partition running sums via a window partitioned by
+       ``spark_partition_id()`` — parallel across partitions;
+    3. per-partition totals are one tiny aggregate (``num_ranges``
+       rows) collected to the driver, turned into cumulative base
+       offsets, and joined back as a broadcast dim.
+    At 100 TB the only data-sized movements are the range shuffle and
+    the final projection; the driver sees ``num_ranges`` longs.
+    """
+    ranged = df.repartitionByRange(num_ranges, F.col(order_col))
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = with_pid.withColumn(
+        "__before",
+        F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long"),
+    ).persist()
+    totals = (
+        local.groupBy("__pid")
+        .agg(F.sum(size_col).cast("long").alias("__tot"))
+        .collect()
+    )
+    base, acc = {}, 0
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        base[r["__pid"]] = acc
+        acc += r["__tot"]
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(p, b) for p, b in sorted(base.items())],
+        schema="__pid int, __base long",
+    )
+    out = local.join(F.broadcast(dim), on="__pid")
+    goff = F.col("__base") + F.col("__before")
+    soff = F.pmod(goff, F.lit(budget))
+    # exact integer shard id: (goff - soff) is an exact multiple of
+    # budget, so the double division is correctly rounded to the
+    # integer quotient even for 2^50-token corpora (float floor(a/b)
+    # would not be)
+    sid = ((goff - soff) / F.lit(budget)).cast("long")
+    return (
+        out.withColumn("global_offset", goff)
+        .withColumn("shard_id", sid)
+        .withColumn("shard_offset", soff)
+        .drop("__pid", "__before", "__base")
+    )

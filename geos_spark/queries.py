@@ -3754,3 +3754,110 @@ ORACLES.update(
         "host_rank": q_host_rank_sql(),
     }
 )
+
+
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: documents laid end-to-end by
+    doc_id, cut into 4096-char shards. The engine computes the global
+    prefix sum DISTRIBUTED (range partitions + per-partition windows
+    + broadcast base offsets); the oracle is the single global SQL
+    window it must equal."""
+    from geos_spark.operators.sampling import pack_shards
+
+    out = pack_shards(
+        _docs(spark, sf_dir), 4096, size_col="n_chars",
+        order_col="doc_id", num_ranges=16,
+    )
+    return out.select(
+        "doc_id", "global_offset", "shard_id", "shard_offset"
+    )
+
+
+def q_pack_shards_sql() -> str:
+    return """
+SELECT doc_id,
+       CAST(COALESCE(SUM(n_chars) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS global_offset,
+       CAST(COALESCE(SUM(n_chars) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         // 4096 AS BIGINT) AS shard_id,
+       CAST(COALESCE(SUM(n_chars) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         % 4096 AS BIGINT) AS shard_offset
+FROM documents
+"""
+
+
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl delta: snapshot B perturbs every 5th doc's content,
+    drops every 11th, and adds a shifted id-space page for every 13th;
+    the operator classifies each url added/removed/changed/unchanged
+    via a slim fingerprint full-outer join."""
+    from geos_spark.operators.crawl import crawl_delta
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    url = F.concat(F.lit("u/"), F.col("doc_id").cast("string"))
+    old = d.select(url.alias("url"), "text")
+    new_existing = (
+        d.where(F.col("doc_id") % 11 != 0)
+        .select(
+            url.alias("url"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.col("text"), F.lit(" upd")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    added = d.where(F.col("doc_id") % 13 == 0).select(
+        F.concat(
+            F.lit("u/"), (F.col("doc_id") + 1000000).cast("string")
+        ).alias("url"),
+        F.col("text"),
+    )
+    out = crawl_delta(old, new_existing.unionByName(added))
+    return out.select("url", "status", "old_md5", "new_md5")
+
+
+def q_crawl_delta_sql() -> str:
+    return """
+WITH old AS (
+  SELECT 'u/' || doc_id::VARCHAR AS url, md5(text) AS old_md5
+  FROM documents
+), new AS (
+  SELECT 'u/' || doc_id::VARCHAR AS url,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' upd' ELSE text END)
+           AS new_md5
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT 'u/' || (doc_id + 1000000)::VARCHAR AS url, md5(text) AS new_md5
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT COALESCE(o.url, n.url) AS url,
+       CASE WHEN o.old_md5 IS NULL THEN 'added'
+            WHEN n.new_md5 IS NULL THEN 'removed'
+            WHEN o.old_md5 = n.new_md5 THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       o.old_md5, n.new_md5
+FROM old o FULL OUTER JOIN new n ON o.url = n.url
+"""
+
+
+QUERIES.update(
+    {
+        "pack_shards": q_pack_shards,
+        "crawl_delta": q_crawl_delta,
+    }
+)
+
+ORACLES.update(
+    {
+        "pack_shards": q_pack_shards_sql(),
+        "crawl_delta": q_crawl_delta_sql(),
+    }
+)

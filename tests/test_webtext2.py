@@ -264,3 +264,49 @@ def test_pagerank_closed_form(spark):
     for h in hosts:
         assert got[h] == pytest.approx(r[h], rel=1e-12), h
     assert abs(sum(got.values()) - 1.0) < 0.25  # mass roughly conserved
+
+
+def test_pack_shards_prefix_sum(spark):
+    from geos_spark.operators.sampling import pack_shards
+
+    df = spark.createDataFrame(
+        [(i, 10 * (i % 3 + 1)) for i in range(100)],
+        "doc_id int, n_tokens int",
+    )
+    out = pack_shards(
+        df, 25, size_col="n_tokens", order_col="doc_id", num_ranges=7
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    run = 0
+    for i in range(100):
+        r = got[i]
+        assert r["global_offset"] == run, i
+        assert r["shard_id"] == run // 25
+        assert r["shard_offset"] == run % 25
+        run += 10 * (i % 3 + 1)
+    # partitioning-count invariance
+    out2 = pack_shards(
+        df.repartition(13), 25, size_col="n_tokens",
+        order_col="doc_id", num_ranges=3,
+    ).collect()
+    assert {r["doc_id"]: r["global_offset"] for r in out2} == {
+        r["doc_id"]: r["global_offset"] for r in out
+    }
+
+
+def test_crawl_delta_statuses(spark):
+    from geos_spark.operators.crawl import crawl_delta
+
+    old = spark.createDataFrame(
+        [("a", "x"), ("b", "y"), ("c", "z")], "url string, text string"
+    )
+    new = spark.createDataFrame(
+        [("a", "x"), ("b", "Y2"), ("d", "w")], "url string, text string"
+    )
+    out = {r["url"]: r["status"] for r in crawl_delta(old, new).collect()}
+    assert out == {
+        "a": "unchanged",
+        "b": "changed",
+        "c": "removed",
+        "d": "added",
+    }
