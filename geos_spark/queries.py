@@ -3242,7 +3242,10 @@ def _pii_laced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic PII-laced corpus: every doc gets an email, every
     3rd a phone, every 5th an IPv4, every 7th an SSN — the same
     construction the oracle replays in SQL."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return _lace_pii(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def _lace_pii(d: DataFrame) -> DataFrame:
     did = F.col("doc_id")
     laced = F.concat(
         F.col("text"),
@@ -3861,3 +3864,34 @@ ORACLES.update(
         "crawl_delta": q_crawl_delta_sql(),
     }
 )
+
+
+def q_stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of pii_redact: the same lacing + scrub as a
+    stateless append-mode stream driven to completion — hash-checked
+    against the SAME DuckDB oracle as the batch query."""
+    from geos_spark.streaming import (
+        read_documents_stream,
+        run_stream_to_memory,
+        streaming_pii_scrub,
+    )
+
+    s = read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    laced = _lace_pii(s.select("doc_id", "text"))
+    out, _ = run_stream_to_memory(
+        streaming_pii_scrub(laced), spark, output_mode="append"
+    )
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ip",
+        "n_ssn",
+        "n_phone",
+        F.md5(F.encode(F.col("text_redacted"), "utf-8")).alias(
+            "redacted_md5"
+        ),
+    )
+
+
+QUERIES.update({"stream_pii": q_stream_pii})
+ORACLES.update({"stream_pii": q_pii_redact_sql()})

@@ -524,3 +524,12 @@ def streaming_ann_topk(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_pii_scrub(sdf: DataFrame) -> DataFrame:
+    """Streaming twin of the PII scrub: the identical stateless
+    redact_pii projection over an unbounded stream (append mode — no
+    state, no watermark; the scrub is a pure map at any scale)."""
+    from geos_spark.operators.pii import redact_pii
+
+    return redact_pii(sdf)

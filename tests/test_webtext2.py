@@ -310,3 +310,35 @@ def test_crawl_delta_statuses(spark):
         "c": "removed",
         "d": "added",
     }
+
+
+def test_streaming_pii_incremental(spark, tmp_path):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from geos_spark.streaming import (
+        run_stream_to_memory,
+        streaming_pii_scrub,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "mail a@b.cd here")], "doc_id int, text string"
+    ).write.parquet(src)
+    spark.createDataFrame(
+        [(2, "clean row")], "doc_id int, text string"
+    ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, q = run_stream_to_memory(
+        streaming_pii_scrub(s), spark, output_mode="append"
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["n_email"] == 1
+    assert rows[1]["text_redacted"] == "mail <EMAIL> here"
+    assert rows[2]["n_email"] == 0
+    # incremental: more than one micro-batch under maxFilesPerTrigger=1
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
