@@ -580,12 +580,30 @@ def _scaling_queries(spark, cores: int):
             docs, num_hashes=16, bands=4, shingle_k=3, threshold=0.5
         )
 
+    def pii_scrub_1m():
+        # the webtext curation map as scaling evidence: quality rules
+        # + 4-class PII scrub over 1m synthesized pages — stateless
+        # regex/codegen compute, zero shuffle until the final tiny agg
+        from geos_spark.operators.pii import redact_pii
+        from geos_spark.operators.text import gopher_rules
+
+        pages = synth_pages(spark, 1_000_000, partitions=parts).select(
+            F.col("page_id").alias("doc_id"), "text"
+        )
+        out = redact_pii(gopher_rules(pages))
+        return out.groupBy("keep").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_email").alias("e"),
+            F.sum(F.length("text_redacted")).alias("chars"),
+        )
+
     return {
         "pip_join_48m": (pip_join_48m, 48_000_000),
         "pip_native_48m": (pip_native_48m, 48_000_000),
         "tile_pipeline_96m": (tile_pipeline_96m, 96_000_000),
         "token_stats_6m": (token_stats_6m, 6_000_000),
         "dedup_clusters_200k": (dedup_clusters_200k, 200_000),
+        "pii_scrub_1m": (pii_scrub_1m, 1_000_000),
     }
 
 

@@ -652,23 +652,32 @@ def paragraph_dedup(
     Returns (id_col, n_paras, n_paras_kept, clean_text); fully
     deduplicated documents keep an empty clean_text.
     """
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), line_sep)).alias(
-            "pos", "line"
-        ),
-    ).withColumn("lh", F.xxhash64("line"))
+    # two independent xxhash64s = an effective 128-bit line key: at
+    # 10^12 paragraphs a single 64-bit key WILL collide (birthday at
+    # ~2^32), silently deleting an innocent paragraph; 128 bits puts
+    # collision odds below 10^-14 for the same corpus
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), line_sep)).alias(
+                "pos", "line"
+            ),
+        )
+        .withColumn("lh", F.xxhash64("line"))
+        .withColumn("lh2", F.xxhash64("line", F.lit(1)))
+    )
     owner = (
-        lines.groupBy("lh")
+        lines.groupBy("lh", "lh2")
         .agg(F.min(F.struct(id_col, "pos")).alias("first_at"))
         .select(
             "lh",
+            "lh2",
             F.col("first_at")[id_col].alias("__own_id"),
             F.col("first_at.pos").alias("__own_pos"),
         )
     )
     kept = (
-        lines.join(owner, on="lh")
+        lines.join(owner, on=["lh", "lh2"])
         .where(
             (F.col(id_col) == F.col("__own_id"))
             & (F.col("pos") == F.col("__own_pos"))
@@ -723,11 +732,18 @@ def decontaminate(
     k-grams per doc, how many of them hit the benchmark set, and the
     0/1 flag.
     """
+    # paired xxhash64s (128-bit effective key): with 10^12 corpus
+    # grams probed against a multi-million-gram benchmark set, a
+    # single 64-bit key has non-negligible odds of one false
+    # contamination flag; 128 bits makes it ~10^-20
     bench_grams = (
         benchmark.select(
             F.explode(word_shingles(F.col(text_col), k)).alias("g")
         )
-        .select(F.xxhash64("g").alias("gh"))
+        .select(
+            F.xxhash64("g").alias("gh"),
+            F.xxhash64("g", F.lit(1)).alias("gh2"),
+        )
         .distinct()
     )
     with_sh = corpus.select(
@@ -736,9 +752,13 @@ def decontaminate(
     )
     grams = with_sh.select(
         id_col, F.explode("__sh").alias("g")
-    ).select(id_col, F.xxhash64("g").alias("gh"))
+    ).select(
+        id_col,
+        F.xxhash64("g").alias("gh"),
+        F.xxhash64("g", F.lit(1)).alias("gh2"),
+    )
     matched = (
-        grams.join(F.broadcast(bench_grams), on="gh")
+        grams.join(F.broadcast(bench_grams), on=["gh", "gh2"])
         .groupBy(id_col)
         .agg(F.count("*").alias("n_contam"))
     )
