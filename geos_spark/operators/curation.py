@@ -1,0 +1,96 @@
+"""Data-selection operators: DSIR-style importance weights.
+
+DSIR (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling") scores every raw document by the
+log-likelihood ratio between a hashed n-gram model of a TARGET
+distribution (e.g. curated text) and one of the RAW corpus, then
+resamples by the weights. This module implements the unigram hashed
+variant:
+
+    bucket(w)  = md5_i64(w) mod B          (portable to any SQL)
+    p_X(b)     = (c_X(b) + a) / (T_X + a*B)   add-a smoothing
+    weight(d)  = mean over tokens w of  ln p_target(bucket(w))
+                                      - ln p_raw(bucket(w))
+
+Scale shape: both models are AT MOST ``buckets`` rows by construction
+(the hashing is exactly what makes DSIR tractable at corpus scale) —
+they broadcast; the corpus-side scan explodes tokens once, joins the
+two tiny models, and aggregates per document. Two broadcast joins +
+one doc-keyed shuffle, zero python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geos_spark.operators.dedup import md5_i64
+
+
+def _token_buckets(
+    df: DataFrame, text_col: str, id_col: str, buckets: int
+) -> DataFrame:
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.col(text_col)), r"\s+")
+        ).alias("w"),
+    )
+    return toks.select(
+        id_col, F.pmod(md5_i64(F.col("w")), F.lit(buckets)).alias("b")
+    )
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document importance weight toward ``target``'s unigram
+    distribution. Returns (id_col, n_toks, weight); higher = more
+    target-like. Deterministic (portable md5 bucket hash); the
+    smoothing constant ``alpha`` keeps unseen buckets finite.
+    """
+    ct = _token_buckets(target, text_col, id_col, buckets)
+    cc = _token_buckets(corpus, text_col, id_col, buckets)
+    tmodel = ct.groupBy("b").agg(F.count("*").alias("ctn"))
+    cmodel = cc.groupBy("b").agg(F.count("*").alias("ccn"))
+    # total-token scalars ride along as one-row broadcast frames
+    ttot = tmodel.agg(F.sum("ctn").alias("T"))
+    ctot = cmodel.agg(F.sum("ccn").alias("C"))
+    doc_toks = _token_buckets(corpus, text_col, id_col, buckets)
+    scored = (
+        doc_toks.join(F.broadcast(tmodel), on="b", how="left")
+        .join(F.broadcast(cmodel), on="b", how="left")
+        .select(
+            id_col,
+            (
+                F.log(F.coalesce("ctn", F.lit(0)) + F.lit(alpha))
+                - F.log(F.coalesce("ccn", F.lit(0)) + F.lit(alpha))
+            ).alias("lr"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_toks"),
+        F.avg("lr").alias("lr_mean"),
+    )
+    aB = alpha * buckets
+    const = (
+        per_doc.crossJoin(F.broadcast(ttot))
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            id_col,
+            "n_toks",
+            (
+                F.col("lr_mean")
+                - F.log(F.col("T") + F.lit(aB))
+                + F.log(F.col("C") + F.lit(aB))
+            ).alias("weight"),
+        )
+    )
+    # docs with no tokens are absent (explode drops them); callers
+    # wanting them can left-join back with weight = ln prior ratio
+    return const

@@ -3895,3 +3895,54 @@ def q_stream_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES.update({"stream_pii": q_stream_pii})
 ORACLES.update({"stream_pii": q_pii_redact_sql()})
+
+
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights toward the English subset: hashed
+    unigram models (4096 buckets, add-1 smoothing) for target=en vs
+    raw=all, per-doc mean log-likelihood ratio. Both models broadcast;
+    the oracle replays the full pipeline in SQL."""
+    from geos_spark.operators.curation import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    out = dsir_weights(docs, docs.where(F.col("lang") == "en"))
+    return out.select(
+        "doc_id",
+        "n_toks",
+        F.round(F.col("weight"), 6).alias("weight_r"),
+    )
+
+
+def q_dsir_sql() -> str:
+    return r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents
+), tb AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 4096 AS b
+  FROM tok
+), tmodel AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS ctn FROM tb
+  WHERE lang = 'en' GROUP BY b
+), cmodel AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS ccn FROM tb GROUP BY b
+), ttot AS (SELECT SUM(ctn) AS T FROM tmodel),
+ctot AS (SELECT SUM(ccn) AS C FROM cmodel),
+scored AS (
+  SELECT tb.doc_id,
+         ln(COALESCE(t.ctn, 0) + 1.0) - ln(COALESCE(c.ccn, 0) + 1.0) AS lr
+  FROM tb
+  LEFT JOIN tmodel t ON tb.b = t.b
+  LEFT JOIN cmodel c ON tb.b = c.b
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       ROUND(AVG(lr) - ln(T + 4096.0) + ln(C + 4096.0), 6) AS weight_r
+FROM scored CROSS JOIN ttot CROSS JOIN ctot
+GROUP BY doc_id, T, C
+"""
+
+
+QUERIES.update({"dsir": q_dsir})
+ORACLES.update({"dsir": q_dsir_sql()})

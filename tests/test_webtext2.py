@@ -342,3 +342,38 @@ def test_streaming_pii_incremental(spark, tmp_path):
     assert rows[2]["n_email"] == 0
     # incremental: more than one micro-batch under maxFilesPerTrigger=1
     assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
+
+
+def test_dsir_weights_direction(spark):
+    from geos_spark.operators.curation import dsir_weights
+
+    # target distribution: "aa bb"; raw adds "zz ww" docs
+    corpus = spark.createDataFrame(
+        [
+            (1, "aa bb aa bb"),
+            (2, "zz ww zz ww"),
+            (3, "aa zz"),
+        ],
+        "doc_id int, text string",
+    )
+    target = spark.createDataFrame(
+        [(10, "aa bb aa bb aa bb")], "doc_id int, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(corpus, target, buckets=64).collect()
+    }
+    # target-like doc outranks off-target doc; mixed in between
+    assert out[1]["weight"] > out[3]["weight"] > out[2]["weight"]
+    assert out[1]["n_toks"] == 4
+    # closed-form check for doc 2 (zz/ww never in target): corpus
+    # counts are zz=3 (doc2 x2 + doc3), ww=2, so
+    # lr = (2*(-ln 4) + 2*(-ln 3))/4; weight = lr - ln(6+64) + ln(10+64)
+    import math
+
+    exp = (
+        -(math.log(4.0) + math.log(3.0)) / 2.0
+        - math.log(6 + 64.0)
+        + math.log(10 + 64.0)
+    )
+    assert out[2]["weight"] == pytest.approx(exp, rel=1e-12)
