@@ -94,3 +94,28 @@ def dsir_weights(
     # docs with no tokens are absent (explode drops them); callers
     # wanting them can left-join back with weight = ln prior ratio
     return const
+
+
+def median_filter(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep documents at or above their group's exact median of
+    ``value_col`` (adaptive per-language/per-domain thresholding —
+    quantile cuts are how production filters set thresholds without
+    hand-tuning constants per slice).
+
+    Exact median (not approx_percentile) so the result is
+    reproducible and oracle-checkable; the per-group medians are a
+    tiny aggregate broadcast back onto the corpus scan.
+    """
+    med = df.groupBy(group_col).agg(
+        F.median(value_col).alias("__med")
+    )
+    return (
+        df.join(F.broadcast(med), on=group_col)
+        .where(F.col(value_col) >= F.col("__med"))
+        .withColumnRenamed("__med", "group_median")
+    )

@@ -20,7 +20,7 @@ Everything is native DataFrame ops:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_SEP = r"\s+"
@@ -113,4 +113,46 @@ def bm25_scores(
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_hits"),
         F.sum("part").alias("score"),
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 1000,
+) -> DataFrame:
+    """Fit the Zipf exponent over the corpus's top-``top_k`` terms:
+    ordinary least squares of ln(freq) on ln(rank) — the standard
+    corpus-health diagnostic (natural text ≈ -1; template/spam-heavy
+    corpora flatten the head).
+
+    Scale shape: one (term) count shuffle with partial aggregation,
+    then a DISTRIBUTED top-k (Spark's takeOrdered — per-partition
+    heaps, never a global sort), then the regression over k rows.
+    Ties at the cutoff break deterministically by term.
+
+    Returns one row: (n_terms, slope, intercept, r2).
+    """
+    counts = (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.col(text_col)), TOKEN_SEP)
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = counts.orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    ).limit(top_k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.regr_slope(y, x).alias("slope"),
+        F.regr_intercept(y, x).alias("intercept"),
+        F.regr_r2(y, x).alias("r2"),
     )

@@ -3946,3 +3946,69 @@ GROUP BY doc_id, T, C
 
 QUERIES.update({"dsir": q_dsir})
 ORACLES.update({"dsir": q_dsir_sql()})
+
+
+def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-exponent corpus diagnostic: OLS of ln(freq) on ln(rank)
+    over the top-1000 terms (distributed top-k, never a global sort)."""
+    from geos_spark.operators.ranking import zipf_fit
+
+    out = zipf_fit(_docs(spark, sf_dir), top_k=1000)
+    return out.select(
+        "n_terms",
+        F.round(F.col("slope"), 6).alias("slope_r"),
+        F.round(F.col("intercept"), 6).alias("intercept_r"),
+        F.round(F.col("r2"), 6).alias("r2_r"),
+    )
+
+
+def q_zipf_sql() -> str:
+    return r"""
+WITH counts AS (
+  SELECT w AS term, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents)
+  GROUP BY w
+), top AS (
+  SELECT term, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rank
+  FROM counts
+  ORDER BY cnt DESC, term ASC LIMIT 1000
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       ROUND(regr_slope(ln(CAST(cnt AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS slope_r,
+       ROUND(regr_intercept(ln(CAST(cnt AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS intercept_r,
+       ROUND(regr_r2(ln(CAST(cnt AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS r2_r
+FROM top
+"""
+
+
+def q_median_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-language median threshold: keep docs at or above
+    their language's exact median length."""
+    from geos_spark.operators.curation import median_filter
+
+    out = median_filter(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(F.col("group_median"), 6).alias("median_r"),
+    )
+
+
+def q_median_filter_sql() -> str:
+    return """
+WITH med AS (
+  SELECT lang, median(n_chars) AS m FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars, ROUND(m, 6) AS median_r
+FROM documents d JOIN med USING (lang)
+WHERE d.n_chars >= m
+"""
+
+
+QUERIES.update({"zipf": q_zipf, "median_filter": q_median_filter})
+ORACLES.update(
+    {"zipf": q_zipf_sql(), "median_filter": q_median_filter_sql()}
+)

@@ -377,3 +377,41 @@ def test_dsir_weights_direction(spark):
         + math.log(10 + 64.0)
     )
     assert out[2]["weight"] == pytest.approx(exp, rel=1e-12)
+
+
+def test_zipf_fit_synthetic(spark):
+    import math
+
+    from geos_spark.operators.ranking import zipf_fit
+
+    # construct a corpus whose term counts are exactly c_r = 2^(8-r):
+    # ln c = 8 ln 2 - (ln 2 / ln r) ... not linear in ln r, so instead
+    # check a perfect power law c_r = 1024 / r for r = 1..8
+    rows = []
+    did = 0
+    for r in range(1, 9):
+        cnt = 1024 // r
+        for _ in range(cnt):
+            rows.append((did, f"w{r:02d}"))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = zipf_fit(df, top_k=8).collect()[0]
+    assert out["n_terms"] == 8
+    # counts 1024//r are near-exactly 1024/r -> slope ~ -1
+    assert out["slope"] == pytest.approx(-1.0, abs=0.01)
+    assert out["r2"] > 0.999
+    assert math.exp(out["intercept"]) == pytest.approx(1024, rel=0.02)
+
+
+def test_median_filter_exact(spark):
+    from geos_spark.operators.curation import median_filter
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "b", 5), (5, "b", 7)],
+        "doc_id int, lang string, n_chars int",
+    )
+    out = median_filter(df).collect()
+    kept = {r["doc_id"]: r["group_median"] for r in out}
+    # lang a: median 20 -> keep 2,3; lang b: median 6.0 -> keep 5
+    assert set(kept) == {2, 3, 5}
+    assert kept[2] == 20.0 and kept[5] == 6.0
