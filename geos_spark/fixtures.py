@@ -266,6 +266,40 @@ def issue_cases():
 
 
 @lru_cache(maxsize=None)
+def misc_cases():
+    """Residual misc corpus (late round 4): every tests/xmltester/
+    tests/misc file not already claimed by the construct/buffer
+    suites — relate-pattern regressions (InvalidRelates), isValid
+    incl. hex-WKB operands (TestIsValid, hexwkb, Segfaults), overlay
+    difference (split), and the stmlf/robustness/heisenbugs areatest
+    identity checks under the reference's own tolerance
+    (XMLTester.cpp areatest)."""
+    rows = _load(
+        [
+            "misc/InvalidRelates.xml",
+            "misc/Segfaults.xml",
+            "misc/TestIsValid.xml",
+            "misc/hexwkb.xml",
+            "misc/split.xml",
+            "misc/heisenbugs.xml",
+            "misc/robustness.xml",
+            "misc/stmlf-20061020.xml",
+            "misc/stmlf-20061020-invalid-output.xml",
+            "misc/stmlf-20070119.xml",
+        ],
+        {"relate", "isvalid", "difference", "areatest"},
+    )
+    out = []
+    for c in rows:
+        if c.op == "areatest":
+            c.args = list(c.args) + [c.expected.strip()]
+            c.op = "areatesttol"
+            c.expected = "true"
+        out.append(c)
+    return out
+
+
+@lru_cache(maxsize=None)
 def predicate_cases():
     files = [
         "general/" + f.rsplit("/", 1)[-1]
@@ -360,6 +394,12 @@ def buffer_cases():
             "misc/singlesidedbuffer.xml",
             "misc/safe-16595.xml",
             "misc/safe-16596.xml",
+            # residual misc buffer files (late round 4)
+            "misc/fme.xml",
+            "misc/safe-TestBufferJagged.xml",
+            "misc/TestBufferExternal-1.xml",
+            "misc/TestBufferExternal-2.xml",
+            "misc/Segfaults.xml",
         ],
         BUFFER_OPS,
     )
@@ -945,16 +985,25 @@ def unit_oracle() -> str:
     return values_oracle([(cid, exp) for cid, _, _, _, _, exp in unit_cases()])
 
 
-def run_buffer_case(wkt_a, op, args, expected_wkt) -> str:
+def run_buffer_case(wkt_a, op, args, expected_wkt, pm_scale=None) -> str:
     """Buffer ops judged with the reference's own tolerance matchers
     (exactly the XMLTester rule — vertex placement is impl-defined, so
     the corpus itself compares by symdiff area + boundary Hausdorff).
     The expected geometry is a matcher *input* here, same as in
-    XMLTester; the verdict string is what the driver compares."""
+    XMLTester; the verdict string is what the driver compares.
+
+    A file-level fixed precisionModel (e.g. misc/Segfaults.xml,
+    scale=1) applies exactly as in XMLTester: geometries are READ
+    onto the grid and the result factory snaps created coordinates —
+    realized here by snapping the input before buffering and the
+    result after."""
     from geos_spark.kernels.buffer import buffer_geom
+    from geos_spark.kernels.scalars import set_precision
     from geos_spark.kernels.xmltester import parse_geom_text
 
     g = parse_geom_text(wkt_a)
+    if pm_scale is not None:
+        g = set_precision(g, pm_scale)
     dist = float(args[1])
     qs = int(args[2]) if len(args) > 2 else 8
     exp = parse_geom_text(expected_wkt)
@@ -968,6 +1017,8 @@ def run_buffer_case(wkt_a, op, args, expected_wkt) -> str:
         else:
             join = "mitre" if op == "buffermitredjoin" else "round"
             got = buffer_geom(g, dist, quad_segs=qs, join=join)
+            if pm_scale is not None:
+                got = set_precision(got, pm_scale)
             ok = buffer_match(got, exp, dist)
     except Exception:  # noqa: BLE001
         return "ERROR"
@@ -1200,28 +1251,40 @@ def buffer_query(spark, cases):
             c.op,
             _ARG_SEP.join(c.args),
             c.expected,
+            c.pm_scale,
         )
         for c in cases
     ]
     df = spark.createDataFrame(
         rows,
         "case_id string, wkt_a string, op string, args string,"
-        " expected string",
+        " expected string, pm double",
     ).repartition(32)
 
     @pandas_udf(T.StringType())
     def _run(
-        wkt_a: pd.Series, op: pd.Series, args: pd.Series, exp: pd.Series
+        wkt_a: pd.Series,
+        op: pd.Series,
+        args: pd.Series,
+        exp: pd.Series,
+        pm: pd.Series,
     ) -> pd.Series:
         return pd.Series(
             [
-                run_buffer_case(a, o, ar.split(_ARG_SEP), e)
-                for a, o, ar, e in zip(wkt_a, op, args, exp)
+                run_buffer_case(
+                    a,
+                    o,
+                    ar.split(_ARG_SEP),
+                    e,
+                    None if (p is None or math.isnan(p)) else float(p),
+                )
+                for a, o, ar, e, p in zip(wkt_a, op, args, exp, pm)
             ]
         )
 
     return df.select(
-        "case_id", _run("wkt_a", "op", "args", "expected").alias("res")
+        "case_id",
+        _run("wkt_a", "op", "args", "expected", "pm").alias("res"),
     )
 
 

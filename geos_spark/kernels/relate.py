@@ -168,6 +168,59 @@ def _locate_in_polys(pts: np.ndarray, polys: list[G.Geom]) -> np.ndarray:
     return loc.min(axis=1).astype(np.uint8)
 
 
+def _edge_adjacent_interior(p: np.ndarray, polys: list[G.Geom]) -> bool:
+    """True if ``p`` lies strictly inside boundary edges of >= 2 rings
+    whose polygon-interior sides together cover BOTH sides of the
+    common line (and ``p`` is not a ring vertex — that is the angular
+    case, conservatively left as boundary).
+
+    The mod-2 edge-absorption rule for 1-dim boundary pieces doubled
+    across elements of an (invalid) element-adjacent MultiPolygon:
+    the reference labels those pieces interior while keeping 0-dim
+    NODE contacts on the same edge as boundary
+    (misc/InvalidRelates.xml:2 encodes exactly that asymmetry), so
+    this refinement is applied only to piece midpoints in the
+    line/area and area/area walks, never to point or line-endpoint
+    location."""
+    from geos_spark.kernels.orientation import orientation_index
+    from geos_spark.kernels.scalars import ring_signed_area
+
+    px, py = float(p[0]), float(p[1])
+    left = right = False
+    for part in polys:
+        for ri, ring in enumerate(part.data):
+            v = ring
+            # vertex hit -> angular-sector case, bail conservative
+            if ((v[:, 0] == px) & (v[:, 1] == py)).any():
+                return False
+            is_shell = ri == 0
+            ccw = ring_signed_area(v) > 0
+            interior_left = is_shell == ccw
+            for k in range(len(v) - 1):
+                x0, y0 = v[k]
+                x1, y1 = v[k + 1]
+                if x0 == x1 and y0 == y1:
+                    continue
+                o = orientation_index(x0, y0, x1, y1, px, py)
+                if o != 0:
+                    continue
+                # collinear: strictly between endpoints?
+                dot = (px - x0) * (x1 - x0) + (py - y0) * (y1 - y0)
+                ln2 = (x1 - x0) ** 2 + (y1 - y0) ** 2
+                if not (0.0 < dot < ln2):
+                    continue
+                # canonical line direction so sides from opposite-
+                # direction edges compare consistently
+                flipped = (x1, y1) < (x0, y0)
+                if interior_left != flipped:
+                    left = True
+                else:
+                    right = True
+                if left and right:
+                    return True
+    return False
+
+
 def _locate_on_lines(pts: np.ndarray, lines: list[np.ndarray]) -> np.ndarray:
     """Locate points vs a lineal geometry: INTERIOR if on a segment
     (and not a mod2-boundary node), BOUNDARY at mod2 endpoints,
@@ -771,8 +824,16 @@ def _relate_la(im: IM, line_g: G.Geom, poly_g: G.Geom, t: bool) -> None:
     mids_a = _midpoints(pieces_a)
     loc_mid = _locate_in_polys(mids_a, polys)
     # pieces collinear-covered by the boundary are ON it (structural)
+    # — unless incident element edges cover both sides, in which case
+    # the areal UNION's interior absorbs the doubled edge (RelateNG
+    # AdjacentEdgeLocator; arises for element-adjacent MultiPolygons)
     covered_a = _piece_covered(own_a, tr_a, cov_a)
-    loc_mid[covered_a] = BOUNDARY
+    for _i in np.nonzero(covered_a)[0]:
+        loc_mid[_i] = (
+            INTERIOR
+            if _edge_adjacent_interior(mids_a[_i], polys)
+            else BOUNDARY
+        )
 
     if (loc_mid == INTERIOR).any():
         _set_transposed(im, I, I, 1, t)
@@ -831,9 +892,21 @@ def _relate_aa(im: IM, a: G.Geom, b: G.Geom) -> None:
     mids_b = _midpoints(pieces_b)
     loc_a = _locate_in_polys(mids_a, pb)  # A-boundary pieces in B
     loc_b = _locate_in_polys(mids_b, pa)  # B-boundary pieces in A
-    # structural on-boundary tags from collinear coverage (exact)
-    loc_a[_piece_covered(own_a, tr_a, cov_a)] = BOUNDARY
-    loc_b[_piece_covered(own_b, tr_b, cov_b)] = BOUNDARY
+    # structural on-boundary tags from collinear coverage (exact),
+    # with the same union-absorption refinement as _relate_la for
+    # edges doubled across the OTHER geometry's elements
+    for _i in np.nonzero(_piece_covered(own_a, tr_a, cov_a))[0]:
+        loc_a[_i] = (
+            INTERIOR
+            if _edge_adjacent_interior(mids_a[_i], pb)
+            else BOUNDARY
+        )
+    for _i in np.nonzero(_piece_covered(own_b, tr_b, cov_b))[0]:
+        loc_b[_i] = (
+            INTERIOR
+            if _edge_adjacent_interior(mids_b[_i], pa)
+            else BOUNDARY
+        )
 
     a_int = (loc_a == INTERIOR).any()
     a_bnd = (loc_a == BOUNDARY).any()

@@ -3085,6 +3085,7 @@ def _fixture_oracles() -> dict:
         "xt_overlay_prec": FX.oracle_for(FX.overlay_prec_cases()),
         "xt_robust": FX.oracle_for(FX.robust_cases()),
         "xt_issue": FX.oracle_for(FX.issue_cases()),
+        "xt_misc": FX.oracle_for(FX.misc_cases()),
         "xt_construct": FX.oracle_for(FX.construct_cases()),
         "xt_buffer": FX.oracle_all_match(FX.buffer_cases()),
     }
@@ -4012,3 +4013,19 @@ QUERIES.update({"zipf": q_zipf, "median_filter": q_median_filter})
 ORACLES.update(
     {"zipf": q_zipf_sql(), "median_filter": q_median_filter_sql()}
 )
+
+
+def q_xt_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual misc xmltester corpus (tests/xmltester/tests/misc
+    files not claimed by the construct/buffer suites): relate-pattern
+    regressions on invalid operands (InvalidRelates — incl. the mod-2
+    edge-absorption asymmetry), isValid over hex-WKB operands,
+    overlay difference (split.xml), and the stmlf/robustness/
+    heisenbugs areatest identity checks under the reference's own
+    tolerances."""
+    from geos_spark import fixtures as FX
+
+    return FX.fixture_query(spark, FX.misc_cases())
+
+
+QUERIES.update({"xt_misc": q_xt_misc})
