@@ -286,8 +286,18 @@ def misc_cases():
             "misc/stmlf-20061020.xml",
             "misc/stmlf-20061020-invalid-output.xml",
             "misc/stmlf-20070119.xml",
+            # strays closing the corpus audit (late round 4):
+            # Buffer-1's lone isValid case; the huge-coordinate
+            # (1e24) -big cases excluded from the glob registries;
+            # the two top-level robust/ files
+            "misc/Buffer-1.xml",
+            "general/TestConvexHull-big.xml",
+            "general/TestValid2-big.xml",
+            "robust/TestRobustRelate.xml",
+            "robust/TestRobustOverlayFixed.xml",
         ],
-        {"relate", "isvalid", "difference", "areatest"},
+        {"relate", "isvalid", "difference", "areatest",
+         "convexhull", "intersects", "intersection"},
     )
     out = []
     for c in rows:
@@ -400,6 +410,16 @@ def buffer_cases():
             "misc/TestBufferExternal-1.xml",
             "misc/TestBufferExternal-2.xml",
             "misc/Segfaults.xml",
+            # issue-corpus buffer regressions (the issue registry
+            # scores the non-buffer ops; buffer ops need the matcher)
+            "issue/issue-geos-176.xml",
+            "issue/issue-geos-188.xml",
+            "issue/issue-geos-244.xml",
+            "issue/issue-geos-356.xml",
+            "issue/issue-geos-366.xml",
+            "issue/issue-geos-434.xml",
+            "issue/issue-geos-569.xml",
+            "issue/issue-geos-605.xml",
         ],
         BUFFER_OPS,
     )
