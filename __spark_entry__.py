@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)  -> flagship point-in-polygon spatial join at sf0.001.
-queries()     -> operator catalog (geos_spark.queries.QUERIES; 81 as
+queries()     -> operator catalog (geos_spark.queries.QUERIES; 88 as
                  of late round 4) — synthetic-table operators (joins,
                  tiling, kNN, clustering, coverage
                  validate/simplify/clean, dedup + the full near-dup
@@ -20,7 +20,11 @@ queries()     -> operator catalog (geos_spark.queries.QUERIES; 81 as
                  Structured-Streaming twins run to completion
                  (stream_dedup/tiles/sessions/first_seen/pip/quota/
                  ann), plus the xmltester corpus promoted as xt_*
-                 fixture queries.
+                 fixture queries (the corpus audit is CLOSED: every
+                 case in general/misc/robust/issue/validate is
+                 scored or in the 8-entry analysed SKIP list; the
+                 failure/ directory holds cases the reference itself
+                 fails and is excluded by that definition).
 oracle_sql()  -> per-query DuckDB ANSI-SQL oracles (one per query;
                  the xt_* oracles are VALUES tables of the
                  reference's own XML/unit-test expectations).
