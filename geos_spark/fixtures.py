@@ -1083,18 +1083,29 @@ def _densified(segs, frac=0.25):
 
 
 def _max_min_dist(pts, segs):
-    from geos_spark.kernels.dd import _point_to_segment
-
+    """max over pts of min distance to any seg (directed Hausdorff
+    component), vectorized in point-blocks: the big external-buffer
+    corpus cases have ~10^4 x ~10^4 point/segment pairs — a python
+    double loop here cost 100x the buffer op it was judging."""
     if not len(pts):
         return 0.0
     if not len(segs):
         return math.inf
+    P = np.asarray(pts, dtype=float)
+    S = np.asarray(segs, dtype=float)
+    a = S[:, 0:2]
+    d = S[:, 2:4] - a
+    ln2 = (d * d).sum(axis=1)
+    ln2[ln2 == 0.0] = 1.0  # degenerate segs: distance to endpoint
     worst = 0.0
-    for p in pts:
-        d = min(
-            _point_to_segment(p, (s[0], s[1]), (s[2], s[3])) for s in segs
-        )
-        worst = max(worst, d)
+    blk = max(1, int(4_000_000 // max(len(S), 1)))
+    for i in range(0, len(P), blk):
+        p = P[i : i + blk]  # (b,2)
+        w = p[:, None, :] - a[None, :, :]  # (b,m,2)
+        t = np.clip((w * d[None, :, :]).sum(axis=2) / ln2[None, :], 0.0, 1.0)
+        proj = a[None, :, :] + t[:, :, None] * d[None, :, :]
+        dist2 = ((p[:, None, :] - proj) ** 2).sum(axis=2)
+        worst = max(worst, float(np.sqrt(dist2.min(axis=1).max())))
     return worst
 
 

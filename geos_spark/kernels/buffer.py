@@ -741,54 +741,87 @@ def _extract_faces(pieces: list):
     )
 
     edges: dict = {}
-    for a, b in pieces:
+    eid_of: dict = {}
+    piece_eid = np.empty(len(pieces), dtype=np.int64)
+    for pi, (a, b) in enumerate(pieces):
         lo, hi = (a, b) if a < b else (b, a)
         k = edges.get((lo, hi), 0)
         edges[(lo, hi)] = k + (1 if a == lo else -1)
+        eid = eid_of.setdefault((lo, hi), len(eid_of))
+        piece_eid[pi] = eid
 
     arr = np.array(
         [[a[0], a[1], b[0], b[1]] for a, b in pieces], dtype=np.float64
     )
     x1, y1, x2, y2 = arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3]
 
-    def _skip_mask(idx, lo, hi):
-        on_edge = np.zeros(len(idx), dtype=bool)
-        for j, pi in enumerate(idx):
-            pa = (arr[pi, 0], arr[pi, 1])
-            pb = (arr[pi, 2], arr[pi, 3])
-            klo, khi = (pa, pb) if pa < pb else (pb, pa)
-            if (klo, khi) == (lo, hi):
-                on_edge[j] = True
-        return on_edge
+    # interval bins: a winding query only needs segments whose y- (or
+    # x-) range straddles the query ordinate. Offset-curve segments
+    # are short, so binning them by interval turns the per-edge O(P)
+    # scan (quadratic over the arrangement — 40+s on the external-
+    # buffer corpus polygons) into O(P/K + span).
+    def _build_bins(lo_v, hi_v, k_bins):
+        vmin = float(lo_v.min())
+        vmax = float(hi_v.max())
+        h = (vmax - vmin) / k_bins or 1.0
+        b0 = np.clip(((lo_v - vmin) / h).astype(np.int64), 0, k_bins - 1)
+        b1 = np.clip(((hi_v - vmin) / h).astype(np.int64), 0, k_bins - 1)
+        bins = [[] for _ in range(k_bins)]
+        for i in range(len(lo_v)):
+            for b in range(b0[i], b1[i] + 1):
+                bins[b].append(i)
+        return (
+            [np.asarray(b, dtype=np.int64) for b in bins],
+            vmin,
+            h,
+            k_bins,
+        )
 
-    def winding_x(px, py, key):
-        straddle = (y1 > py) != (y2 > py)
-        idx = np.flatnonzero(straddle)
+    K = max(16, min(1024, len(pieces) // 16 or 16))
+    ybins, ymin0, yh, yk = _build_bins(
+        np.minimum(y1, y2), np.maximum(y1, y2), K
+    )
+    xbins, xmin0, xh, xk = _build_bins(
+        np.minimum(x1, x2), np.maximum(x1, x2), K
+    )
+
+    def winding_x(px, py, eid):
+        bi = min(yk - 1, max(0, int((py - ymin0) / yh)))
+        cand = ybins[bi]
+        if len(cand) == 0:
+            return 0
+        straddle = (y1[cand] > py) != (y2[cand] > py)
+        idx = cand[straddle]
         if len(idx) == 0:
             return 0
         xi = x1[idx] + (py - y1[idx]) * (x2[idx] - x1[idx]) / (
             y2[idx] - y1[idx]
         )
         sgn = np.where(y2[idx] > y1[idx], 1, -1)
-        keep = (xi > px) & ~_skip_mask(idx, *key)
+        keep = (xi > px) & (piece_eid[idx] != eid)
         return int(np.sum(sgn[keep]))
 
-    def winding_y(px, py, key):
-        straddle = (x1 > px) != (x2 > px)
-        idx = np.flatnonzero(straddle)
+    def winding_y(px, py, eid):
+        bi = min(xk - 1, max(0, int((px - xmin0) / xh)))
+        cand = xbins[bi]
+        if len(cand) == 0:
+            return 0
+        straddle = (x1[cand] > px) != (x2[cand] > px)
+        idx = cand[straddle]
         if len(idx) == 0:
             return 0
         yi = y1[idx] + (px - x1[idx]) * (y2[idx] - y1[idx]) / (
             x2[idx] - x1[idx]
         )
         sgn = np.where(x2[idx] < x1[idx], 1, -1)
-        keep = (yi > py) & ~_skip_mask(idx, *key)
+        keep = (yi > py) & (piece_eid[idx] != eid)
         return int(np.sum(sgn[keep]))
 
     directed = []
     outd: dict = defaultdict(int)
     ind: dict = defaultdict(int)
     for (lo, hi), k in edges.items():
+        eid = eid_of[(lo, hi)]
         mx = (lo[0] + hi[0]) / 2.0
         my = (lo[1] + hi[1]) / 2.0
         dx = hi[0] - lo[0]
@@ -796,10 +829,10 @@ def _extract_faces(pieces: list):
         # use the ray most transverse to the edge, else near-parallel
         # rays pick up crossings clustered at the edge's own endpoints
         if abs(dy) >= abs(dx):
-            w_ent = winding_x(mx, my, (lo, hi))
+            w_ent = winding_x(mx, my, eid)
             entered_left = -dy > 0  # +x ray: cross(d, (1,0)) = -dy
         else:
-            w_ent = winding_y(mx, my, (lo, hi))
+            w_ent = winding_y(mx, my, eid)
             entered_left = dx > 0  # +y ray: cross(d, (0,1)) = dx
         if entered_left:
             w_left = w_ent
