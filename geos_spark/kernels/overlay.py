@@ -583,18 +583,10 @@ def _validate_noding(segs: list[_SrcSeg]) -> None:
     if m < 2:
         return
     arr = np.asarray(pieces, dtype=np.float64)
-    x0 = np.minimum(arr[:, 0], arr[:, 2])
-    x1 = np.maximum(arr[:, 0], arr[:, 2])
-    y0 = np.minimum(arr[:, 1], arr[:, 3])
-    y1 = np.maximum(arr[:, 1], arr[:, 3])
-    ii, jj = np.triu_indices(m, k=1)
-    ov = (
-        (x0[ii] <= x1[jj])
-        & (x0[jj] <= x1[ii])
-        & (y0[ii] <= y1[jj])
-        & (y0[jj] <= y1[ii])
-    )
-    ii, jj = ii[ov], jj[ov]
+    # x-sweep candidate generation (the MCIndexNoder role): triu over
+    # m pieces materializes O(m^2) index arrays — 11+s and GBs on the
+    # 10^4-segment external-buffer corpus polygons
+    ii, jj = _overlap_pairs(arr)
     if len(ii) == 0:
         return
     A, B = arr[ii], arr[jj]

@@ -205,18 +205,11 @@ def snap_round_strings(strings: list[list], scale: float):
             [[s[0][0], s[0][1], s[1][0], s[1][1]] for s in segs],
             dtype=np.float64,
         )
-        x0 = np.minimum(arr[:, 0], arr[:, 2]) - nearness
-        x1 = np.maximum(arr[:, 0], arr[:, 2]) + nearness
-        y0 = np.minimum(arr[:, 1], arr[:, 3]) - nearness
-        y1 = np.maximum(arr[:, 1], arr[:, 3]) + nearness
-        ii, jj = np.triu_indices(n, k=1)
-        ov = (
-            (x0[ii] <= x1[jj])
-            & (x0[jj] <= x1[ii])
-            & (y0[ii] <= y1[jj])
-            & (y0[jj] <= y1[ii])
-        )
-        ii, jj = ii[ov], jj[ov]
+        # x-sweep candidate pairs (margin = hot-pixel nearness);
+        # triu_indices materializes O(n^2) index arrays
+        from geos_spark.kernels.overlay import _overlap_pairs
+
+        ii, jj = _overlap_pairs(arr, margin=nearness)
         cls = intersect_pairs(arr[ii], arr[jj]) if len(ii) else []
         for k in range(len(ii)):
             pa, qa, sa, ia = segs[int(ii[k])]
