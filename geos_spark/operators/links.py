@@ -134,3 +134,76 @@ def pagerank(
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    cache_edges: bool = True,
+) -> DataFrame:
+    """HITS (Kleinberg 1999): mutually-reinforcing hub and authority
+    scores over the host graph, fixed iteration count with L2
+    normalization each half-step:
+
+        auth'(v) = sum_{u->v} hub(u)    then  auth /= ||auth||_2
+        hub'(u)  = sum_{u->v} auth'(v)  then  hub  /= ||hub||_2
+
+    Returns (host, hub, authority) for every node (nodes missing a
+    score side carry 0.0). Same plan shape as :func:`pagerank`: the
+    edge list is persisted across iterations, each half-step is one
+    join-aggregate keyed by a host column, and the L2 norms ride as
+    one-row broadcast frames.
+    """
+    if cache_edges:
+        edges = edges.persist()
+    nodes = (
+        edges.select(F.col(src_col).alias("host"))
+        .union(edges.select(F.col(dst_col).alias("host")))
+        .distinct()
+    )
+    hub = nodes.withColumn("hub", F.lit(1.0))
+    for _ in range(iterations):
+        # each score frame is referenced TWICE downstream (by its own
+        # norm aggregate and by the next half-step), so without a
+        # lineage cut the plan subtree doubles per half-step — 4^iters
+        # recomputation. localCheckpoint truncates it; the frames are
+        # node-sized (tiny).
+        auth = (
+            edges.join(
+                hub.withColumnRenamed("host", src_col), on=src_col
+            )
+            .groupBy(F.col(dst_col).alias("host"))
+            .agg(F.sum("hub").alias("authority"))
+        ).localCheckpoint(eager=True)
+        anorm = auth.agg(
+            F.sqrt(F.sum(F.col("authority") * F.col("authority"))).alias(
+                "n"
+            )
+        )
+        auth = auth.crossJoin(F.broadcast(anorm)).select(
+            "host", (F.col("authority") / F.col("n")).alias("authority")
+        )
+        hub = (
+            edges.join(
+                auth.withColumnRenamed("host", dst_col), on=dst_col
+            )
+            .groupBy(F.col(src_col).alias("host"))
+            .agg(F.sum("authority").alias("hub"))
+        ).localCheckpoint(eager=True)
+        hnorm = hub.agg(
+            F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("n")
+        )
+        hub = hub.crossJoin(F.broadcast(hnorm)).select(
+            "host", (F.col("hub") / F.col("n")).alias("hub")
+        )
+    return (
+        nodes.join(hub, on="host", how="left")
+        .join(auth, on="host", how="left")
+        .select(
+            "host",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+        )
+    )

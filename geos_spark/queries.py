@@ -4029,3 +4029,71 @@ def q_xt_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES.update({"xt_misc": q_xt_misc})
+
+
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the same host graph as host_rank:
+    3 iterations with per-half-step L2 normalization, replayed
+    exactly by chained SQL CTEs."""
+    from geos_spark.operators.links import (
+        extract_links,
+        hits,
+        host_edges,
+    )
+    from geos_spark.sources.pages import synth_linked_pages
+
+    n = _docs(spark, sf_dir).count()
+    edges = host_edges(extract_links(synth_linked_pages(spark, n)))
+    out = hits(edges, iterations=3)
+    return out.select(
+        "host",
+        F.round(F.col("hub"), 6).alias("hub_r"),
+        F.round(F.col("authority"), 6).alias("auth_r"),
+    )
+
+
+def q_host_hits_sql() -> str:
+    head = """
+WITH nd AS (SELECT count(*) AS n FROM documents),
+links AS (
+  SELECT doc_id AS i, unnest(range(2 + (doc_id % 3))) AS j
+  FROM documents
+), edges0 AS (
+  SELECT 'site' || (i % 997)::VARCHAR || '.example' AS src_host,
+         'site' || (((i*7 + j*131 + 1) % n) % 997)::VARCHAR
+           || '.example' AS dst_host
+  FROM links CROSS JOIN nd
+), edges AS (
+  SELECT src_host, dst_host FROM edges0
+  WHERE src_host <> dst_host GROUP BY src_host, dst_host
+), nodes AS (
+  SELECT src_host AS host FROM edges
+  UNION SELECT dst_host FROM edges
+), h0 AS (SELECT host, CAST(1.0 AS DOUBLE) AS hub FROM nodes)"""
+    step = """, a{k}r AS MATERIALIZED (
+  SELECT e.dst_host AS host, SUM(h.hub) AS authority
+  FROM edges e JOIN h{p} h ON e.src_host = h.host GROUP BY e.dst_host
+), a{k} AS MATERIALIZED (
+  SELECT host, authority
+           / (SELECT sqrt(SUM(authority*authority)) FROM a{k}r) AS authority
+  FROM a{k}r
+), h{k}r AS MATERIALIZED (
+  SELECT e.src_host AS host, SUM(a.authority) AS hub
+  FROM edges e JOIN a{k} a ON e.dst_host = a.host GROUP BY e.src_host
+), h{k} AS MATERIALIZED (
+  SELECT host, hub / (SELECT sqrt(SUM(hub*hub)) FROM h{k}r) AS hub
+  FROM h{k}r
+)"""
+    body = head + "".join(step.format(k=k, p=k - 1) for k in (1, 2, 3))
+    return body + """
+SELECT n.host,
+       ROUND(COALESCE(h3.hub, 0.0), 6) AS hub_r,
+       ROUND(COALESCE(a3.authority, 0.0), 6) AS auth_r
+FROM nodes n
+LEFT JOIN h3 ON n.host = h3.host
+LEFT JOIN a3 ON n.host = a3.host
+"""
+
+
+QUERIES.update({"host_hits": q_host_hits})
+ORACLES.update({"host_hits": q_host_hits_sql()})

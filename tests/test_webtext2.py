@@ -415,3 +415,44 @@ def test_median_filter_exact(spark):
     # lang a: median 20 -> keep 2,3; lang b: median 6.0 -> keep 5
     assert set(kept) == {2, 3, 5}
     assert kept[2] == 20.0 and kept[5] == 6.0
+
+
+def test_hits_closed_form(spark):
+    import math
+
+    from geos_spark.operators.links import hits
+
+    # star: h1..h3 all link to "center"; center links to h1
+    edges = spark.createDataFrame(
+        [("h1", "c"), ("h2", "c"), ("h3", "c"), ("c", "h1")],
+        "src_host string, dst_host string",
+    )
+    got = {
+        r["host"]: r for r in hits(edges, iterations=2).collect()
+    }
+    # replicate: hub0=1 for all
+    hub = {h: 1.0 for h in ("h1", "h2", "h3", "c")}
+    out = {"h1": ["c"], "h2": ["c"], "h3": ["c"], "c": ["h1"]}
+    auth = {}
+    for _ in range(2):
+        auth = {}
+        for u, vs in out.items():
+            for v in vs:
+                auth[v] = auth.get(v, 0.0) + hub[u]
+        n = math.sqrt(sum(v * v for v in auth.values()))
+        auth = {k: v / n for k, v in auth.items()}
+        hub = {}
+        for u, vs in out.items():
+            s = sum(auth.get(v, 0.0) for v in vs)
+            if s:
+                hub[u] = s
+        n = math.sqrt(sum(v * v for v in hub.values()))
+        hub = {k: v / n for k, v in hub.items()}
+    for h in ("h1", "h2", "h3", "c"):
+        assert got[h]["hub"] == pytest.approx(hub.get(h, 0.0), abs=1e-12)
+        assert got[h]["authority"] == pytest.approx(
+            auth.get(h, 0.0), abs=1e-12
+        )
+    # the center is the authority; the pure hubs out-hub it
+    assert got["c"]["authority"] > got["h1"]["authority"]
+    assert got["h1"]["hub"] > got["c"]["hub"]
