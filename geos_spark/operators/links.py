@@ -207,3 +207,53 @@ def hits(
             F.coalesce("authority", F.lit(0.0)).alias("authority"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    cache_edges: bool = True,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    UNDIRECTED host graph: labels start as the node's own id; each
+    iteration every node adopts the most frequent label among its
+    neighbors, ties broken by the lexicographically smallest label —
+    fully deterministic, so the SQL oracle replays it exactly.
+
+    Plan shape per iteration: one join (neighbor labels), one
+    (node, label) count aggregate, one window top-1 per node; the
+    label frame is localCheckpoint'ed per iteration (it is referenced
+    by the next join AND analysis re-walks — same lineage-doubling
+    guard as :func:`hits`). Returns (host, label) — nodes sharing a
+    label are one community.
+    """
+    from pyspark.sql import Window
+
+    if cache_edges:
+        edges = edges.persist()
+    sym = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).union(
+        edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+    ).distinct()
+    labels = sym.select(F.col("u").alias("host")).distinct().withColumn(
+        "label", F.col("host")
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        labels = (
+            sym.join(
+                labels.withColumnRenamed("host", "v"), on="v"
+            )
+            .groupBy(F.col("u").alias("host"), "label")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("host", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -4097,3 +4097,59 @@ LEFT JOIN a3 ON n.host = a3.host
 
 QUERIES.update({"host_hits": q_host_hits})
 ORACLES.update({"host_hits": q_host_hits_sql()})
+
+
+def q_host_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (3 iterations,
+    frequency-then-lexicographic tie-break) over the undirected host
+    graph — community detection for spam-cluster discovery."""
+    from geos_spark.operators.links import (
+        extract_links,
+        host_edges,
+        label_propagation,
+    )
+    from geos_spark.sources.pages import synth_linked_pages
+
+    n = _docs(spark, sf_dir).count()
+    edges = host_edges(extract_links(synth_linked_pages(spark, n)))
+    return label_propagation(edges, iterations=3).select(
+        "host", "label"
+    )
+
+
+def q_host_communities_sql() -> str:
+    head = """
+WITH nd AS (SELECT count(*) AS n FROM documents),
+links AS (
+  SELECT doc_id AS i, unnest(range(2 + (doc_id % 3))) AS j
+  FROM documents
+), edges0 AS (
+  SELECT 'site' || (i % 997)::VARCHAR || '.example' AS src_host,
+         'site' || (((i*7 + j*131 + 1) % n) % 997)::VARCHAR
+           || '.example' AS dst_host
+  FROM links CROSS JOIN nd
+), edges AS (
+  SELECT src_host, dst_host FROM edges0
+  WHERE src_host <> dst_host GROUP BY src_host, dst_host
+), sym AS MATERIALIZED (
+  SELECT src_host AS u, dst_host AS v FROM edges
+  UNION SELECT dst_host, src_host FROM edges
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT u AS host, u AS label FROM sym
+)"""
+    step = """, l{k} AS MATERIALIZED (
+  SELECT host, label FROM (
+    SELECT s.u AS host, l.label, count(*) AS cnt,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.u
+             ORDER BY count(*) DESC, l.label ASC) AS rn
+    FROM sym s JOIN l{p} l ON s.v = l.host
+    GROUP BY s.u, l.label
+  ) WHERE rn = 1
+)"""
+    body = head + "".join(step.format(k=k, p=k - 1) for k in (1, 2, 3))
+    return body + "\nSELECT host, label FROM l3"
+
+
+QUERIES.update({"host_communities": q_host_communities})
+ORACLES.update({"host_communities": q_host_communities_sql()})

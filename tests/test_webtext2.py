@@ -456,3 +456,23 @@ def test_hits_closed_form(spark):
     # the center is the authority; the pure hubs out-hub it
     assert got["c"]["authority"] > got["h1"]["authority"]
     assert got["h1"]["hub"] > got["c"]["hub"]
+
+
+def test_label_propagation_two_cliques(spark):
+    from geos_spark.operators.links import label_propagation
+
+    # two triangles joined by one weak bridge
+    tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    tri2 = [("x", "y"), ("y", "z"), ("x", "z")]
+    bridge = [("c", "x")]
+    edges = spark.createDataFrame(
+        tri1 + tri2 + bridge, "src_host string, dst_host string"
+    )
+    out = {
+        r["host"]: r["label"]
+        for r in label_propagation(edges, iterations=4).collect()
+    }
+    assert len(out) == 6
+    # each triangle converges to one label; labels are node ids
+    assert out["a"] == out["b"]
+    assert out["x"] == out["y"] == out["z"]
