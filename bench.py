@@ -706,7 +706,7 @@ def main() -> None:
         n = int(os.environ.get("SPARK_GRAFT_SCALE_EXECS", "1"))
         levels = (n, 4 * n)
         qnames = ["pip_join_48m", "pip_native_48m", "tile_pipeline_96m",
-                  "token_stats_6m", "dedup_clusters_200k"]
+                  "token_stats_6m", "dedup_clusters_200k", "pii_scrub_1m"]
         subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
         if subset:
             qnames = [q for q in qnames if q in subset.split(",")]

@@ -72,6 +72,7 @@ points AS (
 
 
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native level-12 Hilbert tile assignment: pure bitwise Column chain inside whole-stage codegen, per-tile rollup."""
     pts = _doc_points(spark, sf_dir)
     gx = F.when(
         F.col("x") > 0, F.floor(F.col("x") / F.lit(_STRIDE_12))
@@ -105,6 +106,7 @@ SELECT doc_id, CAST(cell AS BIGINT) AS cell FROM {fin}
 
 
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase point-in-polygon spatial join: Hilbert-cell equijoin + codegen bbox filter + Arrow pUDF ray-casting refine with slim-build broadcast."""
     pts = _doc_points(spark, sf_dir)
     polys = star_polygons(spark)
     out = point_in_polygon_join(
@@ -158,6 +160,7 @@ SELECT doc_id, poly_id FROM crossings WHERE n_cross % 2 = 1
 
 
 def q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast envelope join: points against star-polygon bounding boxes, pure codegen range predicates."""
     pts = _doc_points(spark, sf_dir)
     polys = star_polygons(spark).select("poly_id", "xmin", "ymin", "xmax", "ymax")
     out = pts.join(
@@ -188,6 +191,7 @@ JOIN star_bbox bb
 
 
 def q_knn_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN join (k=4) of centers to doc points: two-phase ring expansion with per-probe exact radius refine."""
     pts = _doc_points(spark, sf_dir)
     out = knn_join_broadcast(pts, _centers(spark), k=4)
     return out.select("doc_id", "rank", "poly_id")
@@ -224,6 +228,7 @@ _DIST = 50.0
 
 
 def q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-distance join (points to centers, radius 50): cell-neighborhood equijoin + native distance refine, zero python."""
     pts = _doc_points(spark, sf_dir)
     out = within_distance_join(
         pts, _centers(spark), _DIST, level=_LEVEL_JOIN, extent=EXTENT
@@ -316,6 +321,7 @@ SELECT doc_id, poly_id FROM ev WHERE n_cross % 2 = 1 OR near
 
 
 def q_star_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact polygon areas of the star dim table via the geometry kernels, checked against the closed-form star-area formula."""
     from geos_spark.functions.st import st_area
 
     return star_polygons(spark).select(
@@ -339,6 +345,7 @@ GROUP BY poly_id
 
 
 def q_star_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact polygon centroids of the star dim table, closed-form oracle."""
     from geos_spark.functions.st import st_centroid_x, st_centroid_y
 
     p = star_polygons(spark)
@@ -1043,6 +1050,7 @@ FROM params
 
 
 def q_extent_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global extent aggregate over derived doc points: one partial/final min-max aggregation."""
     pts = _doc_points(spark, sf_dir)
     return pts.agg(
         F.min("x").alias("minx"),
@@ -1069,6 +1077,7 @@ FROM points
 
 
 def q_hilbert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents by level-12 Hilbert cell code: distributed takeOrdered over the native bitwise cell chain."""
     t = q_tile_assign(spark, sf_dir)
     return t.orderBy(F.col("cell").asc(), F.col("doc_id").asc()).limit(100)
 
@@ -1086,6 +1095,7 @@ def q_hilbert_topk_sql() -> str:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: one hash aggregate on md5(text) emitting (fingerprint, n_dups, keeper_id) groups."""
     from geos_spark.operators.dedup import exact_dedup_groups
 
     return exact_dedup_groups(_docs(spark, sf_dir))
@@ -1102,6 +1112,7 @@ GROUP BY md5(text)
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts + corpus token totals, native split/size expressions."""
     from geos_spark.operators.text import with_quality
 
     out = with_quality(_docs(spark, sf_dir))
@@ -1156,6 +1167,7 @@ FROM documents
 
 
 def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: argmax of per-language marker-word hit counts via lexicographic struct max, native only."""
     from geos_spark.operators.text import with_lang_guess
 
     out = with_lang_guess(_docs(spark, sf_dir))
@@ -1236,6 +1248,7 @@ WHERE list_dot_product(a.v, b.v)
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k (brute-force fold baseline): broadcast query side, F.aggregate dot products, window top-k per query."""
     from geos_spark.operators.similarity import cosine_topk
 
     emb = _emb(spark, sf_dir)
@@ -1479,6 +1492,7 @@ _HALF = 8.0  # doc square half-side
 
 
 def q_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle-intersects join (doc squares vs star envelopes): the RectangleIntersects fast path, fully native plan."""
     pts = _doc_points(spark, sf_dir)
     sq = (
         pts.withColumn("sxmin", F.col("x") - _HALF)
@@ -1516,6 +1530,7 @@ JOIN star_bbox bb
 
 
 def q_tile_area_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile materialization + per-tile clipped-area rollup (rect fast path): explode doc squares to level-8 tiles, aggregate fragment areas."""
     from geos_spark.operators.tiling import tile_materialize
 
     frags = tile_materialize(star_polygons(spark), level=6, extent=EXTENT)
@@ -2043,6 +2058,7 @@ SELECT pa AS poly_id, pb AS b_poly_id FROM b_in_a
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document from token md5s, native bit arithmetic in one aggregation."""
     from geos_spark.operators.dedup import simhash64_df
 
     docs = _docs(spark, sf_dir)
@@ -2208,6 +2224,7 @@ SELECT COUNT(*) AS n_pts, MIN(px) AS minx, MAX(py) AS maxy FROM u
 
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality signals (stopword ratio, punctuation hits) as native length-difference expressions."""
     from geos_spark.operators.text import with_quality
 
     out = with_quality(_docs(spark, sf_dir))
@@ -2235,6 +2252,7 @@ FROM documents
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document md5 content fingerprint, all JVM."""
     from geos_spark.operators.text import with_fingerprint
 
     return with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
@@ -2250,6 +2268,7 @@ _MH_P = 2147483647
 
 
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 perms) from 3-word shingles: single-pass explode + one aggregation, md5-derived hashes so SQL replays them bit-exact."""
     from geos_spark.operators.dedup import minhash_signatures
 
     sigs = minhash_signatures(
