@@ -1,5 +1,6 @@
-"""Web link-graph operators: href extraction, host-level edge
-aggregation, and PageRank.
+"""Web link-graph operators: href + anchor-text extraction,
+host-level edge aggregation, PageRank, HITS, label-propagation
+communities, and the anchor-text retrieval index.
 
 The web-graph side of a crawl pipeline: pages carry anchors, the
 pipeline extracts the edge list, collapses it to the host graph, and
@@ -257,3 +258,47 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+ANCHOR_RE = r'<a href="([^"]*)">([^<]*)</a>'
+
+
+def extract_anchor_texts(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """One row per anchor with its text: (src_url, dst_url, anchor).
+
+    Java regex and RE2 lack multi-group extract-all with one call, so
+    the two capture groups are pulled with two ``regexp_extract_all``
+    passes and zipped positionally — still a stateless all-JVM
+    projection.
+    """
+    html_str = F.col(html_col).cast("string")
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(html_str, F.lit(ANCHOR_RE), F.lit(1)).alias(
+            "dst_url"
+        ),
+        F.regexp_extract_all(html_str, F.lit(ANCHOR_RE), F.lit(2)).alias(
+            "anchor"
+        ),
+    )
+    return pages.select(
+        F.col(url_col).alias("src_url"), F.explode(pairs).alias("p")
+    ).select("src_url", "p.dst_url", "p.anchor")
+
+
+def anchor_text_index(anchors: DataFrame) -> DataFrame:
+    """Aggregate anchor text per target: (dst_url, anchor, n_links,
+    n_hosts) — the classic anchor-text retrieval index (how the rest
+    of the web describes a page), with the distinct-source-host count
+    as the spam-resistance weight.
+
+    One shuffle keyed by (dst_url, anchor); distinct hosts via a
+    partial-aggregated count(distinct).
+    """
+    return anchors.groupBy("dst_url", "anchor").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct(host_of("src_url")).alias("n_hosts"),
+    )

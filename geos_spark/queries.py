@@ -4172,3 +4172,49 @@ links AS (
 
 QUERIES.update({"host_communities": q_host_communities})
 ORACLES.update({"host_communities": q_host_communities_sql()})
+
+
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index: (target url, anchor term) with link and
+    distinct-source-host counts — extracted from html bytes with the
+    two-pass regexp capture; the oracle rebuilds the whole index from
+    the generator formula."""
+    from geos_spark.operators.links import (
+        anchor_text_index,
+        extract_anchor_texts,
+    )
+    from geos_spark.sources.pages import synth_linked_pages
+
+    n = _docs(spark, sf_dir).count()
+    out = anchor_text_index(
+        extract_anchor_texts(synth_linked_pages(spark, n))
+    )
+    return out.select("dst_url", "anchor", "n_links", "n_hosts")
+
+
+def q_anchor_text_sql() -> str:
+    from geos_spark.sources.pages import _WORDS
+
+    words = ", ".join(f"'{w}'" for w in _WORDS)
+    return f"""
+WITH nd AS (SELECT count(*) AS n FROM documents),
+links AS (
+  SELECT doc_id AS i, unnest(range(2 + (doc_id % 3))) AS j
+  FROM documents
+), pairs AS (
+  SELECT 'site' || (i % 997)::VARCHAR || '.example' AS src_host,
+         'https://site' || (((i*7 + j*131 + 1) % n) % 997)::VARCHAR
+           || '.example/page/' || ((i*7 + j*131 + 1) % n)::VARCHAR AS dst_url,
+         ([{words}])[(((i*7 + j*131 + 1) % n) % {len(_WORDS)})::INT + 1]
+           AS anchor
+  FROM links CROSS JOIN nd
+)
+SELECT dst_url, anchor,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(count(DISTINCT src_host) AS BIGINT) AS n_hosts
+FROM pairs GROUP BY dst_url, anchor
+"""
+
+
+QUERIES.update({"anchor_text": q_anchor_text})
+ORACLES.update({"anchor_text": q_anchor_text_sql()})

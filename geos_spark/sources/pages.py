@@ -331,6 +331,7 @@ def synth_linked_pages(
     i = F.col("page_id")
     n_links = (F.pmod(i, F.lit(3)) + 2).cast("int")
     target = lambda j: F.pmod(i * 7 + j * 131 + 1, F.lit(n))  # noqa: E731
+    words = F.array(*[F.lit(w) for w in _WORDS])
     anchors = F.array_join(
         F.transform(
             F.sequence(F.lit(0), n_links - 1),
@@ -339,7 +340,15 @@ def synth_linked_pages(
                 F.pmod(target(j), F.lit(997)).cast("string"),
                 F.lit(".example/page/"),
                 target(j).cast("string"),
-                F.lit('">l</a>'),
+                F.lit('">'),
+                # anchor text: a wordlist word keyed by the TARGET id
+                # (the retrieval-signal shape: pages describing the
+                # same target tend to reuse its anchor term)
+                F.element_at(
+                    words,
+                    F.pmod(target(j), F.lit(len(_WORDS))).cast("int") + 1,
+                ),
+                F.lit("</a>"),
             ),
         ),
         "",

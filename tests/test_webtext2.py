@@ -476,3 +476,36 @@ def test_label_propagation_two_cliques(spark):
     # each triangle converges to one label; labels are node ids
     assert out["a"] == out["b"]
     assert out["x"] == out["y"] == out["z"]
+
+
+def test_anchor_text_extraction(spark):
+    from geos_spark.operators.links import (
+        anchor_text_index,
+        extract_anchor_texts,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.ex/1",
+                bytearray(
+                    b'x <a href="https://t.ex/p">great page</a> y'
+                    b'<a href="https://t.ex/p">great page</a>'
+                    b'<a href="https://u.ex/q">other</a>'
+                ),
+            ),
+            (
+                "https://b.ex/2",
+                bytearray(b'<a href="https://t.ex/p">great page</a>'),
+            ),
+        ],
+        "url string, html binary",
+    )
+    ext = extract_anchor_texts(pages).collect()
+    assert len(ext) == 4
+    idx = {
+        (r["dst_url"], r["anchor"]): (r["n_links"], r["n_hosts"])
+        for r in anchor_text_index(extract_anchor_texts(pages)).collect()
+    }
+    assert idx[("https://t.ex/p", "great page")] == (3, 2)
+    assert idx[("https://u.ex/q", "other")] == (1, 1)
