@@ -4218,3 +4218,120 @@ FROM pairs GROUP BY dst_url, anchor
 
 QUERIES.update({"anchor_text": q_anchor_text})
 ORACLES.update({"anchor_text": q_anchor_text_sql()})
+
+
+def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-curation DAG as ONE scored row (the webtext
+    counterpart of dedup_clusters): a deterministic multi-line corpus
+    (50-way shared intro, unique PII-laced body, 7-way shared quote)
+    goes through corpus-wide paragraph dedup -> PII scrub -> Gopher
+    quality gate; the oracle replays the whole chain in SQL."""
+    from geos_spark.operators.dedup import paragraph_dedup
+    from geos_spark.operators.pii import redact_pii
+    from geos_spark.operators.text import gopher_rules
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    text = F.concat(
+        F.lit("intro shared header "),
+        F.md5(F.encode((did % 50).cast("string"), "utf-8")),
+        F.lit("\nbody text mail user"),
+        did.cast("string"),
+        F.lit("@ex.org token "),
+        F.md5(F.encode(did.cast("string"), "utf-8")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit("\nquote of the day "),
+                F.md5(F.encode((did % 7).cast("string"), "utf-8")),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    corpus = d.select("doc_id", text.alias("text"))
+    deduped = paragraph_dedup(corpus).select(
+        "doc_id",
+        "n_paras_kept",
+        F.col("clean_text").alias("text"),
+    )
+    scrubbed = redact_pii(deduped)
+    gated = gopher_rules(
+        scrubbed.drop("text").withColumnRenamed(
+            "text_redacted", "text"
+        ),
+        min_words=3,
+        min_stopword_hits=0,
+        min_alpha_ratio=0.0,
+    )
+    return gated.select(
+        "doc_id",
+        "n_paras_kept",
+        "n_email",
+        F.col("keep").cast("int").alias("keep"),
+        F.md5(F.encode(F.col("text"), "utf-8")).alias("final_md5"),
+    )
+
+
+def q_curate_pipeline_sql() -> str:
+    from geos_spark.operators.pii import pii_oracle_exprs
+
+    counts, red = pii_oracle_exprs("clean_text")
+    n_email = counts[0]  # first pattern class is email
+    return f"""
+WITH corpus AS (
+  SELECT doc_id,
+         'intro shared header ' || md5(CAST(doc_id % 50 AS VARCHAR)) || chr(10) ||
+         'body text mail user' || CAST(doc_id AS VARCHAR) || '@ex.org token ' ||
+         md5(CAST(doc_id AS VARCHAR)) ||
+         CASE WHEN doc_id % 4 = 0
+              THEN chr(10) || 'quote of the day ' || md5(CAST(doc_id % 7 AS VARCHAR))
+              ELSE '' END AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(generate_series(0, length(string_split(text, chr(10))) - 1)) AS pos
+  FROM corpus
+), owner AS (
+  SELECT line, min(doc_id * 1000 + pos) AS own FROM lines GROUP BY line
+), kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l JOIN owner o ON l.line = o.line
+  WHERE l.doc_id * 1000 + l.pos = o.own
+), rebuilt AS (
+  SELECT c.doc_id,
+         CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_paras_kept,
+         COALESCE(r.clean_text, '') AS clean_text
+  FROM corpus c LEFT JOIN (
+    SELECT doc_id, count(*) AS n_kept,
+           string_agg(line, chr(10) ORDER BY pos) AS clean_text
+    FROM kept GROUP BY doc_id
+  ) r ON c.doc_id = r.doc_id
+), scrubbed AS (
+  SELECT doc_id, n_paras_kept,
+         {n_email},
+         {red} AS text
+  FROM rebuilt
+), m AS (
+  SELECT doc_id, n_paras_kept, n_email, text,
+         length(string_split_regex(trim(text), '\\s+')) AS wc,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace,
+         CAST((length(text) - length(replace(text, '#', ''))) AS BIGINT)
+           + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS symbols
+  FROM scrubbed
+)
+SELECT doc_id, n_paras_kept, n_email,
+       CAST(wc >= 3 AND wc <= 100000
+            AND CAST(nonspace AS DOUBLE) / greatest(wc, 1) >= 2.0
+            AND CAST(nonspace AS DOUBLE) / greatest(wc, 1) <= 10.0
+            AND CAST(symbols AS DOUBLE) / greatest(wc, 1) <= 0.1
+            AND NOT (contains(lower(text), 'javascript')
+                     OR contains(lower(text), 'lorem ipsum')
+                     OR contains(lower(text), '{{'))
+            AS INT) AS keep,
+       md5(text) AS final_md5
+FROM m
+"""
+
+
+QUERIES.update({"curate_pipeline": q_curate_pipeline})
+ORACLES.update({"curate_pipeline": q_curate_pipeline_sql()})
