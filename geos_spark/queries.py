@@ -4335,3 +4335,63 @@ FROM m
 
 QUERIES.update({"curate_pipeline": q_curate_pipeline})
 ORACLES.update({"curate_pipeline": q_curate_pipeline_sql()})
+
+
+def q_stream_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-side crawl delta: the NEW snapshot streams in
+    (same perturbation scheme as crawl_delta minus 'removed', which is
+    snapshot-complete by nature) and classifies against the static old
+    snapshot via a stream-static left join, append mode."""
+    from geos_spark.streaming import (
+        read_documents_stream,
+        run_stream_to_memory,
+        streaming_crawl_delta,
+    )
+
+    url = F.concat(F.lit("u/"), F.col("doc_id").cast("string"))
+    old = _docs(spark, sf_dir).select(url.alias("url"), "text")
+    s = read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    new_stream = (
+        s.where(F.col("doc_id") % 11 != 0)
+        .select(
+            F.concat(F.lit("u/"), F.col("doc_id").cast("string")).alias(
+                "url"
+            ),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.col("text"), F.lit(" upd")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    out, _ = run_stream_to_memory(
+        streaming_crawl_delta(new_stream, old),
+        spark,
+        output_mode="append",
+    )
+    return out.select("url", "status", "old_md5", "new_md5")
+
+
+def q_stream_crawl_delta_sql() -> str:
+    return """
+WITH old AS (
+  SELECT 'u/' || doc_id::VARCHAR AS url, md5(text) AS old_md5
+  FROM documents
+), new AS (
+  SELECT 'u/' || doc_id::VARCHAR AS url,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' upd' ELSE text END)
+           AS new_md5
+  FROM documents WHERE doc_id % 11 <> 0
+)
+SELECT n.url,
+       CASE WHEN o.old_md5 IS NULL THEN 'added'
+            WHEN o.old_md5 = n.new_md5 THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       o.old_md5, n.new_md5
+FROM new n LEFT JOIN old o ON n.url = o.url
+"""
+
+
+QUERIES.update({"stream_crawl_delta": q_stream_crawl_delta})
+ORACLES.update({"stream_crawl_delta": q_stream_crawl_delta_sql()})
