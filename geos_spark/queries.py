@@ -4395,3 +4395,72 @@ FROM new n LEFT JOIN old o ON n.url = o.url
 
 QUERIES.update({"stream_crawl_delta": q_stream_crawl_delta})
 ORACLES.update({"stream_crawl_delta": q_stream_crawl_delta_sql()})
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means (k=8, 3 update rounds) over the
+    embeddings table; final per-vector assignment with squared
+    distance rounded to 6 decimals. The oracle replays every
+    assignment/update round in chained MATERIALIZED CTEs."""
+    from geos_spark.operators.cluster import kmeans_assign
+
+    out = kmeans_assign(_emb(spark, sf_dir), k=8, iterations=3)
+    return out.select(
+        "vec_id",
+        "cid",
+        F.round(F.col("dist2"), 6).alias("dist2_r"),
+    )
+
+
+def q_kmeans_sql() -> str:
+    head = """
+WITH v AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), c0 AS MATERIALIZED (
+  SELECT vec_id AS cid, e AS c FROM v ORDER BY vec_id LIMIT 8
+)"""
+    assign = """, a{k} AS MATERIALIZED (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT v.vec_id, c.cid,
+           list_sum(list_transform(range(1, 65),
+                    i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i]))) AS d2,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_sum(list_transform(range(1, 65),
+                      i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i]))) ASC,
+                      c.cid ASC) AS rn
+    FROM v CROSS JOIN c{p} c
+  ) WHERE rn = 1
+), c{k} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(n.c, p.c) AS c
+  FROM c{p} p LEFT JOIN (
+    SELECT cid, list(m ORDER BY pos) AS c FROM (
+      SELECT a.cid, pos, avg(val) AS m
+      FROM a{k} a JOIN v ON a.vec_id = v.vec_id,
+           LATERAL (SELECT unnest(v.e) AS val,
+                           unnest(generate_series(1, 64)) AS pos) u
+      GROUP BY a.cid, pos
+    ) GROUP BY cid
+  ) n ON p.cid = n.cid
+)"""
+    body = head + "".join(
+        assign.format(k=k, p=k - 1) for k in (1, 2, 3)
+    )
+    return body + """
+SELECT vec_id, cid, ROUND(d2, 6) AS dist2_r FROM (
+  SELECT v.vec_id, c.cid,
+         list_sum(list_transform(range(1, 65),
+                  i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i]))) AS d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_sum(list_transform(range(1, 65),
+                    i -> (v.e[i] - c.c[i]) * (v.e[i] - c.c[i]))) ASC,
+                    c.cid ASC) AS rn
+  FROM v CROSS JOIN c3 c
+) WHERE rn = 1
+"""
+
+
+QUERIES.update({"kmeans": q_kmeans})
+ORACLES.update({"kmeans": q_kmeans_sql()})
