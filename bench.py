@@ -597,6 +597,28 @@ def _scaling_queries(spark, cores: int):
             F.sum(F.length("text_redacted")).alias("chars"),
         )
 
+    def page_rank_2m():
+        # iterative-graph job shape with a GRAPH-sized state: PageRank
+        # over the PAGE-level link graph (2m nodes, ~5m edges) — each
+        # of the 3 rounds is a real 5m-row join-aggregate shuffle, the
+        # shape that must scale on a web-sized graph (the 997-host
+        # quotient graph is pure fixed iteration latency and says
+        # nothing about scaling)
+        from geos_spark.operators.links import extract_links, pagerank
+        from geos_spark.sources.pages import synth_linked_pages
+
+        pages = synth_linked_pages(spark, 2_000_000, partitions=parts)
+        edges = extract_links(pages).where(
+            F.col("src_url") != F.col("dst_url")
+        )
+        return pagerank(
+            edges,
+            iterations=3,
+            src_col="src_url",
+            dst_col="dst_url",
+            n_nodes=2_000_000,
+        )
+
     return {
         "pip_join_48m": (pip_join_48m, 48_000_000),
         "pip_native_48m": (pip_native_48m, 48_000_000),
@@ -604,6 +626,7 @@ def _scaling_queries(spark, cores: int):
         "token_stats_6m": (token_stats_6m, 6_000_000),
         "dedup_clusters_200k": (dedup_clusters_200k, 200_000),
         "pii_scrub_1m": (pii_scrub_1m, 1_000_000),
+        "page_rank_2m": (page_rank_2m, 2_000_000),
     }
 
 
