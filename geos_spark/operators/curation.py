@@ -119,3 +119,59 @@ def median_filter(
         .where(F.col(value_col) >= F.col("__med"))
         .withColumnRenamed("__med", "group_median")
     )
+
+
+def mixture_rates(
+    df: DataFrame,
+    targets: dict[str, float],
+    group_col: str = "lang",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Data-mixture calculator: given target proportions per group
+    (language/source/domain), compute the deterministic per-group
+    keep-rate that realizes the mixture from the current corpus.
+
+    rate(g) = min(1, (target_g / max_g(target_g / tokens_g)) /
+                     tokens_g)
+
+    i.e. the group with the scarcest supply relative to its target is
+    kept at 100% and every other group is downsampled to match — the
+    standard no-upsampling mixing rule. Feed the rates into
+    :func:`geos_spark.operators.sampling.stratified_sample` for the
+    deterministic realization.
+
+    One tiny aggregate + a broadcast target dim; emits (group,
+    tokens, current_frac, target_frac, rate) rounded by the caller.
+    """
+    spark = df.sparkSession
+    tdim = spark.createDataFrame(
+        [(g, float(w)) for g, w in sorted(targets.items())],
+        schema=f"{group_col} string, target_frac double",
+    )
+    sup = df.groupBy(group_col).agg(
+        F.sum(size_col).cast("double").alias("tokens")
+    )
+    tot = sup.agg(F.sum("tokens").alias("tot"))
+    j = (
+        sup.join(F.broadcast(tdim), on=group_col, how="inner")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("current_frac", F.col("tokens") / F.col("tot"))
+        .withColumn("supply_ratio", F.col("target_frac") / F.col("tokens"))
+    )
+    # the binding group: max(target/tokens) over included groups
+    bind = j.agg(F.max("supply_ratio").alias("bind"))
+    return (
+        j.crossJoin(F.broadcast(bind))
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                F.col("target_frac")
+                / F.col("bind")
+                / F.col("tokens"),
+            ),
+        )
+        .select(
+            group_col, "tokens", "current_frac", "target_frac", "rate"
+        )
+    )

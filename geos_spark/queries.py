@@ -4464,3 +4464,48 @@ SELECT vec_id, cid, ROUND(d2, 6) AS dist2_r FROM (
 
 QUERIES.update({"kmeans": q_kmeans})
 ORACLES.update({"kmeans": q_kmeans_sql()})
+
+
+def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture calculator: per-language keep-rates realizing a
+    target token mixture under the no-upsampling rule (the binding
+    scarcest-supply group keeps 100%)."""
+    from geos_spark.operators.curation import mixture_rates
+
+    out = mixture_rates(
+        _docs(spark, sf_dir),
+        {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.1, "zh": 0.1},
+    )
+    return out.select(
+        "lang",
+        F.col("tokens").cast("long").alias("tokens"),
+        F.round("current_frac", 6).alias("current_frac_r"),
+        F.round("target_frac", 6).alias("target_frac_r"),
+        F.round("rate", 6).alias("rate_r"),
+    )
+
+
+def q_mixture_sql() -> str:
+    return """
+WITH t(lang, target_frac) AS (
+  VALUES ('de', 0.2), ('en', 0.4), ('es', 0.1), ('fr', 0.2), ('zh', 0.1)
+), sup AS (
+  SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS tokens
+  FROM documents GROUP BY lang
+), j AS (
+  SELECT s.lang, s.tokens, CAST(t.target_frac AS DOUBLE) AS target_frac,
+         s.tokens / (SELECT SUM(tokens) FROM sup) AS current_frac,
+         CAST(t.target_frac AS DOUBLE) / s.tokens AS supply_ratio
+  FROM sup s JOIN t ON s.lang = t.lang
+)
+SELECT lang, CAST(tokens AS BIGINT) AS tokens,
+       ROUND(current_frac, 6) AS current_frac_r,
+       ROUND(target_frac, 6) AS target_frac_r,
+       ROUND(LEAST(1.0, target_frac / (SELECT MAX(supply_ratio) FROM j)
+                        / tokens), 6) AS rate_r
+FROM j
+"""
+
+
+QUERIES.update({"mixture": q_mixture})
+ORACLES.update({"mixture": q_mixture_sql()})

@@ -529,3 +529,23 @@ def test_kmeans_two_blobs(spark):
     # other the odd (far) blob
     assert sorted(len(v) for v in by_cid.values()) == [1, 1]
     assert all(r["dist2"] < 0.01 for r in out)
+
+
+def test_mixture_rates_no_upsampling(spark):
+    from geos_spark.operators.curation import mixture_rates
+
+    # supplies: a=1000, b=100; targets 50/50 -> b binds (kept 100%),
+    # a downsampled to 100 tokens-worth -> rate 0.1
+    df = spark.createDataFrame(
+        [("a", 1000), ("b", 100)], "lang string, n_chars int"
+    )
+    out = {
+        r["lang"]: r
+        for r in mixture_rates(df, {"a": 0.5, "b": 0.5}).collect()
+    }
+    assert out["b"]["rate"] == pytest.approx(1.0)
+    assert out["a"]["rate"] == pytest.approx(0.1)
+    # realized mixture: 1000*0.1 : 100*1.0 = 50:50
+    assert out["a"]["tokens"] * out["a"]["rate"] == pytest.approx(
+        out["b"]["tokens"] * out["b"]["rate"]
+    )
