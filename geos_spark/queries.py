@@ -4509,3 +4509,123 @@ FROM j
 
 QUERIES.update({"mixture": q_mixture})
 ORACLES.update({"mixture": q_mixture_sql()})
+
+
+def q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier prioritization — the composition row tying the
+    graph and snapshot tiers together: per-url priority = host
+    PageRank x freshness factor (changed 1.0 / added 0.8 / unchanged
+    0.2), the standard recrawl-scheduling shape. The oracle replays
+    PageRank AND the delta classification in one SQL."""
+    from geos_spark.operators.crawl import crawl_delta
+    from geos_spark.operators.links import (
+        extract_links,
+        host_edges,
+        pagerank,
+    )
+    from geos_spark.sources.pages import synth_linked_pages
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    ranks = pagerank(
+        host_edges(extract_links(synth_linked_pages(spark, n))),
+        iterations=3,
+    )
+    # snapshots keyed by the page url (host = site{id%997}.example)
+    url = F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id") % 997).cast("string"),
+        F.lit(".example/page/"),
+        F.col("doc_id").cast("string"),
+    )
+    old = docs.select(url.alias("url"), "text")
+    new = docs.select(
+        url.alias("url"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" upd")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    delta = crawl_delta(old, new).where(F.col("status") != "removed")
+    from geos_spark.operators.links import host_of
+
+    fresh = (
+        F.when(F.col("status") == "changed", F.lit(1.0))
+        .when(F.col("status") == "added", F.lit(0.8))
+        .otherwise(F.lit(0.2))
+    )
+    out = (
+        delta.withColumn("host", host_of("url"))
+        .join(ranks, on="host", how="left")
+        .select(
+            "url",
+            "status",
+            F.round(
+                F.coalesce(F.col("rank"), F.lit(0.0)) * fresh, 9
+            ).alias("priority_r"),
+        )
+    )
+    return out
+
+
+def q_frontier_sql() -> str:
+    head = """
+WITH nd AS (SELECT count(*) AS n FROM documents),
+links AS (
+  SELECT doc_id AS i, unnest(range(2 + (doc_id % 3))) AS j
+  FROM documents
+), edges0 AS (
+  SELECT 'site' || (i % 997)::VARCHAR || '.example' AS src_host,
+         'site' || (((i*7 + j*131 + 1) % n) % 997)::VARCHAR
+           || '.example' AS dst_host
+  FROM links CROSS JOIN nd
+), edges AS (
+  SELECT src_host, dst_host FROM edges0
+  WHERE src_host <> dst_host GROUP BY src_host, dst_host
+), nodes AS (
+  SELECT src_host AS host FROM edges
+  UNION SELECT dst_host FROM edges
+), nn AS (SELECT count(*) AS nh FROM nodes),
+outdeg AS (
+  SELECT src_host, CAST(count(*) AS BIGINT) AS outdeg
+  FROM edges GROUP BY src_host
+), r0 AS (
+  SELECT host, CAST(1.0 AS DOUBLE) / nh AS rank
+  FROM nodes CROSS JOIN nn
+)"""
+    it = """, r{next} AS (
+  SELECT nds.host,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.nh
+           + CAST(0.85 AS DOUBLE) * COALESCE(m.mass, CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes nds CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst_host AS host, SUM(r.rank / o.outdeg) AS mass
+    FROM edges e
+    JOIN r{cur} r ON e.src_host = r.host
+    JOIN outdeg o ON e.src_host = o.src_host
+    GROUP BY e.dst_host
+  ) m ON nds.host = m.host
+)"""
+    tail = """, delta AS (
+  SELECT 'https://site' || (doc_id % 997)::VARCHAR || '.example/page/'
+           || doc_id::VARCHAR AS url,
+         'site' || (doc_id % 997)::VARCHAR || '.example' AS host,
+         CASE WHEN doc_id % 5 = 0 THEN 'changed' ELSE 'unchanged' END AS status
+  FROM documents
+)
+SELECT d.url, d.status,
+       ROUND(COALESCE(r3.rank, 0.0)
+             * CASE d.status WHEN 'changed' THEN 1.0
+                             WHEN 'added' THEN 0.8
+                             ELSE 0.2 END, 9) AS priority_r
+FROM delta d LEFT JOIN r3 ON d.host = r3.host
+"""
+    return head + "".join(
+        it.format(cur=k, next=k + 1) for k in range(3)
+    ) + tail
+
+
+QUERIES.update({"frontier": q_frontier})
+ORACLES.update({"frontier": q_frontier_sql()})
