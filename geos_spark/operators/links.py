@@ -76,10 +76,30 @@ def pagerank(
     checkpoint_every: int | None = None,
     n_nodes: int | None = None,
     cache_edges: bool = True,
+    weight_col: str | None = None,
+    teleport: DataFrame | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
-    """Unweighted PageRank over the edge list, fixed iteration count:
+    """PageRank over the edge list, fixed iteration count:
 
-        rank'(v) = (1-d)/N + d * sum_{u->v} rank(u) / outdeg(u)
+        rank'(v) = (1-d)*p(v) + d * sum_{u->v} rank(u) * w(u,v)/W(u)
+
+    Variants, all sharing this one iteration plan:
+
+    - **unweighted** (default): w(u,v)=1, W(u)=outdeg(u);
+    - **weighted** (``weight_col``): w is the named edge column,
+      W(u) its per-source sum — the crawl-prioritization form where
+      an edge repeated k times carries k× the endorsement;
+    - **personalized / TrustRank** (``teleport``): p is a
+      (host, p) distribution (need not cover every node; missing
+      nodes teleport 0). Default p is uniform 1/N. With a teleport
+      vector concentrated on trusted seed hosts this is TrustRank
+      (Gyöngyi et al. 2004) — spam demotion by distance-from-trust;
+    - **warm start / incremental** (``init_ranks``): rank⁰ seeded
+      from a prior snapshot's ranks (missing/new nodes start at the
+      teleport mass p(v), or 1/N when uniform). Re-ranking a crawl
+      delta this way needs far fewer iterations than a cold start —
+      the standard incremental recipe for evolving web graphs.
 
     Nodes are the union of sources and destinations; no dangling-mass
     redistribution (matches the closed-form SQL oracle — callers
@@ -87,7 +107,12 @@ def pagerank(
     an out-edge, as crawl host graphs effectively do).
 
     Returns (host, rank). Deterministic up to float summation order;
-    the catalog query rounds to 6 decimals.
+    the catalog queries round to 6 decimals.
+
+    Scale shape is unchanged by the variants: teleport/init frames
+    are node-sized 2-column frames joined once (teleport folds into a
+    per-node ``base`` column before the loop); the weighted W(u) is
+    the same single aggregate as outdeg.
     """
     # every iteration re-joins the edge list; without caching, an
     # upstream extraction pipeline would be re-executed per iteration
@@ -107,34 +132,109 @@ def pagerank(
     if n_nodes is None:
         nodes = nodes.persist()
         n_nodes = nodes.count()
-    base = (1.0 - damping) / n_nodes
-    outdeg = edges.groupBy(src_col).agg(
-        F.count("*").alias("outdeg")
+    if n_nodes == 0:
+        # empty graph: no nodes, no ranks (1/N is undefined)
+        return nodes.select("host", F.lit(0.0).alias("rank")).limit(0)
+    uniform = 1.0 / n_nodes
+    # per-node teleport mass p(v): a column folded in BEFORE the loop
+    # so each iteration stays one join-aggregate regardless of variant
+    if teleport is not None:
+        tp = teleport.select(
+            F.col(teleport.columns[0]).alias("host"),
+            F.col(teleport.columns[1]).cast("double").alias("__p"),
+        )
+        nodes = nodes.join(tp, on="host", how="left").select(
+            "host", F.coalesce("__p", F.lit(0.0)).alias("__p")
+        )
+    else:
+        nodes = nodes.withColumn("__p", F.lit(uniform))
+    nodes = nodes.withColumn(
+        "__base", F.lit(1.0 - damping) * F.col("__p")
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    if weight_col:
+        outdeg = edges.groupBy(src_col).agg(
+            F.sum(w).alias("__w_tot")
+        )
+    else:
+        outdeg = edges.groupBy(src_col).agg(
+            F.count("*").cast("double").alias("__w_tot")
+        )
+    if init_ranks is not None:
+        ir = init_ranks.select(
+            F.col(init_ranks.columns[0]).alias("host"),
+            F.col(init_ranks.columns[1]).cast("double").alias("__r0"),
+        )
+        ranks = nodes.join(ir, on="host", how="left").select(
+            "host",
+            "__base",
+            F.coalesce(
+                "__r0",
+                F.col("__p") if teleport is not None else F.lit(uniform),
+            ).alias("rank"),
+        )
+    else:
+        ranks = nodes.select(
+            "host",
+            "__base",
+            (F.col("__p") if teleport is not None else F.lit(uniform)
+             ).alias("rank"),
+        )
     for it in range(iterations):
         contrib = (
             edges.join(
-                ranks.withColumnRenamed("host", src_col), on=src_col
+                ranks.select(
+                    F.col("host").alias(src_col), "rank"
+                ),
+                on=src_col,
             )
             .join(outdeg, on=src_col)
             .select(
                 F.col(dst_col).alias("host"),
-                (F.col("rank") / F.col("outdeg")).alias("c"),
+                (F.col("rank") * w / F.col("__w_tot")).alias("c"),
             )
             .groupBy("host")
             .agg(F.sum("c").alias("in_mass"))
         )
         ranks = nodes.join(contrib, on="host", how="left").select(
             "host",
+            "__base",
             (
-                F.lit(base)
+                F.col("__base")
                 + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
             ).alias("rank"),
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return ranks.select("host", "rank")
+
+
+def pagerank_incremental(
+    edges_new: DataFrame,
+    prior_ranks: DataFrame,
+    iterations: int = 2,
+    **kwargs,
+) -> DataFrame:
+    """Incremental PageRank over a crawl delta: re-rank the NEW
+    snapshot's edge list seeded from the PRIOR snapshot's ranks
+    (``prior_ranks`` = (host, rank)). Hosts that appeared since the
+    prior snapshot start at the teleport mass; hosts that vanished
+    drop out with the node set. Because the seed is already near the
+    fixed point for the unchanged bulk of the graph, a small fixed
+    ``iterations`` (default 2) recovers the accuracy a cold start
+    needs many more for — the standard recipe for evolving web
+    graphs. Exactly ``pagerank(..., init_ranks=prior_ranks)``; same
+    per-iteration plan shape (one edge join-aggregate)."""
+    return pagerank(
+        edges_new,
+        iterations=iterations,
+        init_ranks=prior_ranks,
+        **kwargs,
+    )
 
 
 def hits(
