@@ -1,8 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)  -> flagship point-in-polygon spatial join at sf0.001.
-queries()     -> operator catalog (geos_spark.queries.QUERIES; 96 as
-                 of late round 4) — synthetic-table operators (joins,
+queries()     -> operator catalog (geos_spark.queries.QUERIES; 99 as
+                 of round 5) — synthetic-table operators (joins,
                  tiling, kNN, clustering, coverage
                  validate/simplify/clean, dedup + the full near-dup
                  pipeline + paragraph dedup + benchmark
@@ -11,7 +11,9 @@ queries()     -> operator catalog (geos_spark.queries.QUERIES; 96 as
                  URL canonicalization, PII redaction, Gopher/C4
                  quality filter, char entropy), lexical retrieval
                  (BM25, inverted index), web link graph
-                 (anchor extraction, host PageRank), ANN
+                 (anchor extraction, host PageRank — unweighted /
+                 weighted / TrustRank-personalized / incremental
+                 warm-start), ANN
                  (exact/LSH/matmul/IVF/IVF-PQ), text, html->text
                  extraction with the cross-engine byte-identity
                  oracle (pages_extract), Z/M ordinate surface

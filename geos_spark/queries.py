@@ -4629,3 +4629,284 @@ FROM delta d LEFT JOIN r3 ON d.host = r3.host
 
 QUERIES.update({"frontier": q_frontier})
 ORACLES.update({"frontier": q_frontier_sql()})
+
+
+def q_host_rank_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the host graph: an anchor repeated k
+    times carries k× the endorsement (host_edges keeps the anchor
+    multiplicity as ``weight``). The oracle replays the 3 iterations
+    with mass = rank * weight / sum(weight per source)."""
+    from geos_spark.operators.links import (
+        extract_links,
+        host_edges,
+        pagerank,
+    )
+    from geos_spark.sources.pages import synth_linked_pages
+
+    n = _docs(spark, sf_dir).count()
+    edges = host_edges(extract_links(synth_linked_pages(spark, n)))
+    out = pagerank(edges, iterations=3, weight_col="weight")
+    return out.select(
+        "host", F.round(F.col("rank"), 6).alias("rank_r")
+    )
+
+
+def q_host_rank_w_sql() -> str:
+    head = """
+WITH nd AS (SELECT count(*) AS n FROM documents),
+links AS (
+  SELECT doc_id AS i, unnest(range(2 + (doc_id % 3))) AS j
+  FROM documents
+), edges0 AS (
+  SELECT 'site' || (i % 997)::VARCHAR || '.example' AS src_host,
+         'site' || (((i*7 + j*131 + 1) % n) % 997)::VARCHAR
+           || '.example' AS dst_host
+  FROM links CROSS JOIN nd
+), edges AS (
+  SELECT src_host, dst_host, CAST(count(*) AS DOUBLE) AS weight
+  FROM edges0
+  WHERE src_host <> dst_host GROUP BY src_host, dst_host
+), nodes AS (
+  SELECT src_host AS host FROM edges
+  UNION SELECT dst_host FROM edges
+), nn AS (SELECT count(*) AS nh FROM nodes),
+outdeg AS (
+  SELECT src_host, SUM(weight) AS wtot
+  FROM edges GROUP BY src_host
+), r0 AS (
+  SELECT host, CAST(1.0 AS DOUBLE) / nh AS rank
+  FROM nodes CROSS JOIN nn
+)"""
+    it = """, r{next} AS (
+  SELECT nds.host,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.nh
+           + CAST(0.85 AS DOUBLE) * COALESCE(m.mass, CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes nds CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst_host AS host, SUM(r.rank * e.weight / o.wtot) AS mass
+    FROM edges e
+    JOIN r{cur} r ON e.src_host = r.host
+    JOIN outdeg o ON e.src_host = o.src_host
+    GROUP BY e.dst_host
+  ) m ON nds.host = m.host
+)"""
+    body = head + "".join(
+        it.format(cur=k, next=k + 1) for k in range(3)
+    )
+    return body + "\nSELECT host, ROUND(rank, 6) AS rank_r FROM r3"
+
+
+def q_host_rank_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank / personalized PageRank: the teleport distribution is
+    uniform over a deterministic trusted-seed set (hosts whose numeric
+    id is divisible by 10) instead of all nodes — the spam-demotion
+    ranking (Gyöngyi et al. 2004). Non-seed hosts get teleport mass 0
+    and are ranked purely by their link distance from trust."""
+    from geos_spark.operators.links import (
+        extract_links,
+        host_edges,
+        pagerank,
+    )
+    from geos_spark.sources.pages import synth_linked_pages
+
+    n = _docs(spark, sf_dir).count()
+    edges = host_edges(extract_links(synth_linked_pages(spark, n)))
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    seeds = nodes.where(
+        F.regexp_extract("host", r"site(\d+)\.", 1).cast("int")
+        % 10
+        == 0
+    )
+    ns = seeds.agg(F.count("*").alias("__ns"))
+    seeds_p = seeds.crossJoin(ns).select(
+        "host", (F.lit(1.0) / F.col("__ns")).alias("p")
+    )
+    out = pagerank(edges, iterations=3, teleport=seeds_p)
+    return out.select(
+        "host", F.round(F.col("rank"), 6).alias("rank_r")
+    )
+
+
+def q_host_rank_trust_sql() -> str:
+    head = """
+WITH nd AS (SELECT count(*) AS n FROM documents),
+links AS (
+  SELECT doc_id AS i, unnest(range(2 + (doc_id % 3))) AS j
+  FROM documents
+), edges0 AS (
+  SELECT 'site' || (i % 997)::VARCHAR || '.example' AS src_host,
+         'site' || (((i*7 + j*131 + 1) % n) % 997)::VARCHAR
+           || '.example' AS dst_host
+  FROM links CROSS JOIN nd
+), edges AS (
+  SELECT src_host, dst_host FROM edges0
+  WHERE src_host <> dst_host GROUP BY src_host, dst_host
+), nodes0 AS (
+  SELECT src_host AS host FROM edges
+  UNION SELECT dst_host FROM edges
+), ns AS (
+  SELECT count(*) AS nseed FROM nodes0
+  WHERE CAST(regexp_extract(host, 'site(\\d+)\\.', 1) AS INT) % 10 = 0
+), nodes AS (
+  SELECT host,
+         CASE WHEN CAST(regexp_extract(host, 'site(\\d+)\\.', 1) AS INT)
+                   % 10 = 0
+              THEN CAST(1.0 AS DOUBLE) / ns.nseed
+              ELSE CAST(0.0 AS DOUBLE) END AS p
+  FROM nodes0 CROSS JOIN ns
+), outdeg AS (
+  SELECT src_host, CAST(count(*) AS DOUBLE) AS outdeg
+  FROM edges GROUP BY src_host
+), r0 AS (
+  SELECT host, p, p AS rank FROM nodes
+)"""
+    it = """, r{next} AS (
+  SELECT nds.host, nds.p,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * nds.p
+           + CAST(0.85 AS DOUBLE) * COALESCE(m.mass, CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes nds
+  LEFT JOIN (
+    SELECT e.dst_host AS host, SUM(r.rank / o.outdeg) AS mass
+    FROM edges e
+    JOIN r{cur} r ON e.src_host = r.host
+    JOIN outdeg o ON e.src_host = o.src_host
+    GROUP BY e.dst_host
+  ) m ON nds.host = m.host
+)"""
+    body = head + "".join(
+        it.format(cur=k, next=k + 1) for k in range(3)
+    )
+    return body + "\nSELECT host, ROUND(rank, 6) AS rank_r FROM r3"
+
+
+def q_host_rank_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PageRank over a crawl delta: the prior snapshot is
+    the first half of the crawl (its own link formula over m = n//2
+    pages), ranked 2 iterations; the grown snapshot re-ranks with 2
+    warm iterations seeded from the prior ranks (new hosts start at
+    uniform 1/N of the grown graph). The oracle replays both chains —
+    prior chain, coalesce-seeded warm chain — as SQL CTEs."""
+    from geos_spark.operators.links import (
+        extract_links,
+        host_edges,
+        pagerank,
+        pagerank_incremental,
+    )
+    from geos_spark.sources.pages import synth_linked_pages
+
+    n = _docs(spark, sf_dir).count()
+    m = n // 2
+    prior = pagerank(
+        host_edges(extract_links(synth_linked_pages(spark, m))),
+        iterations=2,
+    )
+    grown = host_edges(extract_links(synth_linked_pages(spark, n)))
+    out = pagerank_incremental(grown, prior, iterations=2)
+    return out.select(
+        "host", F.round(F.col("rank"), 6).alias("rank_r")
+    )
+
+
+def q_host_rank_incr_sql() -> str:
+    head = """
+WITH nd AS (SELECT count(*) AS n, count(*) // 2 AS m FROM documents),
+linksp AS (
+  SELECT doc_id AS i, unnest(range(2 + (doc_id % 3))) AS j
+  FROM documents CROSS JOIN nd WHERE doc_id < nd.m
+), edgesp0 AS (
+  SELECT 'site' || (i % 997)::VARCHAR || '.example' AS src_host,
+         'site' || (((i*7 + j*131 + 1) % m) % 997)::VARCHAR
+           || '.example' AS dst_host
+  FROM linksp CROSS JOIN nd
+), edgesp AS (
+  SELECT src_host, dst_host FROM edgesp0
+  WHERE src_host <> dst_host GROUP BY src_host, dst_host
+), nodesp AS (
+  SELECT src_host AS host FROM edgesp
+  UNION SELECT dst_host FROM edgesp
+), nnp AS (SELECT count(*) AS nh FROM nodesp),
+outdegp AS (
+  SELECT src_host, CAST(count(*) AS BIGINT) AS outdeg
+  FROM edgesp GROUP BY src_host
+), p0 AS (
+  SELECT host, CAST(1.0 AS DOUBLE) / nh AS rank
+  FROM nodesp CROSS JOIN nnp
+)"""
+    itp = """, p{next} AS (
+  SELECT nds.host,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.nh
+           + CAST(0.85 AS DOUBLE) * COALESCE(m.mass, CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodesp nds CROSS JOIN nnp nn
+  LEFT JOIN (
+    SELECT e.dst_host AS host, SUM(r.rank / o.outdeg) AS mass
+    FROM edgesp e
+    JOIN p{cur} r ON e.src_host = r.host
+    JOIN outdegp o ON e.src_host = o.src_host
+    GROUP BY e.dst_host
+  ) m ON nds.host = m.host
+)"""
+    mid = """, links AS (
+  SELECT doc_id AS i, unnest(range(2 + (doc_id % 3))) AS j
+  FROM documents
+), edges0 AS (
+  SELECT 'site' || (i % 997)::VARCHAR || '.example' AS src_host,
+         'site' || (((i*7 + j*131 + 1) % n) % 997)::VARCHAR
+           || '.example' AS dst_host
+  FROM links CROSS JOIN nd
+), edges AS (
+  SELECT src_host, dst_host FROM edges0
+  WHERE src_host <> dst_host GROUP BY src_host, dst_host
+), nodes AS (
+  SELECT src_host AS host FROM edges
+  UNION SELECT dst_host FROM edges
+), nn AS (SELECT count(*) AS nh FROM nodes),
+outdeg AS (
+  SELECT src_host, CAST(count(*) AS BIGINT) AS outdeg
+  FROM edges GROUP BY src_host
+), w0 AS (
+  SELECT nds.host,
+         COALESCE(pr.rank, CAST(1.0 AS DOUBLE) / nn.nh) AS rank
+  FROM nodes nds CROSS JOIN nn
+  LEFT JOIN p2 pr ON nds.host = pr.host
+)"""
+    itw = """, w{next} AS (
+  SELECT nds.host,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.nh
+           + CAST(0.85 AS DOUBLE) * COALESCE(m.mass, CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes nds CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst_host AS host, SUM(r.rank / o.outdeg) AS mass
+    FROM edges e
+    JOIN w{cur} r ON e.src_host = r.host
+    JOIN outdeg o ON e.src_host = o.src_host
+    GROUP BY e.dst_host
+  ) m ON nds.host = m.host
+)"""
+    body = (
+        head
+        + "".join(itp.format(cur=k, next=k + 1) for k in range(2))
+        + mid
+        + "".join(itw.format(cur=k, next=k + 1) for k in range(2))
+    )
+    return body + "\nSELECT host, ROUND(rank, 6) AS rank_r FROM w2"
+
+
+QUERIES.update(
+    {
+        "host_rank_w": q_host_rank_w,
+        "host_rank_trust": q_host_rank_trust,
+        "host_rank_incr": q_host_rank_incr,
+    }
+)
+
+ORACLES.update(
+    {
+        "host_rank_w": q_host_rank_w_sql(),
+        "host_rank_trust": q_host_rank_trust_sql(),
+        "host_rank_incr": q_host_rank_incr_sql(),
+    }
+)
