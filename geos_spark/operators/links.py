@@ -310,6 +310,61 @@ def hits(
     )
 
 
+def bfs_depth(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 4,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    cache_edges: bool = True,
+) -> DataFrame:
+    """Multi-source BFS over the DIRECTED host graph: depth(v) is the
+    length of the shortest link path from any seed host (crawl-depth
+    labeling — "how many hops from the trusted frontier is this
+    host?", the companion signal to TrustRank's continuous score).
+
+    ``seeds``'s first column is the seed host list (depth 0). Hosts
+    unreachable within ``max_depth`` hops are absent from the output.
+
+    Plan shape per level: one edge join on the CURRENT frontier (not
+    the whole visited set), a distinct, and an anti-join against the
+    visited set — the textbook frontier BFS, so per-level cost tracks
+    the frontier size, not the graph. Each new frontier is
+    localCheckpoint'ed: it feeds both the next join and the running
+    union, and BFS is a job, not a transformation factory (the
+    per-level emptiness check is an action by design — it stops early
+    on graphs shallower than ``max_depth``).
+
+    Returns (host, depth:int).
+    """
+    if cache_edges:
+        edges = edges.persist()
+    known = (
+        seeds.select(F.col(seeds.columns[0]).alias("host"))
+        .distinct()
+        .withColumn("depth", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = known
+    for d in range(1, max_depth + 1):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("host").alias(src_col)),
+                on=src_col,
+            )
+            .select(F.col(dst_col).alias("host"))
+            .distinct()
+            .join(known.select("host"), on="host", how="left_anti")
+            .withColumn("depth", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        known = known.union(nxt)
+        frontier = nxt
+    return known
+
+
 def label_propagation(
     edges: DataFrame,
     iterations: int = 3,

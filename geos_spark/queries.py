@@ -4910,3 +4910,69 @@ ORACLES.update(
         "host_rank_incr": q_host_rank_incr_sql(),
     }
 )
+
+
+def q_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-depth labeling: multi-source BFS from the trusted seed
+    set (hosts with numeric id divisible by 10) over the directed
+    host graph, depth capped at 4 — the discrete companion to
+    host_rank_trust (hop distance from trust instead of stationary
+    mass). The oracle is a recursive CTE taking MIN(depth) per host."""
+    from geos_spark.operators.links import (
+        bfs_depth,
+        extract_links,
+        host_edges,
+    )
+    from geos_spark.sources.pages import synth_linked_pages
+
+    n = _docs(spark, sf_dir).count()
+    edges = host_edges(extract_links(synth_linked_pages(spark, n)))
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    seeds = nodes.where(
+        F.regexp_extract("host", r"site(\d+)\.", 1).cast("int")
+        % 10
+        == 0
+    )
+    return bfs_depth(edges, seeds, max_depth=4).select(
+        "host", F.col("depth").cast("int").alias("depth")
+    )
+
+
+def q_crawl_depth_sql() -> str:
+    return """
+WITH RECURSIVE nd AS (SELECT count(*) AS n FROM documents),
+links AS (
+  SELECT doc_id AS i, unnest(range(2 + (doc_id % 3))) AS j
+  FROM documents
+), edges0 AS (
+  SELECT 'site' || (i % 997)::VARCHAR || '.example' AS src_host,
+         'site' || (((i*7 + j*131 + 1) % n) % 997)::VARCHAR
+           || '.example' AS dst_host
+  FROM links CROSS JOIN nd
+), edges AS (
+  SELECT src_host, dst_host FROM edges0
+  WHERE src_host <> dst_host GROUP BY src_host, dst_host
+), nodes0 AS (
+  SELECT src_host AS host FROM edges
+  UNION SELECT dst_host FROM edges
+), seeds AS (
+  SELECT host FROM nodes0
+  WHERE CAST(regexp_extract(host, 'site(\\d+)\\.', 1) AS INT) % 10 = 0
+), walk AS (
+  SELECT host, 0 AS depth FROM seeds
+  UNION
+  SELECT e.dst_host AS host, w.depth + 1 AS depth
+  FROM walk w JOIN edges e ON e.src_host = w.host
+  WHERE w.depth < 4
+)
+SELECT host, CAST(MIN(depth) AS INT) AS depth
+FROM walk GROUP BY host
+"""
+
+
+QUERIES.update({"crawl_depth": q_crawl_depth})
+ORACLES.update({"crawl_depth": q_crawl_depth_sql()})

@@ -694,3 +694,27 @@ def test_pagerank_incremental_warm_start(spark):
     }
     for h, v in warm.items():
         assert got2[h] == pytest.approx(v, rel=1e-9), h
+
+
+def test_bfs_depth_min_hop_semantics(spark):
+    from geos_spark.operators.links import bfs_depth
+
+    # a->b->c->d chain plus a shortcut a->c: c must be depth 1 via the
+    # shortcut, not 2 via b; e is unreachable within the cap; seed x
+    # is isolated but still reported at depth 0
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("d", "e"), ("x", "a")],
+        "src_host string, dst_host string",
+    )
+    seeds = spark.createDataFrame([("a",), ("x",)], "host string")
+    got = {
+        r["host"]: r["depth"]
+        for r in bfs_depth(edges, seeds, max_depth=2).collect()
+    }
+    assert got == {"a": 0, "x": 0, "b": 1, "c": 1, "d": 2}
+    # early exit: depth cap far above the graph's diameter terminates
+    got_full = {
+        r["host"]: r["depth"]
+        for r in bfs_depth(edges, seeds, max_depth=50).collect()
+    }
+    assert got_full["e"] == 3 and len(got_full) == 6
