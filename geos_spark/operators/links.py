@@ -365,6 +365,59 @@ def bfs_depth(
     return known
 
 
+def host_components(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Weakly-connected components of the host graph (mirror-farm /
+    link-ring discovery): (host, component) with component = the
+    lexicographically smallest host reachable ignoring direction.
+
+    Hosts get dense long ids from a window over sorted host names —
+    the host table is the DIMENSION (5-6 orders smaller than the page
+    table), so the single-partition window is on ~millions of rows at
+    worst, not the corpus. The component computation itself is the
+    contraction union-find used for geometry clustering
+    (:func:`geos_spark.operators.cluster.connected_components`:
+    per-partition local union-find, quotient-graph halving, bounded
+    driver finish) — O(log) rounds of constant shuffle count. Because
+    ids are rank-of-sorted-name, the min-id component representative
+    IS the lexicographically smallest member, which is what the SQL
+    oracle computes independently.
+    """
+    from pyspark.sql import Window
+
+    from geos_spark.operators.cluster import connected_components
+
+    nodes = (
+        edges.select(F.col(src_col).alias("host"))
+        .union(edges.select(F.col(dst_col).alias("host")))
+        .distinct()
+    )
+    ids = nodes.withColumn(
+        "id", F.row_number().over(Window.orderBy("host")).cast("long")
+    ).persist()
+    pairs = (
+        edges.select(
+            F.col(src_col).alias("host"), F.col(dst_col).alias("__d")
+        )
+        .join(ids, on="host")
+        .select(F.col("id").alias("id_a"), F.col("__d").alias("host"))
+        .join(ids, on="host")
+        .select("id_a", F.col("id").alias("id_b"))
+    )
+    comp = connected_components(ids.select("id"), pairs)
+    rep = ids.select(
+        F.col("id").alias("cluster"), F.col("host").alias("component")
+    )
+    return (
+        comp.join(ids, on="id")
+        .join(rep, on="cluster")
+        .select("host", "component")
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     iterations: int = 3,

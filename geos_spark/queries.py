@@ -4976,3 +4976,54 @@ FROM walk GROUP BY host
 
 QUERIES.update({"crawl_depth": q_crawl_depth})
 ORACLES.update({"crawl_depth": q_crawl_depth_sql()})
+
+
+def q_host_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components of the host graph (mirror-farm /
+    link-ring discovery) via the contraction union-find; component
+    representative = lexicographically smallest member host. The
+    oracle enumerates undirected reachability as a recursive CTE and
+    takes MIN(label) per host."""
+    from geos_spark.operators.links import (
+        extract_links,
+        host_components,
+        host_edges,
+    )
+    from geos_spark.sources.pages import synth_linked_pages
+
+    n = _docs(spark, sf_dir).count()
+    edges = host_edges(extract_links(synth_linked_pages(spark, n)))
+    return host_components(edges)
+
+
+def q_host_cc_sql() -> str:
+    return """
+WITH RECURSIVE nd AS (SELECT count(*) AS n FROM documents),
+links AS (
+  SELECT doc_id AS i, unnest(range(2 + (doc_id % 3))) AS j
+  FROM documents
+), edges0 AS (
+  SELECT 'site' || (i % 997)::VARCHAR || '.example' AS src_host,
+         'site' || (((i*7 + j*131 + 1) % n) % 997)::VARCHAR
+           || '.example' AS dst_host
+  FROM links CROSS JOIN nd
+), edges AS (
+  SELECT src_host, dst_host FROM edges0
+  WHERE src_host <> dst_host GROUP BY src_host, dst_host
+), sym AS MATERIALIZED (
+  SELECT src_host AS u, dst_host AS v FROM edges
+  UNION SELECT dst_host, src_host FROM edges
+), nodes AS (
+  SELECT DISTINCT u AS host FROM sym
+), walk AS (
+  SELECT host, host AS label FROM nodes
+  UNION
+  SELECT s.u AS host, w.label
+  FROM sym s JOIN walk w ON s.v = w.host
+)
+SELECT host, MIN(label) AS component FROM walk GROUP BY host
+"""
+
+
+QUERIES.update({"host_cc": q_host_cc})
+ORACLES.update({"host_cc": q_host_cc_sql()})

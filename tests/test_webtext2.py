@@ -718,3 +718,19 @@ def test_bfs_depth_min_hop_semantics(spark):
         for r in bfs_depth(edges, seeds, max_depth=50).collect()
     }
     assert got_full["e"] == 3 and len(got_full) == 6
+
+
+def test_host_components_two_islands(spark):
+    from geos_spark.operators.links import host_components
+
+    # two islands: {a,b,c} (directed chain + back edge) and {x,y};
+    # direction must be ignored (weak connectivity)
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("y", "x")],
+        "src_host string, dst_host string",
+    )
+    got = {
+        r["host"]: r["component"]
+        for r in host_components(edges).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
