@@ -9,9 +9,14 @@ engine's distributed equivalent, runnable via spark-submit:
 
 Ops: the spatial joins (intersects/contains/... between a point table
 and a polygon table), tile (tile materialization), knn, cell (tile
-assignment). Inputs are parquet tables with either (x, y) point
-columns or (wkb, xmin, ymin, xmax, ymax) geometry columns. Prints a
-one-line JSON timing summary per op (the geosop ``-t`` analogue).
+assignment), plus geosop's scalar-op surface (``geosop --op area``
+etc., `util/geosop/GeometryOp.cpp`) applied distributed over the
+``wkb`` column — unary ops map the A table, binary ops join A/B on
+``id`` first; parametrized ops (simplifyDP, densify, concaveHull,
+maxInscribedCircle, ...) take the geosop opArg via ``--arg``. Inputs
+are parquet tables with either (x, y) point columns or (wkb, xmin,
+ymin, xmax, ymax) geometry columns. Prints a one-line JSON timing
+summary per op (the geosop ``-t`` analogue).
 """
 
 from __future__ import annotations
@@ -19,6 +24,52 @@ from __future__ import annotations
 import argparse
 import json
 import time
+
+# geosop scalar op name -> (st attribute, shape). Shapes: "u" unary
+# column udf over wkb; "uf0" unary zero-arg factory; "uf" unary
+# factory taking the --arg scalar; "b" binary udf over (wkb, wkb_b).
+SCALAR_OPS = {
+    "area": ("st_area", "u"),
+    "length": ("st_length", "u"),
+    "boundary": ("st_boundary", "u"),
+    "convexHull": ("st_convexhull", "u"),
+    "envelope": ("st_envelope_struct", "u"),
+    "interiorPoint": ("st_pointonsurface", "u"),
+    "isEmpty": ("st_isempty", "u"),
+    "isSimple": ("st_issimple", "u"),
+    "isValid": ("st_isvalid", "u"),
+    "fixInvalid": ("st_makevalid", "u"),
+    "makeValid": ("st_makevalid", "u"),
+    "normalize": ("st_normalize", "u"),
+    "reverse": ("st_reverse", "u"),
+    "unaryUnion": ("st_unaryunion", "u"),
+    "polygonize": ("st_polygonize", "u"),
+    "polygonizeValid": ("st_polygonizevalid", "u"),
+    "buildArea": ("st_buildarea", "u"),
+    "minAreaRectangle": ("st_minimumrotatedrectangle", "u"),
+    "minDiameter": ("st_minimumwidth", "u"),
+    "minBoundingCircle": ("st_minimumboundingcircle", "u"),
+    "minClearance": ("st_minclearance", "u"),
+    "delaunay": ("st_delaunaytriangles", "uf0"),
+    "voronoi": ("st_voronoidiagram", "uf0"),
+    "lineMerge": ("st_linemerge", "uf0"),
+    "simplifyDP": ("st_simplify", "uf"),
+    "simplifyTP": ("st_simplifytp", "uf"),
+    "densify": ("st_densify", "uf"),
+    "concaveHull": ("st_concavehull", "uf"),
+    "offsetCurve": ("st_offsetcurve", "uf"),
+    "maxInscribedCircle": ("st_maximuminscribedcircle", "uf"),
+    "largestEmptyCircle": ("st_largestemptycircle", "uf"),
+    "reducePrecision": ("st_setprecision", "uf"),
+    "relate": ("st_relate", "b"),
+    "distance": ("st_distance", "b"),
+    "hausdorffDistance": ("st_hausdorffdistance", "b"),
+    "frechetDistance": ("st_frechetdistance", "b"),
+    "nearestPoints": ("st_nearestpoints", "b"),
+    "sharedPaths": ("st_sharedpaths", "b"),
+    "equalsIdentical": ("st_equalsidentical", "b"),
+}
+# `centroid` is handled explicitly: st_centroid_x/_y (two doubles).
 
 
 def main(argv=None) -> None:
@@ -34,6 +85,10 @@ def main(argv=None) -> None:
         "--extent", type=float, nargs=4, default=[0.0, 0.0, 4096.0, 4096.0]
     )
     ap.add_argument("--repeat", type=int, default=1, help="geosop -r analogue")
+    ap.add_argument(
+        "--arg", type=float, default=None,
+        help="scalar op argument (geosop opArg): tolerance/ratio/scale",
+    )
     args = ap.parse_args(argv)
 
     from geos_spark.session import get_spark
@@ -94,6 +149,38 @@ def main(argv=None) -> None:
             from geos_spark.functions import st
 
             return a.withColumn("result_wkb", st.st_makevalid("wkb"))
+        if args.op == "centroid":
+            from geos_spark.functions import st
+
+            return a.withColumn(
+                "centroid_x", st.st_centroid_x("wkb")
+            ).withColumn("centroid_y", st.st_centroid_y("wkb"))
+        if args.op in SCALAR_OPS:
+            from pyspark.sql import functions as F
+
+            from geos_spark.functions import st
+
+            name, shape = SCALAR_OPS[args.op]
+            f = getattr(st, name)
+            if shape == "u":
+                return a.withColumn("result", f(F.col("wkb")))
+            if shape == "uf0":
+                return a.withColumn("result", f()(F.col("wkb")))
+            if shape == "uf":
+                if args.arg is None:
+                    raise SystemExit(
+                        f"--op {args.op} needs --arg (geosop opArg)"
+                    )
+                return a.withColumn("result", f(args.arg)(F.col("wkb")))
+            # binary: join A/B on id (geosop -a/-b pairing)
+            if b is None:
+                raise SystemExit(f"--op {args.op} needs --b")
+            bb = b.select(
+                F.col("id"), F.col("wkb").alias("wkb_b")
+            )
+            return a.join(bb, "id").withColumn(
+                "result", f(F.col("wkb"), F.col("wkb_b"))
+            )
         if args.op == "cluster":
             from geos_spark.operators.cluster import cluster_within_distance
 

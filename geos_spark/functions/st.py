@@ -223,19 +223,6 @@ def st_dimension(wkb: pd.Series) -> pd.Series:
     return wkb.map(_row_nullout(lambda b: parse_wkb(b).dimension()))
 
 
-@pandas_udf(T.BooleanType())
-def st_hasz(wkb: pd.Series) -> pd.Series:
-    """GEOSHasZ — this engine's model is 2D (like the reference's
-    analytic core); always false for non-null rows."""
-    return wkb.map(_row_nullout(lambda b: (parse_wkb(b), False)[1]))
-
-
-@pandas_udf(T.BooleanType())
-def st_hasm(wkb: pd.Series) -> pd.Series:
-    """GEOSHasM — 2D engine; always false for non-null rows."""
-    return wkb.map(_row_nullout(lambda b: (parse_wkb(b), False)[1]))
-
-
 def st_orientpolygons(exterior_cw: bool = False):
     """GEOSOrientPolygons: shells CW + holes CCW when exterior_cw,
     the OGC convention otherwise; CURVEPOLYGON rows null out exactly
@@ -429,6 +416,15 @@ def st_reverse(wkb: pd.Series) -> pd.Series:
     too)."""
     return wkb.map(
         _row_nullout(lambda b: write_wkb(S.reverse_geom(parse_wkb(b))))
+    )
+
+
+@pandas_udf(T.BinaryType())
+def st_normalize(wkb: pd.Series) -> pd.Series:
+    """GEOSNormalize (capi/geos_c.h.in:3325): canonical vertex order /
+    ring orientation / component order — Geometry::normalize()."""
+    return wkb.map(
+        _row_nullout(lambda b: write_wkb(S.normalize_geom(parse_wkb(b))))
     )
 
 

@@ -66,3 +66,62 @@ def test_cli_cell_assignment(spark, tmp_path, capsys):
     n_cells = 1 << 16  # level 8 => 4^8 cells
     bad = got.where((F.col("cell") < 0) | (F.col("cell") >= n_cells))
     assert bad.count() == 0
+
+
+def test_cli_scalar_ops(spark, tmp_path, capsys):
+    """geosop scalar-op surface: unary, unary+arg, zero-arg factory,
+    binary, and the centroid special case, all over a wkb table."""
+    import numpy as np
+
+    from geos_spark.cli import main
+    from geos_spark.queries import star_polygons
+
+    a = str(tmp_path / "geoms")
+    star_polygons(spark).select(
+        F.col("poly_id").alias("id"), "wkb"
+    ).write.mode("overwrite").parquet(a)
+
+    def run(argv):
+        main(argv)
+        lines = [
+            ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")
+        ]
+        return json.loads(lines[-1])
+
+    # unary udf
+    out = str(tmp_path / "area")
+    s = run(["--op", "area", "--a", a, "--out", out])
+    assert s["rows"] == 256
+    areas = [r["result"] for r in spark.read.parquet(out).collect()]
+    assert all(v > 0 for v in areas)
+
+    # unary factory with --arg
+    out2 = str(tmp_path / "simp")
+    s = run(["--op", "simplifyDP", "--a", a, "--arg", "1.5", "--out", out2])
+    assert s["rows"] == 256
+    res = spark.read.parquet(out2)
+    assert res.where(F.col("result").isNull()).count() == 0
+
+    # zero-arg factory
+    s = run(["--op", "lineMerge", "--a", a])
+    assert s["rows"] == 256
+
+    # binary: distance of every geometry to itself is 0
+    out3 = str(tmp_path / "dist")
+    s = run(["--op", "distance", "--a", a, "--b", a, "--out", out3])
+    assert s["rows"] == 256
+    d = [r["result"] for r in spark.read.parquet(out3).collect()]
+    assert np.allclose(d, 0.0)
+
+    # centroid special case -> two double columns
+    out4 = str(tmp_path / "cent")
+    s = run(["--op", "centroid", "--a", a, "--out", out4])
+    cols = spark.read.parquet(out4).columns
+    assert "centroid_x" in cols and "centroid_y" in cols
+
+    # factory op without --arg errors out clearly
+    import pytest as _pt
+
+    with _pt.raises(SystemExit):
+        main(["--op", "densify", "--a", a])
