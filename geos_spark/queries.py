@@ -5027,3 +5027,26 @@ SELECT host, MIN(label) AS component FROM walk GROUP BY host
 
 QUERIES.update({"host_cc": q_host_cc})
 ORACLES.update({"host_cc": q_host_cc_sql()})
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich merge learning) over the
+    documents corpus: 8 merges learned on the word-count domain table
+    — per-iteration pair-count shuffle + TakeOrdered argmax + one
+    literal replace() on the SEP-wrapped symbol encoding, all JVM
+    (``operators/bpe.py``). The oracle unrolls the same loop into 8
+    DuckDB CTE stages; tie-breaks are (count DESC, lhs, rhs) binary
+    collation, so the learned table is bit-stable across engines."""
+    from geos_spark.operators.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), merges=8)
+
+
+def q_bpe_train_sql() -> str:
+    from geos_spark.operators.bpe import bpe_train_sql
+
+    return bpe_train_sql(merges=8)
+
+
+QUERIES.update({"bpe_train": q_bpe_train})
+ORACLES.update({"bpe_train": q_bpe_train_sql()})

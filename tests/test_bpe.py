@@ -1,0 +1,115 @@
+"""BPE tokenizer training: Spark operator vs an independent pure-Python
+Sennrich reference, plus the encoding invariants the SEP-wrapped
+replace() trick relies on."""
+
+from collections import Counter
+
+import pytest
+
+from geos_spark.operators.bpe import (
+    BPE_PRETOKEN_RE,
+    SEP,
+    bpe_train,
+    bpe_train_sql,
+    word_domain,
+)
+
+
+def _ref_bpe(texts: list[str], k: int):
+    """Independent reference: Sennrich greedy merges, dict-of-lists."""
+    import regex
+
+    pat = regex.compile(BPE_PRETOKEN_RE)
+    wc: Counter = Counter()
+    for t in texts:
+        for w in pat.findall(t):
+            if w.strip() == "" or SEP in w:
+                continue
+            wc[w] += 1
+    words = {w: list(w) for w in wc}
+    out = []
+    for rank in range(1, k + 1):
+        pc: Counter = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        (l, r), c = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        out.append((rank, l, r, l + r, c))
+        for w, syms in words.items():
+            i, ns = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    ns.append(l + r)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            words[w] = ns
+    return out
+
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the bat and the cat",
+    "low lower lowest",
+    "low low low newer newest",
+    "aaaa aaaa aa",  # overlap stress: (a,a) must merge non-overlapping
+    "it's the cat's mat, isn't it?",  # contractions + punctuation
+]
+
+
+def test_bpe_train_matches_reference(spark):
+    df = spark.createDataFrame([(t,) for t in CORPUS], ["text"])
+    got = [tuple(r) for r in bpe_train(df, merges=10).collect()]
+    assert got == _ref_bpe(CORPUS, 10)
+
+
+def test_bpe_train_duckdb_oracle_matches_reference():
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join("('" + t.replace("'", "''") + "')" for t in CORPUS)
+        + ") t(text)"
+    )
+    ora = [tuple(r) for r in con.execute(bpe_train_sql(10)).fetchall()]
+    assert ora == _ref_bpe(CORPUS, 10)
+
+
+def test_bpe_overlap_semantics(spark):
+    # "aaaa" under merge (a,a): Sennrich left-to-right gives [aa, aa]
+    # (2 per word), so the second round's top pair is (aa, aa) — a
+    # naive overlapping count would instead see (a,a) x3 in round 1
+    # and diverge here.
+    df = spark.createDataFrame([("aaaa aaaa",)], ["text"])
+    got = [tuple(r) for r in bpe_train(df, merges=2).collect()]
+    assert got[0][1:] == ("a", "a", "aa", 6)  # 3 pairs/word x 2 words
+    assert got[1][1:] == ("aa", "aa", "aaaa", 2)
+
+
+def test_bpe_single_char_words_contribute_no_pairs(spark):
+    # newline-separated single letters: the ` ?` prefix of the GPT-2
+    # pattern never fires (no space-prefix), whitespace runs are
+    # excluded, so every word is one symbol -> no adjacent pairs
+    # anywhere -> the sequence(1, 0)-descending guard must yield zero
+    # merges, not a spurious (x, x) pair
+    df = spark.createDataFrame([("a\nb\nc\nd\ne",)], ["text"])
+    assert bpe_train(df, merges=3).count() == 0
+
+
+def test_word_domain_excludes_whitespace_runs(spark):
+    df = spark.createDataFrame([("a  b\t\tc",)], ["text"])
+    words = {r.word for r in word_domain(df).collect()}
+    # multi-space runs don't attach to the following word (the ` ?`
+    # branch takes at most one space and only directly before letters)
+    assert words == {"a", "b", "c"}
+    assert all(w.strip() != "" for w in words)
+
+
+def test_bpe_train_empty_corpus(spark):
+    df = spark.createDataFrame([], "text string")
+    out = bpe_train(df, merges=4)
+    assert out.count() == 0
+    assert out.columns == ["rank", "lhs", "rhs", "merged", "pair_count"]
