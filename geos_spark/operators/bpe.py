@@ -97,22 +97,23 @@ def word_domain(
     )
 
 
-def bpe_train(
+def _train_loop(
     df: DataFrame,
-    text_col: str = "text",
-    merges: int = 8,
-) -> DataFrame:
-    """Learn ``merges`` BPE merges from the corpus; returns a DataFrame
-    (rank int, lhs string, rhs string, merged string, pair_count
-    long), rank 1 = first merge learned.
+    text_col: str,
+    merges: int,
+    keep_word: bool = False,
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Shared training loop: returns (learned merges, final domain table).
 
-    The returned frame is driver-materialized (the merge table is the
-    *output model* — ``merges`` rows, never data-sized), built from a
-    loop of domain-table jobs as described in the module docstring.
+    The final domain table is (seq, cnt) — or (word, seq, cnt) with
+    ``keep_word`` — persisted; callers that consume it must unpersist.
+    Its ``seq`` column holds each distinct word's final segmentation
+    under the learned merges, so encoding/vocab statistics are lookups
+    against it, never a re-tokenization of the corpus.
     """
-    spark = df.sparkSession
+    carry = ["word"] if keep_word else []
     dom = word_domain(df, text_col).select(
-        _wrap_chars(F.col("word")).alias("seq"), F.col("cnt")
+        *carry, _wrap_chars(F.col("word")).alias("seq"), F.col("cnt")
     )
     dom = dom.persist()
 
@@ -147,29 +148,127 @@ def bpe_train(
         l, r, pc = best[0].l, best[0].r, int(best[0].pc)
         learned.append((rank, l, r, l + r, pc))
         nxt = dom.select(
+            *carry,
             F.replace(
                 F.col("seq"),
                 F.lit(f"{SEP}{l}{SEP}{SEP}{r}{SEP}"),
                 F.lit(f"{SEP}{l}{r}{SEP}"),
             ).alias("seq"),
-            "cnt",
+            F.col("cnt"),
         ).persist()
         nxt.count()  # materialize before dropping the parent
         dom.unpersist()
         dom = nxt
-    dom.unpersist()
+    return learned, dom
 
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: int = 8,
+) -> DataFrame:
+    """Learn ``merges`` BPE merges from the corpus; returns a DataFrame
+    (rank int, lhs string, rhs string, merged string, pair_count
+    long), rank 1 = first merge learned.
+
+    The returned frame is driver-materialized (the merge table is the
+    *output model* — ``merges`` rows, never data-sized), built from a
+    loop of domain-table jobs as described in the module docstring.
+    """
+    spark = df.sparkSession
+    learned, dom = _train_loop(df, text_col, merges)
+    dom.unpersist()
     return spark.createDataFrame(
         learned, "rank int, lhs string, rhs string, merged string, pair_count long"
     )
 
 
-def bpe_train_sql(merges: int = 8, table: str = "documents", text_col: str = "text") -> str:
-    """The DuckDB oracle for :func:`bpe_train`: the same algorithm with
-    the merge loop unrolled into ``merges`` CTE stages (SQL has no
-    loops; each stage is pair-count -> argmax -> replace on the same
-    wrapped-symbol encoding, so the two engines agree bit-for-bit)."""
+def bpe_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: int = 8,
+    top: int = 32,
+) -> DataFrame:
+    """Corpus token histogram under the learned merges: train, then
+    explode the final domain table's segmentations weighted by word
+    count — the ``top`` most frequent subword tokens as
+    (token string, total_count long), ordered (count DESC, token ASC).
+
+    No second corpus scan: the histogram is a vocabulary-sized
+    explode+agg over the final domain table, so at 100 TB this costs
+    one extra shuffle over tens of millions of rows, not the corpus.
+    """
+    _, dom = _train_loop(df, text_col, merges)
+    out = (
+        dom.select(
+            F.explode(_symbols(F.col("seq"))).alias("token"), F.col("cnt")
+        )
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("total_count"))
+        .orderBy(F.desc("total_count"), F.asc("token"))
+        .limit(top)
+    )
+    rows = out.collect()
+    dom.unpersist()
+    return df.sparkSession.createDataFrame(
+        [(r.token, int(r.total_count)) for r in rows],
+        "token string, total_count long",
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    merges: int = 8,
+) -> DataFrame:
+    """Per-document BPE token counts under the learned merges:
+    (id_col, n_bpe_tokens long).
+
+    Encoding is a join, not a re-tokenization: the final domain table
+    already holds every distinct word's segmentation, so each document
+    row becomes (doc, word) pairs that look up ``size(symbols(seq))``.
+    Whitespace-run pretokens (excluded from training) count 0; a
+    document with NULL text or no trainable words keeps its row with
+    n_bpe_tokens = 0 (left join + coalesce), matching the per-row
+    null-tolerant contract of the other text operators.
+
+    The result is a lazy, fully distributed plan (the output is
+    data-sized — never driver-materialized). The learned merges are
+    baked into the plan as replace() literals during training, so the
+    domain cache can be dropped here; consuming the plan recomputes
+    the vocabulary-sized narrow chain once, which at 100 TB is one
+    corpus scan + a per-word projection — far cheaper than holding
+    the cache or collecting.
+    """
+    _, dom = _train_loop(df, text_col, merges, keep_word=True)
+    tok_len = dom.select(
+        F.col("word"), F.size(_symbols(F.col("seq"))).alias("n_sym")
+    )
+    doc_words = df.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0)
+        ).alias("word"),
+    )
+    out = (
+        doc_words.join(tok_len, "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.coalesce(F.sum("n_sym"), F.lit(0)).cast("long").alias("n_bpe_tokens")
+        )
+    )
+    dom.unpersist()
+    return out
+
+
+def _stages_sql(
+    merges: int, table: str, text_col: str, keep_word: bool = False
+) -> list[str]:
+    """The shared unrolled-training WITH-clause: w0/s0 then, per merge
+    k, p{k} (pair counts), b{k} (argmax), s{k} (post-merge domain)."""
     pat = BPE_PRETOKEN_RE.replace("'", "''")
+    carry = "word, " if keep_word else ""
     parts = [
         f"""WITH w0 AS (
   SELECT word, COUNT(*)::BIGINT AS cnt FROM (
@@ -178,7 +277,7 @@ def bpe_train_sql(merges: int = 8, table: str = "documents", text_col: str = "te
   GROUP BY word
 ),
 s0 AS (
-  SELECT array_to_string(list_transform(range(1, length(word)+1),
+  SELECT {carry}array_to_string(list_transform(range(1, length(word)+1),
            i -> chr(31)||substr(word, i, 1)||chr(31)), '') AS seq, cnt
   FROM w0
 )"""
@@ -196,13 +295,78 @@ s0 AS (
 ),
 b{k} AS (SELECT l, r, pc FROM p{k} ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
 s{k} AS (
-  SELECT replace(seq, chr(31)||b.l||chr(31)||chr(31)||b.r||chr(31),
+  SELECT {carry}replace(seq, chr(31)||b.l||chr(31)||chr(31)||b.r||chr(31),
                  chr(31)||b.l||b.r||chr(31)) AS seq, cnt
   FROM {prev}, b{k} b
 )"""
         )
+    return parts
+
+
+def bpe_train_sql(merges: int = 8, table: str = "documents", text_col: str = "text") -> str:
+    """The DuckDB oracle for :func:`bpe_train`: the same algorithm with
+    the merge loop unrolled into ``merges`` CTE stages (SQL has no
+    loops; each stage is pair-count -> argmax -> replace on the same
+    wrapped-symbol encoding, so the two engines agree bit-for-bit)."""
+    parts = _stages_sql(merges, table, text_col)
     sel = "\nUNION ALL\n".join(
         f"SELECT {k} AS rank, l AS lhs, r AS rhs, l||r AS merged, pc AS pair_count FROM b{k}"
         for k in range(1, merges + 1)
     )
     return ",\n".join(parts) + f"\nSELECT * FROM (\n{sel}\n) ORDER BY rank"
+
+
+def bpe_vocab_sql(
+    merges: int = 8,
+    top: int = 32,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """The DuckDB oracle for :func:`bpe_vocab`: the unrolled training
+    stages, then the token histogram off the final domain stage."""
+    parts = _stages_sql(merges, table, text_col)
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT token, SUM(cnt)::BIGINT AS total_count FROM (
+  SELECT unnest(string_split(trim(seq, chr(31)), chr(31)||chr(31))) AS token, cnt
+  FROM s{merges}
+) GROUP BY token ORDER BY total_count DESC, token ASC LIMIT {top}"""
+    )
+
+
+def bpe_encode_sql(
+    merges: int = 8,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """The DuckDB oracle for :func:`bpe_encode`: unrolled training with
+    ``word`` carried through the stages, then per-document word lookup.
+
+    A NULL-text document produces no rows from unnest, so the final
+    left join from the base table restores it with n_bpe_tokens = 0 —
+    same contract as the Spark side's explode_outer + coalesce."""
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    parts = _stages_sql(merges, table, text_col, keep_word=True)
+    parts.append(
+        f"""tok AS (
+  SELECT word,
+         len(string_split(trim(seq, chr(31)), chr(31)||chr(31)))::BIGINT AS n_sym
+  FROM s{merges}
+),
+dw AS (
+  SELECT {id_col}, unnest(regexp_extract_all({text_col}, '{pat}')) AS word
+  FROM {table}
+),
+per_doc AS (
+  SELECT dw.{id_col}, SUM(tok.n_sym)::BIGINT AS n
+  FROM dw LEFT JOIN tok USING (word) GROUP BY dw.{id_col}
+)"""
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT d.{id_col}, COALESCE(per_doc.n, 0)::BIGINT AS n_bpe_tokens
+FROM {table} d LEFT JOIN per_doc USING ({id_col})"""
+    )

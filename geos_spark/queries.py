@@ -5050,3 +5050,46 @@ def q_bpe_train_sql() -> str:
 
 QUERIES.update({"bpe_train": q_bpe_train})
 ORACLES.update({"bpe_train": q_bpe_train_sql()})
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword vocabulary histogram under learned BPE merges: train 8
+    merges on the documents corpus, then the 32 most frequent tokens
+    with corpus totals — computed off the final word-count domain
+    table (one vocabulary-sized explode+agg, no second corpus scan).
+    Ordering ties break on token ASC, so the top-32 cut is bit-stable
+    across engines."""
+    from geos_spark.operators.bpe import bpe_vocab
+
+    return bpe_vocab(_docs(spark, sf_dir), merges=8, top=32)
+
+
+def q_bpe_vocab_sql() -> str:
+    from geos_spark.operators.bpe import bpe_vocab_sql
+
+    return bpe_vocab_sql(merges=8, top=32)
+
+
+QUERIES.update({"bpe_vocab": q_bpe_vocab})
+ORACLES.update({"bpe_vocab": q_bpe_vocab_sql()})
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the learned BPE vocabulary:
+    encoding as a (doc, word) -> domain-table lookup join — the final
+    training domain already holds every distinct word's segmentation,
+    so no document is re-tokenized. NULL-text docs keep their row with
+    0 tokens (explode_outer / left-join contract on both engines)."""
+    from geos_spark.operators.bpe import bpe_encode
+
+    return bpe_encode(_docs(spark, sf_dir), merges=8)
+
+
+def q_bpe_encode_sql() -> str:
+    from geos_spark.operators.bpe import bpe_encode_sql
+
+    return bpe_encode_sql(merges=8)
+
+
+QUERIES.update({"bpe_encode": q_bpe_encode})
+ORACLES.update({"bpe_encode": q_bpe_encode_sql()})

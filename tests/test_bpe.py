@@ -113,3 +113,83 @@ def test_bpe_train_empty_corpus(spark):
     out = bpe_train(df, merges=4)
     assert out.count() == 0
     assert out.columns == ["rank", "lhs", "rhs", "merged", "pair_count"]
+
+
+def _ref_vocab(texts, k, top):
+    """Reference histogram: run _ref_bpe's loop, then count final symbols."""
+    import regex
+
+    pat = regex.compile(BPE_PRETOKEN_RE)
+    wc: Counter = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for w in pat.findall(t):
+            if w.strip() == "" or SEP in w:
+                continue
+            wc[w] += 1
+    words = {w: list(w) for w in wc}
+    merges = _ref_bpe([t for t in texts if t is not None], k)
+    for _, l, r, _, _ in merges:
+        for w, syms in words.items():
+            i, ns = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    ns.append(l + r)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            words[w] = ns
+    hist: Counter = Counter()
+    for w, syms in words.items():
+        for s in syms:
+            hist[s] += wc[w]
+    ranked = sorted(hist.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+    return [(t, c) for t, c in ranked], words
+
+
+def test_bpe_vocab_matches_reference(spark):
+    from geos_spark.operators.bpe import bpe_vocab
+
+    df = spark.createDataFrame([(t,) for t in CORPUS], ["text"])
+    got = [(r.token, r.total_count) for r in bpe_vocab(df, merges=6, top=10).collect()]
+    exp, _ = _ref_vocab(CORPUS, 6, 10)
+    assert got == exp
+
+
+def test_bpe_encode_matches_reference(spark):
+    from geos_spark.operators.bpe import bpe_encode
+
+    rows = [(i, t) for i, t in enumerate(CORPUS)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_bpe_tokens for r in bpe_encode(df, merges=6).collect()}
+    _, words = _ref_vocab(CORPUS, 6, 1)
+    import regex
+
+    pat = regex.compile(BPE_PRETOKEN_RE)
+    exp = {}
+    for i, t in enumerate(CORPUS):
+        n = 0
+        for w in pat.findall(t):
+            if w in words:
+                n += len(words[w])
+        exp[i] = n
+    exp[99] = 0  # NULL-text doc keeps its row with 0 tokens
+    assert got == exp
+    assert got[99] == 0
+
+
+def test_bpe_vocab_oracle_matches_spark_semantics():
+    from geos_spark.operators.bpe import bpe_vocab_sql
+
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join("('" + t.replace("'", "''") + "')" for t in CORPUS)
+        + ") t(text)"
+    )
+    ora = [tuple(r) for r in con.execute(bpe_vocab_sql(6, 10)).fetchall()]
+    exp, _ = _ref_vocab(CORPUS, 6, 10)
+    assert ora == exp
