@@ -1,0 +1,208 @@
+"""Corpus n-gram language model and perplexity-based quality filtering.
+
+The CCNet pipeline (Wenzek et al. 2020, "CCNet: Extracting High Quality
+Monolingual Datasets from Web Crawl Data") buckets web documents into
+head/middle/tail by their perplexity under a language model; documents
+in the tail are the classic low-quality web text. The repo's other
+quality scores (`operators/text.py`, gopher_filter) are heuristic
+ratios; this module adds the model-based signal: a word-bigram LM with
+add-one smoothing trained *on the corpus itself* (self-perplexity — a
+repetition/templatedness signal), and the bucketing on top.
+
+Scale design:
+
+- LM training is two hash aggregations over the tokenized corpus
+  (unigram counts, bigram counts) — one scan, two shuffles, all JVM.
+- Scoring joins each document's bigrams against the count tables:
+  standard shuffle equijoins, no broadcast of corpus-sized state and
+  no driver materialization. Because the LM is trained on the same
+  corpus, every scored bigram exists in the table (inner joins).
+- The vocabulary size V enters as a 1-row aggregate cross-joined in
+  (Catalyst broadcasts it), keeping the whole plan declarative.
+- Bucketing by global NTILE is a global sort — fine for the exact
+  oracle-checked path; at 100 TB use ``bucket_by_thresholds`` with
+  pre-computed (e.g. approx-quantile) boundaries instead, which is a
+  pure narrow map.
+
+Tokenization is lowercase ASCII letter runs (``[a-z]+``) — identical
+semantics in Spark and DuckDB, and deliberately language-naive like
+the repo's lang_guess n-gram tokenizer.
+
+Determinism: perplexities are rounded to 6 decimals inside the
+operator (both engines), and every ordering ties-break on doc_id, so
+bucket assignment is bit-stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+WORD_RE = "[a-z]+"
+
+
+def _doc_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, ws array<string>) — lowercase letter-run tokens per doc."""
+    return df.select(
+        F.col(id_col),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(WORD_RE), 0
+        ).alias("ws"),
+    )
+
+
+def _doc_bigrams(words: DataFrame, id_col: str) -> DataFrame:
+    """Explode each doc's adjacent word pairs; docs with <2 words
+    contribute nothing (guard against Spark's descending sequence)."""
+    ws = F.col("ws")
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("w1"),
+                F.element_at(ws, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return words.select(
+        F.col(id_col), F.explode(pairs).alias("pr")
+    ).select(id_col, F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+
+
+def doc_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document self-perplexity under the corpus bigram LM:
+    (id_col, n_bigrams long, ppl double rounded to 6 decimals).
+
+    p(w2|w1) = (C(w1,w2) + 1) / (C(w1) + V)  (add-one smoothing,
+    V = corpus vocabulary size); ppl = exp(-mean log p) over the
+    document's bigrams. Only documents with at least one bigram
+    appear (a NULL-text or single-word doc has no perplexity — same
+    filtered-output contract as bm25).
+    """
+    words = _doc_words(df, id_col, text_col)
+    docw = words.select(F.explode("ws").alias("w"))
+    uni = docw.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = docw.agg(F.count_distinct("w").alias("v"))
+    dbg = _doc_bigrams(words, id_col)
+    bi = dbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        dbg.join(bi, ["w1", "w2"])
+        .join(uni, F.col("w1") == F.col("w"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.col("c2") + F.lit(1.0))
+                / (F.col("c1") + F.col("v").cast("double"))
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.exp(-F.avg("logp")), 6).alias("ppl"),
+    )
+
+
+def ppl_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style quality buckets: rank documents by bigram-LM
+    perplexity and NTILE into ``n_buckets`` (1 = head / lowest ppl,
+    ``n_buckets`` = tail). Returns per-bucket aggregates:
+    (bucket int, n_docs long, min_ppl, max_ppl, avg_ppl — doubles
+    rounded to 6).
+
+    The NTILE runs on the already-rounded ppl with doc_id tie-break,
+    so the cut points are bit-stable across engines. This exact global
+    sort is the oracle-checked path; see ``bucket_by_thresholds`` for
+    the 100 TB shape.
+    """
+    ppl = doc_perplexity(df, id_col, text_col)
+    w = Window.orderBy(F.asc("ppl"), F.asc(id_col))
+    return (
+        ppl.withColumn("bucket", F.ntile(n_buckets).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.min("ppl"), 6).alias("min_ppl"),
+            F.round(F.max("ppl"), 6).alias("max_ppl"),
+            F.round(F.avg("ppl"), 6).alias("avg_ppl"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def bucket_by_thresholds(
+    ppl_df: DataFrame,
+    thresholds: list[float],
+    ppl_col: str = "ppl",
+) -> DataFrame:
+    """The scale path for bucketing: assign buckets by comparing to
+    pre-computed boundaries (e.g. from ``F.approx_percentile`` on a
+    sample, or yesterday's run) — a pure narrow map, no global sort.
+    bucket = 1 + number of thresholds strictly below the value."""
+    b = F.lit(1)
+    for t in thresholds:
+        b = b + F.when(F.col(ppl_col) > F.lit(float(t)), 1).otherwise(0)
+    return ppl_df.withColumn("bucket", b.cast("int"))
+
+
+def doc_perplexity_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle for :func:`doc_perplexity` (same tokenization,
+    counts, smoothing, and 6-decimal rounding)."""
+    return f"""WITH words AS (
+  SELECT {id_col}, regexp_extract_all(lower({text_col}), '{WORD_RE}') AS ws
+  FROM {table}
+),
+docw AS (SELECT unnest(ws) AS w FROM words),
+uni AS (SELECT w, COUNT(*)::BIGINT AS c1 FROM docw GROUP BY w),
+vocab AS (SELECT COUNT(DISTINCT w)::BIGINT AS v FROM docw),
+dbg AS (
+  SELECT {id_col}, pr.w1 AS w1, pr.w2 AS w2 FROM (
+    SELECT {id_col}, unnest(list_transform(range(1, len(ws)),
+             i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS pr
+    FROM words
+  )
+),
+bi AS (SELECT w1, w2, COUNT(*)::BIGINT AS c2 FROM dbg GROUP BY w1, w2),
+scored AS (
+  SELECT dbg.{id_col},
+         ln((bi.c2 + 1.0) / (uni.c1 + vocab.v::DOUBLE)) AS logp
+  FROM dbg JOIN bi USING (w1, w2) JOIN uni ON dbg.w1 = uni.w, vocab
+)
+SELECT {id_col}, COUNT(*)::BIGINT AS n_bigrams,
+       ROUND(exp(-avg(logp)), 6) AS ppl
+FROM scored GROUP BY {id_col}"""
+
+
+def ppl_buckets_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 3,
+) -> str:
+    """DuckDB oracle for :func:`ppl_buckets`."""
+    inner = doc_perplexity_sql(table, id_col, text_col)
+    return f"""WITH ppl_t AS (
+{inner}
+),
+bucketed AS (
+  SELECT *, NTILE({n_buckets}) OVER (ORDER BY ppl ASC, {id_col} ASC) AS bucket
+  FROM ppl_t
+)
+SELECT bucket::INT AS bucket, COUNT(*)::BIGINT AS n_docs,
+       ROUND(MIN(ppl), 6) AS min_ppl, ROUND(MAX(ppl), 6) AS max_ppl,
+       ROUND(AVG(ppl), 6) AS avg_ppl
+FROM bucketed GROUP BY bucket ORDER BY bucket"""

@@ -5093,3 +5093,45 @@ def q_bpe_encode_sql() -> str:
 
 QUERIES.update({"bpe_encode": q_bpe_encode})
 ORACLES.update({"bpe_encode": q_bpe_encode_sql()})
+
+
+def q_doc_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document self-perplexity under a corpus-trained bigram LM
+    with add-one smoothing (the CCNet model-based quality signal;
+    Wenzek et al. 2020): two count aggregations train the LM, scoring
+    is shuffle equijoins of each doc's bigrams against the count
+    tables — no broadcast of corpus-sized state, no driver loop."""
+    from geos_spark.operators.lm import doc_perplexity
+
+    return doc_perplexity(_docs(spark, sf_dir))
+
+
+def q_doc_ppl_sql() -> str:
+    from geos_spark.operators.lm import doc_perplexity_sql
+
+    return doc_perplexity_sql()
+
+
+QUERIES.update({"doc_ppl": q_doc_ppl})
+ORACLES.update({"doc_ppl": q_doc_ppl_sql()})
+
+
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality buckets: NTILE(3) over rounded
+    perplexity with doc_id tie-break (bit-stable cut points), reported
+    as per-bucket count/min/max/avg. The oracle-checked exact path;
+    the 100 TB shape is threshold bucketing (lm.bucket_by_thresholds),
+    a pure narrow map against pre-computed quantile boundaries."""
+    from geos_spark.operators.lm import ppl_buckets
+
+    return ppl_buckets(_docs(spark, sf_dir), n_buckets=3)
+
+
+def q_ppl_buckets_sql() -> str:
+    from geos_spark.operators.lm import ppl_buckets_sql
+
+    return ppl_buckets_sql(n_buckets=3)
+
+
+QUERIES.update({"ppl_buckets": q_ppl_buckets})
+ORACLES.update({"ppl_buckets": q_ppl_buckets_sql()})
