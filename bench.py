@@ -399,6 +399,20 @@ def _bench_queries(spark):
             docs, num_hashes=16, bands=4, shingle_k=3, threshold=0.5
         )
 
+    def doc_ppl_200k():
+        # corpus bigram-LM training (two count aggs) + per-doc
+        # self-perplexity scoring (bigram equijoins) at 200k docs /
+        # 6m tokens; alnum tokenization because the synthetic vocab
+        # is w%05d. Oracle coverage: catalog row `doc_ppl` (DuckDB
+        # twin); reference-parity in tests/test_lm.py.
+        from geos_spark.operators.lm import doc_perplexity
+
+        docs = spark.read.parquet(dedup_src)
+        return doc_perplexity(docs, word_re="[a-z0-9]+").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ppl"), 4).alias("mean_ppl"),
+        )
+
     pages_src = _pages_corpus_parquet(spark, N_SYNTH)
     linked_src = _pages_corpus_parquet(spark, 2 * N_SYNTH, linked=True)
 
@@ -490,6 +504,7 @@ def _bench_queries(spark):
         "pii_redact_1m": (pii_redact_1m, N_SYNTH),
         "host_rank_2m": (host_rank_2m, 2 * N_SYNTH),
         "dedup_clusters_200k": (dedup_clusters_200k, 200_000),
+        "doc_ppl_200k": (doc_ppl_200k, 200_000),
         "pip_join_10m": (pip_join_10m, 10 * N_SYNTH),
         "pip_native_10m": (pip_native_10m, 10 * N_SYNTH),
         "distance_native_10m": (distance_native_10m, 10 * N_SYNTH),

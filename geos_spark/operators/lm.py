@@ -41,12 +41,14 @@ from pyspark.sql import functions as F
 WORD_RE = "[a-z]+"
 
 
-def _doc_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _doc_words(
+    df: DataFrame, id_col: str, text_col: str, word_re: str = WORD_RE
+) -> DataFrame:
     """(id, ws array<string>) — lowercase letter-run tokens per doc."""
     return df.select(
         F.col(id_col),
         F.regexp_extract_all(
-            F.lower(F.col(text_col)), F.lit(WORD_RE), 0
+            F.lower(F.col(text_col)), F.lit(word_re), 0
         ).alias("ws"),
     )
 
@@ -74,6 +76,7 @@ def doc_perplexity(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    word_re: str = WORD_RE,
 ) -> DataFrame:
     """Per-document self-perplexity under the corpus bigram LM:
     (id_col, n_bigrams long, ppl double rounded to 6 decimals).
@@ -84,7 +87,7 @@ def doc_perplexity(
     appear (a NULL-text or single-word doc has no perplexity — same
     filtered-output contract as bm25).
     """
-    words = _doc_words(df, id_col, text_col)
+    words = _doc_words(df, id_col, text_col, word_re)
     docw = words.select(F.explode("ws").alias("w"))
     uni = docw.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
     vocab = docw.agg(F.count_distinct("w").alias("v"))
