@@ -276,7 +276,7 @@ def _stages_sql(
   ) WHERE NOT regexp_matches(word, '^\s*$') AND position(chr(31) IN word) = 0
   GROUP BY word
 ),
-s0 AS (
+s0 AS MATERIALIZED (
   SELECT {carry}array_to_string(list_transform(range(1, length(word)+1),
            i -> chr(31)||substr(word, i, 1)||chr(31)), '') AS seq, cnt
   FROM w0
@@ -285,7 +285,7 @@ s0 AS (
     for k in range(1, merges + 1):
         prev = f"s{k - 1}"
         parts.append(
-            f"""p{k} AS (
+            f"""p{k} AS MATERIALIZED (
   SELECT pr.l AS l, pr.r AS r, SUM(cnt)::BIGINT AS pc FROM (
     SELECT unnest(list_transform(range(1, len(s)),
              i -> struct_pack(l := s[i], r := s[i+1]))) AS pr, cnt
@@ -293,8 +293,8 @@ s0 AS (
           FROM {prev})
   ) GROUP BY 1, 2
 ),
-b{k} AS (SELECT l, r, pc FROM p{k} ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
-s{k} AS (
+b{k} AS MATERIALIZED (SELECT l, r, pc FROM p{k} ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
+s{k} AS MATERIALIZED (
   SELECT {carry}replace(seq, chr(31)||b.l||chr(31)||chr(31)||b.r||chr(31),
                  chr(31)||b.l||b.r||chr(31)) AS seq, cnt
   FROM {prev}, b{k} b
@@ -307,7 +307,9 @@ def bpe_train_sql(merges: int = 8, table: str = "documents", text_col: str = "te
     """The DuckDB oracle for :func:`bpe_train`: the same algorithm with
     the merge loop unrolled into ``merges`` CTE stages (SQL has no
     loops; each stage is pair-count -> argmax -> replace on the same
-    wrapped-symbol encoding, so the two engines agree bit-for-bit)."""
+    wrapped-symbol encoding, so the two engines agree bit-for-bit).
+    Stages are AS MATERIALIZED: s{{k}} is referenced by both p{{k+1}}
+    and s{{k+1}}, so plain CTE inlining would expand 2^merges-fold."""
     parts = _stages_sql(merges, table, text_col)
     sel = "\nUNION ALL\n".join(
         f"SELECT {k} AS rank, l AS lhs, r AS rhs, l||r AS merged, pc AS pair_count FROM b{k}"

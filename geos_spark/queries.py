@@ -5135,3 +5135,46 @@ def q_ppl_buckets_sql() -> str:
 
 QUERIES.update({"ppl_buckets": q_ppl_buckets})
 ORACLES.update({"ppl_buckets": q_ppl_buckets_sql()})
+
+
+def q_logreg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training, itself correctness-
+    gated: 5 batch-GD iterations over hashed-BOW features (64 bins +
+    bias, portable-md5 hashing) predicting lang='en'; per-iteration
+    dot/gradient rounding to 9 decimals makes the float training
+    trajectory bit-identical across engines (see operators/classifier
+    for the tie analysis behind INIT_W and LR). Output = the learned
+    weight vector."""
+    from geos_spark.operators.classifier import logreg_weights
+
+    return logreg_weights(_docs(spark, sf_dir), F.col("lang") == "en")
+
+
+def q_logreg_weights_sql() -> str:
+    from geos_spark.operators.classifier import logreg_weights_sql
+
+    return logreg_weights_sql("lang = 'en'")
+
+
+QUERIES.update({"logreg_weights": q_logreg_weights})
+ORACLES.update({"logreg_weights": q_logreg_weights_sql()})
+
+
+def q_logreg_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the trained hashed-BOW classifier on its
+    training corpus — prediction is the sign of the rounded dot
+    product (no exp in the decision), so the counts are exact
+    integers on both engines."""
+    from geos_spark.operators.classifier import logreg_confusion
+
+    return logreg_confusion(_docs(spark, sf_dir), F.col("lang") == "en")
+
+
+def q_logreg_confusion_sql() -> str:
+    from geos_spark.operators.classifier import logreg_confusion_sql
+
+    return logreg_confusion_sql("lang = 'en'")
+
+
+QUERIES.update({"logreg_confusion": q_logreg_confusion})
+ORACLES.update({"logreg_confusion": q_logreg_confusion_sql()})
