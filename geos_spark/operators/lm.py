@@ -111,6 +111,38 @@ def doc_perplexity(
     )
 
 
+def _global_rank(
+    df: DataFrame, sort_cols: list[str], num_ranges: int = 64
+) -> tuple[DataFrame, int]:
+    """Exact 0-based global rank by ``sort_cols`` as a DISTRIBUTED
+    prefix count (the ``pack_shards`` shape — never a partitionless
+    window, which collapses the dataset onto one task):
+    range-exchange on the sort key, per-partition local ranks, then
+    per-partition row counts (``num_ranges`` longs on the driver)
+    joined back as broadcast base offsets. Requires the composite
+    sort key to be unique (ties within one rank are partition-order
+    dependent). Returns (df + ``__rank``, total row count)."""
+    ranged = df.repartitionByRange(num_ranges, *[F.col(c) for c in sort_cols])
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(*[F.asc(c) for c in sort_cols])
+    local = with_pid.withColumn(
+        "__local", F.row_number().over(w) - 1
+    ).persist()
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
+    base, acc = {}, 0
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        base[r["__pid"]] = acc
+        acc += r["__n"]
+    dim = df.sparkSession.createDataFrame(
+        [(p, b) for p, b in sorted(base.items())] or [(0, 0)],
+        schema="__pid int, __base long",
+    )
+    out = local.join(F.broadcast(dim), "__pid").withColumn(
+        "__rank", F.col("__base") + F.col("__local")
+    ).drop("__pid", "__local", "__base")
+    return out, acc
+
+
 def ppl_buckets(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -123,15 +155,33 @@ def ppl_buckets(
     (bucket int, n_docs long, min_ppl, max_ppl, avg_ppl — doubles
     rounded to 6).
 
-    The NTILE runs on the already-rounded ppl with doc_id tie-break,
-    so the cut points are bit-stable across engines. This exact global
-    sort is the oracle-checked path; see ``bucket_by_thresholds`` for
-    the 100 TB shape.
+    The NTILE is computed as an exact distributed rank (range
+    exchange + per-partition windows + broadcast base offsets — see
+    ``_global_rank``) followed by SQL NTILE's closed-form bucket
+    arithmetic, so there is no single-task global window anywhere.
+    It runs on the already-rounded ppl with doc_id tie-break, making
+    the cut points bit-stable across engines. For repeated production
+    bucketing at 100 TB, ``bucket_by_thresholds`` (pre-computed
+    quantile boundaries, a pure narrow map) avoids even the range
+    exchange.
     """
     ppl = doc_perplexity(df, id_col, text_col)
-    w = Window.orderBy(F.asc("ppl"), F.asc(id_col))
+    ranked, n = _global_rank(ppl, ["ppl", id_col])
+    # SQL NTILE(k): first n%k buckets hold ceil(n/k) rows, the rest
+    # floor(n/k) — closed form over the exact global rank
+    q, rem = divmod(n, n_buckets) if n else (0, 0)
+    r = F.col("__rank")
+    if q == 0:
+        bucket = (r + 1).cast("int")
+    else:
+        cut = F.lit((q + 1) * rem)
+        bucket = (
+            F.when(r < cut, F.floor(r / F.lit(q + 1)))
+            .otherwise(F.lit(rem) + F.floor((r - cut) / F.lit(q)))
+            + 1
+        ).cast("int")
     return (
-        ppl.withColumn("bucket", F.ntile(n_buckets).over(w))
+        ranked.withColumn("bucket", bucket)
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
