@@ -374,10 +374,11 @@ def host_components(
     link-ring discovery): (host, component) with component = the
     lexicographically smallest host reachable ignoring direction.
 
-    Hosts get dense long ids from a window over sorted host names —
-    the host table is the DIMENSION (5-6 orders smaller than the page
-    table), so the single-partition window is on ~millions of rows at
-    worst, not the corpus. The component computation itself is the
+    Hosts get dense long ids by rank of sorted host name, computed
+    as a distributed prefix count (``sampling.global_rank``: range
+    exchange + per-partition row_number + broadcast base offsets) —
+    even though the host table is the DIMENSION (5-6 orders smaller
+    than the page table), no stage collapses to a single task. The component computation itself is the
     contraction union-find used for geometry clustering
     (:func:`geos_spark.operators.cluster.connected_components`:
     per-partition local union-find, quotient-graph halving, bounded
@@ -386,18 +387,18 @@ def host_components(
     IS the lexicographically smallest member, which is what the SQL
     oracle computes independently.
     """
-    from pyspark.sql import Window
-
     from geos_spark.operators.cluster import connected_components
+    from geos_spark.operators.sampling import global_rank
 
     nodes = (
         edges.select(F.col(src_col).alias("host"))
         .union(edges.select(F.col(dst_col).alias("host")))
         .distinct()
     )
-    ids = nodes.withColumn(
-        "id", F.row_number().over(Window.orderBy("host")).cast("long")
-    ).persist()
+    ranked, _ = global_rank(nodes, ["host"])
+    ids = ranked.withColumn(
+        "id", (F.col("__rank") + 1).cast("long")
+    ).drop("__rank").persist()
     pairs = (
         edges.select(
             F.col(src_col).alias("host"), F.col(dst_col).alias("__d")

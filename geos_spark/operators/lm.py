@@ -19,10 +19,11 @@ Scale design:
   corpus, every scored bigram exists in the table (inner joins).
 - The vocabulary size V enters as a 1-row aggregate cross-joined in
   (Catalyst broadcasts it), keeping the whole plan declarative.
-- Bucketing by global NTILE is a global sort — fine for the exact
-  oracle-checked path; at 100 TB use ``bucket_by_thresholds`` with
-  pre-computed (e.g. approx-quantile) boundaries instead, which is a
-  pure narrow map.
+- Bucketing is an exact distributed NTILE: a range exchange plus
+  per-partition ranks (the ``sampling.global_rank`` prefix-count
+  shape) — no single-task window anywhere. For repeated production
+  bucketing at 100 TB, ``bucket_by_thresholds`` with pre-computed
+  (e.g. approx-quantile) boundaries is a pure narrow map.
 
 Tokenization is lowercase ASCII letter runs (``[a-z]+``) — identical
 semantics in Spark and DuckDB, and deliberately language-naive like
@@ -114,33 +115,11 @@ def doc_perplexity(
 def _global_rank(
     df: DataFrame, sort_cols: list[str], num_ranges: int = 64
 ) -> tuple[DataFrame, int]:
-    """Exact 0-based global rank by ``sort_cols`` as a DISTRIBUTED
-    prefix count (the ``pack_shards`` shape — never a partitionless
-    window, which collapses the dataset onto one task):
-    range-exchange on the sort key, per-partition local ranks, then
-    per-partition row counts (``num_ranges`` longs on the driver)
-    joined back as broadcast base offsets. Requires the composite
-    sort key to be unique (ties within one rank are partition-order
-    dependent). Returns (df + ``__rank``, total row count)."""
-    ranged = df.repartitionByRange(num_ranges, *[F.col(c) for c in sort_cols])
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
-    w = Window.partitionBy("__pid").orderBy(*[F.asc(c) for c in sort_cols])
-    local = with_pid.withColumn(
-        "__local", F.row_number().over(w) - 1
-    ).persist()
-    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect()
-    base, acc = {}, 0
-    for r in sorted(counts, key=lambda r: r["__pid"]):
-        base[r["__pid"]] = acc
-        acc += r["__n"]
-    dim = df.sparkSession.createDataFrame(
-        [(p, b) for p, b in sorted(base.items())] or [(0, 0)],
-        schema="__pid int, __base long",
-    )
-    out = local.join(F.broadcast(dim), "__pid").withColumn(
-        "__rank", F.col("__base") + F.col("__local")
-    ).drop("__pid", "__local", "__base")
-    return out, acc
+    """Shared distributed prefix-count rank — see
+    ``operators/sampling.py::global_rank``."""
+    from geos_spark.operators.sampling import global_rank
+
+    return global_rank(df, sort_cols, num_ranges)
 
 
 def ppl_buckets(
