@@ -595,6 +595,22 @@ def _scaling_queries(spark, cores: int):
             docs, num_hashes=16, bands=4, shingle_k=3, threshold=0.5
         )
 
+    ppl_src = _dedup_corpus_parquet(spark, 600_000, parts)
+
+    def doc_ppl_600k():
+        # LM-training shape as scaling evidence: two corpus-count
+        # aggregations (unigram/bigram) feeding bigram equijoins —
+        # shuffle-bound with a ~17m-row pair table, a different
+        # profile from both the map-heavy scrub and the iterative
+        # graph jobs
+        from geos_spark.operators.lm import doc_perplexity
+
+        docs = spark.read.parquet(ppl_src)
+        return doc_perplexity(docs, word_re="[a-z0-9]+").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ppl"), 4).alias("mean_ppl"),
+        )
+
     def pii_scrub_1m():
         # the webtext curation map as scaling evidence: quality rules
         # + 4-class PII scrub over 1m synthesized pages — stateless
@@ -640,6 +656,7 @@ def _scaling_queries(spark, cores: int):
         "tile_pipeline_96m": (tile_pipeline_96m, 96_000_000),
         "token_stats_6m": (token_stats_6m, 6_000_000),
         "dedup_clusters_200k": (dedup_clusters_200k, 200_000),
+        "doc_ppl_600k": (doc_ppl_600k, 600_000),
         "pii_scrub_1m": (pii_scrub_1m, 1_000_000),
         "page_rank_2m": (page_rank_2m, 2_000_000),
     }
@@ -744,7 +761,8 @@ def main() -> None:
         n = int(os.environ.get("SPARK_GRAFT_SCALE_EXECS", "1"))
         levels = (n, 4 * n)
         qnames = ["pip_join_48m", "pip_native_48m", "tile_pipeline_96m",
-                  "token_stats_6m", "dedup_clusters_200k", "pii_scrub_1m"]
+                  "token_stats_6m", "dedup_clusters_200k", "doc_ppl_600k",
+                  "pii_scrub_1m"]
         subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
         if subset:
             qnames = [q for q in qnames if q in subset.split(",")]
