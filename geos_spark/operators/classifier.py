@@ -291,3 +291,26 @@ SELECT y::INT AS label, (CASE WHEN dot > 0 THEN 1 ELSE 0 END)::INT AS pred,
        COUNT(*)::BIGINT AS n
 FROM final_dot GROUP BY 1, 2"""
     )
+
+
+def logreg_scores_sql(
+    label_sql: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_features: int = N_FEATURES,
+    iters: int = 5,
+    lr: float = LR,
+) -> str:
+    """DuckDB oracle fragment for per-document final dot products
+    (id, dot) — the scoring half of :func:`logreg_confusion`, exposed
+    for composition (curate_model)."""
+    parts = ["WITH " + _feats_sql(table, id_col, text_col, label_sql, n_features)]
+    for t in range(iters):
+        parts.append(_iter_sql(t, id_col, lr))
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT f.{id_col}, ROUND(SUM(f.x * w.weight), {ROUND_D}) AS dot
+FROM feats f JOIN w{iters} w USING (bin) GROUP BY f.{id_col}"""
+    )

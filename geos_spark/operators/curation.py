@@ -175,3 +175,73 @@ def mixture_rates(
             group_col, "tokens", "current_frac", "target_frac", "rate"
         )
     )
+
+
+def model_quality_gate(
+    df: DataFrame,
+    label,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 3,
+    n_features: int = 64,
+    iters: int = 5,
+) -> DataFrame:
+    """The model-based curation decision (the tier DCLM/CCNet add on
+    top of heuristic rules): per document, its bigram-LM perplexity
+    bucket and its learned-classifier prediction, combined into one
+    keep bit — keep = not in the perplexity tail AND classifier
+    positive.
+
+    Returns (id_col, bucket int, pred int, keep int) — all integers,
+    so the row set is exactly reproducible. Documents with no
+    scoreable bigrams are excluded (they cannot be perplexity-ranked;
+    the heuristic gates already handle degenerate docs).
+
+    Composition of the oracle-gated pieces: ``lm.doc_perplexity`` +
+    the exact distributed NTILE (``sampling.global_rank``) +
+    ``classifier.logreg_confusion``'s training/scoring path. One
+    corpus scan per stage, no single-task stages, classifier weights
+    enter as array literals.
+    """
+    from geos_spark.operators.classifier import hashed_features, train_logreg
+    from geos_spark.operators.lm import _global_rank, doc_perplexity
+
+    ppl = doc_perplexity(df, id_col, text_col)
+    ranked, n = _global_rank(ppl, ["ppl", id_col])
+    q, rem = divmod(n, n_buckets) if n else (0, 0)
+    r = F.col("__rank")
+    if q == 0:
+        bucket = (r + 1).cast("int")
+    else:
+        cut = F.lit((q + 1) * rem)
+        bucket = (
+            F.when(r < cut, F.floor(r / F.lit(q + 1)))
+            .otherwise(F.lit(rem) + F.floor((r - cut) / F.lit(q)))
+            + 1
+        ).cast("int")
+    bucketed = ranked.select(id_col, bucket.alias("bucket"))
+
+    feats = hashed_features(df, label, id_col, text_col, n_features)
+    w = train_logreg(feats, n_features, iters, id_col=id_col)
+    from geos_spark.operators.classifier import ROUND_D
+
+    w_arr = F.array(*[F.lit(float(v)) for v in w])
+    scored = hashed_features(df, label, id_col, text_col, n_features).groupBy(
+        id_col
+    ).agg(
+        F.round(
+            F.sum(F.col("x") * F.element_at(w_arr, F.col("bin") + 1)), ROUND_D
+        ).alias("dot")
+    )
+    pred = F.when(F.col("dot") > 0, 1).otherwise(0)
+    return (
+        bucketed.join(scored, id_col)
+        .select(
+            id_col,
+            "bucket",
+            pred.alias("pred"),
+            (
+                (F.col("bucket") < F.lit(n_buckets)) & (pred == 1)
+            ).cast("int").alias("keep"),
+        )
+    )

@@ -5178,3 +5178,40 @@ def q_logreg_confusion_sql() -> str:
 
 QUERIES.update({"logreg_confusion": q_logreg_confusion})
 ORACLES.update({"logreg_confusion": q_logreg_confusion_sql()})
+
+
+def q_curate_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-based curation decision as ONE scored row (the tier
+    DCLM/CCNet stack on top of the heuristic curate_pipeline): per
+    document, its bigram-LM perplexity NTILE bucket and its trained
+    hashed-BOW classifier prediction, combined into keep = not in the
+    perplexity tail AND classifier positive. All-integer output; the
+    oracle replays LM scoring, SQL NTILE, and the full unrolled GD
+    chain."""
+    from geos_spark.operators.curation import model_quality_gate
+
+    return model_quality_gate(_docs(spark, sf_dir), F.col("lang") == "en")
+
+
+def q_curate_model_sql() -> str:
+    from geos_spark.operators.classifier import logreg_scores_sql
+    from geos_spark.operators.lm import doc_perplexity_sql
+
+    return f"""WITH ppl_t AS MATERIALIZED (
+{doc_perplexity_sql()}
+),
+bucketed AS (
+  SELECT doc_id, NTILE(3) OVER (ORDER BY ppl ASC, doc_id ASC) AS bucket
+  FROM ppl_t
+),
+scores AS MATERIALIZED (
+{logreg_scores_sql("lang = 'en'")}
+)
+SELECT b.doc_id, b.bucket::INT AS bucket,
+       (CASE WHEN s.dot > 0 THEN 1 ELSE 0 END)::INT AS pred,
+       (CASE WHEN b.bucket < 3 AND s.dot > 0 THEN 1 ELSE 0 END)::INT AS keep
+FROM bucketed b JOIN scores s USING (doc_id)"""
+
+
+QUERIES.update({"curate_model": q_curate_model})
+ORACLES.update({"curate_model": q_curate_model_sql()})

@@ -119,3 +119,36 @@ def test_lr_default_produces_no_rounding_ties():
     # the tie analysis behind LR: 0.4 * d mod 10 is always even
     assert all((4 * d) % 10 != 5 for d in range(10))
     assert int(LR * 10) == 4
+
+
+def test_model_quality_gate_combines_ppl_and_classifier(spark):
+    from geos_spark.operators.curation import model_quality_gate
+
+    # 9 scoreable docs: three repetitive (low ppl), three mixed,
+    # three rare-vocab (high ppl / the tail bucket)
+    docs = (
+        [(i, "alpha beta alpha beta alpha beta", 1) for i in range(3)]
+        + [(i + 3, "alpha gamma delta beta alpha mu", 1) for i in range(3)]
+        + [(i + 6, f"zeta{'x' * i} eta theta iota kappa nu", 0) for i in range(3)]
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(docs, "doc_id long, text string, y int")
+    out = {
+        r.doc_id: (r.bucket, r.pred, r.keep)
+        for r in model_quality_gate(
+            df, F.col("y") == 1, n_buckets=3, n_features=16, iters=20
+        ).collect()
+    }
+    assert len(out) == 9
+    # NTILE(3) over 9 docs: three per bucket
+    from collections import Counter
+
+    assert Counter(b for b, _, _ in out.values()) == {1: 3, 2: 3, 3: 3}
+    # keep implies: not tail bucket AND positive prediction
+    for b, p, k in out.values():
+        assert k == int(b < 3 and p == 1)
+    # the repetitive docs (lowest self-perplexity, label 1) are kept
+    assert all(out[i][2] == 1 for i in range(3))
+    # tail-bucket docs are dropped regardless of prediction
+    assert all(out[i][0] == 3 or out[i][2] == int(out[i][1] == 1) for i in range(6, 9))
