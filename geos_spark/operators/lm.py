@@ -238,3 +238,100 @@ SELECT bucket::INT AS bucket, COUNT(*)::BIGINT AS n_docs,
        ROUND(MIN(ppl), 6) AS min_ppl, ROUND(MAX(ppl), 6) AS max_ppl,
        ROUND(AVG(ppl), 6) AS avg_ppl
 FROM bucketed GROUP BY bucket ORDER BY bucket"""
+
+
+KN_DISCOUNT = 0.75
+
+
+def doc_perplexity_kn(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_re: str = WORD_RE,
+    discount: float = KN_DISCOUNT,
+) -> DataFrame:
+    """Per-document self-perplexity under interpolated Kneser-Ney —
+    the smoothing family KenLM (and therefore CCNet's quality model)
+    actually uses, vs :func:`doc_perplexity`'s add-one:
+
+        P(w2|w1) = max(c(w1,w2) - D, 0)/c(w1)
+                   + D * N1+(w1,.)/c(w1) * N1+(.,w2)/N1+(..)
+
+    where N1+(w1,.) counts distinct continuations of w1, N1+(.,w2)
+    distinct left-contexts of w2, and N1+(..) all distinct bigrams
+    (the continuation distribution: "how many contexts has this word
+    completed", not "how often has it occurred").
+
+    Same scale shape as the add-one path plus two vocabulary-sized
+    count aggregations (distinct continuations / left-contexts are
+    per-key counts over the already-distinct bigram table) and a
+    1-row broadcast for N1+(..). Output (id_col, n_bigrams long,
+    ppl double rounded to 6).
+    """
+    words = _doc_words(df, id_col, text_col, word_re)
+    docw = words.select(F.explode("ws").alias("w"))
+    uni = docw.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    dbg = _doc_bigrams(words, id_col)
+    bi = dbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    n1_fwd = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("nf"))
+    n1_bwd = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("nb"))
+    n_bi = bi.agg(F.count(F.lit(1)).alias("nbi"))
+    d = F.lit(float(discount))
+    scored = (
+        dbg.join(bi, ["w1", "w2"])
+        .join(uni, F.col("w1") == F.col("w"))
+        .join(n1_fwd, "w1")
+        .join(n1_bwd, "w2")
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            F.col(id_col),
+            F.log(
+                F.greatest(F.col("c2") - d, F.lit(0.0)) / F.col("c1")
+                + d
+                * F.col("nf")
+                / F.col("c1")
+                * F.col("nb")
+                / F.col("nbi")
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.exp(-F.avg("logp")), 6).alias("ppl"),
+    )
+
+
+def doc_perplexity_kn_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = KN_DISCOUNT,
+) -> str:
+    """DuckDB oracle for :func:`doc_perplexity_kn`."""
+    return f"""WITH words AS (
+  SELECT {id_col}, regexp_extract_all(lower({text_col}), '{WORD_RE}') AS ws
+  FROM {table}
+),
+docw AS (SELECT unnest(ws) AS w FROM words),
+uni AS (SELECT w, COUNT(*)::BIGINT AS c1 FROM docw GROUP BY w),
+dbg AS (
+  SELECT {id_col}, pr.w1 AS w1, pr.w2 AS w2 FROM (
+    SELECT {id_col}, unnest(list_transform(range(1, len(ws)),
+             i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS pr
+    FROM words
+  )
+),
+bi AS (SELECT w1, w2, COUNT(*)::BIGINT AS c2 FROM dbg GROUP BY w1, w2),
+n1f AS (SELECT w1, COUNT(*)::BIGINT AS nf FROM bi GROUP BY w1),
+n1b AS (SELECT w2, COUNT(*)::BIGINT AS nb FROM bi GROUP BY w2),
+nbi AS (SELECT COUNT(*)::BIGINT AS nbi FROM bi),
+scored AS (
+  SELECT dbg.{id_col},
+         ln(GREATEST(bi.c2 - {discount!r}, 0.0) / uni.c1
+            + {discount!r} * n1f.nf / uni.c1 * n1b.nb / nbi.nbi) AS logp
+  FROM dbg JOIN bi USING (w1, w2) JOIN uni ON dbg.w1 = uni.w
+       JOIN n1f USING (w1) JOIN n1b USING (w2), nbi
+)
+SELECT {id_col}, COUNT(*)::BIGINT AS n_bigrams,
+       ROUND(exp(-avg(logp)), 6) AS ppl
+FROM scored GROUP BY {id_col}"""

@@ -5215,3 +5215,25 @@ FROM bucketed b JOIN scores s USING (doc_id)"""
 
 QUERIES.update({"curate_model": q_curate_model})
 ORACLES.update({"curate_model": q_curate_model_sql()})
+
+
+def q_doc_ppl_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney self-perplexity (the KenLM smoothing
+    family CCNet's quality model actually uses): absolute-discount
+    bigram probability backed off to the continuation distribution
+    (distinct-context counts, not raw frequencies). Two extra
+    vocabulary-sized aggregations over the distinct-bigram table plus
+    a 1-row broadcast vs the add-one path."""
+    from geos_spark.operators.lm import doc_perplexity_kn
+
+    return doc_perplexity_kn(_docs(spark, sf_dir))
+
+
+def q_doc_ppl_kn_sql() -> str:
+    from geos_spark.operators.lm import doc_perplexity_kn_sql
+
+    return doc_perplexity_kn_sql()
+
+
+QUERIES.update({"doc_ppl_kn": q_doc_ppl_kn})
+ORACLES.update({"doc_ppl_kn": q_doc_ppl_kn_sql()})

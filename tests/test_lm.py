@@ -88,3 +88,61 @@ def test_bucket_by_thresholds_matches_ntile_cuts(spark):
     }
     for i, (_, p) in ref.items():
         assert got[i] == (1 if p <= cut else 2)
+
+
+def _ref_ppl_kn(docs, d=0.75):
+    toks = {i: re.findall("[a-z]+", (t or "").lower()) for i, t in docs}
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for ws in toks.values():
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    nf: Counter = Counter()
+    nb: Counter = Counter()
+    for w1, w2 in bi:
+        nf[w1] += 1
+        nb[w2] += 1
+    nbi = len(bi)
+    out = {}
+    for i, ws in toks.items():
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            continue
+        lp = [
+            math.log(
+                max(bi[p] - d, 0.0) / uni[p[0]]
+                + d * nf[p[0]] / uni[p[0]] * nb[p[1]] / nbi
+            )
+            for p in pairs
+        ]
+        out[i] = (len(pairs), round(math.exp(-sum(lp) / len(lp)), 6))
+    return out
+
+
+def test_doc_perplexity_kn_matches_reference(spark):
+    from geos_spark.operators.lm import doc_perplexity_kn
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.ppl) for r in doc_perplexity_kn(df).collect()}
+    assert got == _ref_ppl_kn(DOCS)
+    # same no-bigram exclusions as the add-one path
+    assert set(got) == set(_ref_ppl(DOCS))
+    # KN also ranks the spam doc as more predictable than rare vocab
+    assert got[1][1] < got[2][1]
+
+
+def test_doc_perplexity_kn_oracle_matches_reference():
+    from geos_spark.operators.lm import doc_perplexity_kn_sql
+
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(
+            f"({i}, " + ("NULL" if t is None else "'" + t.replace("'", "''") + "'") + ")"
+            for i, t in DOCS
+        )
+        + ") t(doc_id, text)"
+    )
+    ora = {r[0]: (r[1], r[2]) for r in con.execute(doc_perplexity_kn_sql()).fetchall()}
+    assert ora == _ref_ppl_kn(DOCS)
