@@ -5237,3 +5237,28 @@ def q_doc_ppl_kn_sql() -> str:
 
 QUERIES.update({"doc_ppl_kn": q_doc_ppl_kn})
 ORACLES.update({"doc_ppl_kn": q_doc_ppl_kn_sql()})
+
+
+def q_stream_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of doc_ppl: documents arrive as a file-source
+    stream and are scored against the FROZEN bigram LM trained on the
+    static corpus (stream-static equijoins + streaming per-doc
+    aggregation, availableNow to completion) — hash-checked against
+    the SAME DuckDB oracle as the batch query."""
+    from geos_spark.streaming import (
+        read_documents_stream,
+        run_stream_to_memory,
+        streaming_ppl_score,
+    )
+
+    s = read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    out, _ = run_stream_to_memory(
+        streaming_ppl_score(s, _docs(spark, sf_dir)),
+        spark,
+        output_mode="complete",
+    )
+    return out
+
+
+QUERIES.update({"stream_ppl": q_stream_ppl})
+ORACLES.update({"stream_ppl": q_doc_ppl_sql()})
