@@ -5262,3 +5262,43 @@ def q_stream_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES.update({"stream_ppl": q_stream_ppl})
 ORACLES.update({"stream_ppl": q_doc_ppl_sql()})
+
+
+def q_source_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source reputation rollup (the crawl-prioritization input a
+    curation pipeline feeds back to the crawler): document-level
+    bigram-LM perplexity aggregated by source — n_docs, mean/max ppl,
+    and mean doc length. One extra grouped aggregate over the doc_ppl
+    output joined back to the source dimension column."""
+    from geos_spark.operators.lm import doc_perplexity
+
+    docs = _docs(spark, sf_dir)
+    ppl = doc_perplexity(docs)
+    return (
+        ppl.join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("ppl"), 6).alias("avg_ppl"),
+            F.round(F.max("ppl"), 6).alias("max_ppl"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+        )
+    )
+
+
+def q_source_ppl_sql() -> str:
+    from geos_spark.operators.lm import doc_perplexity_sql
+
+    return f"""WITH ppl_t AS MATERIALIZED (
+{doc_perplexity_sql()}
+)
+SELECT d.source, COUNT(*)::BIGINT AS n_docs,
+       ROUND(AVG(p.ppl), 6) AS avg_ppl,
+       ROUND(MAX(p.ppl), 6) AS max_ppl,
+       ROUND(AVG(d.n_chars::DOUBLE), 6) AS avg_chars
+FROM ppl_t p JOIN documents d USING (doc_id)
+GROUP BY d.source"""
+
+
+QUERIES.update({"source_ppl": q_source_ppl})
+ORACLES.update({"source_ppl": q_source_ppl_sql()})
