@@ -5302,3 +5302,48 @@ GROUP BY d.source"""
 
 QUERIES.update({"source_ppl": q_source_ppl})
 ORACLES.update({"source_ppl": q_source_ppl_sql()})
+
+
+def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-cluster quality profiling (the SemDeDup-adjacent
+    composition): k-means clusters over the embedding space joined
+    with bigram-LM perplexity of the same documents — per cluster,
+    how many docs, how tight (mean squared distance), and how
+    predictable (mean ppl). The table a pipeline uses to prune
+    low-quality semantic regions wholesale."""
+    from geos_spark.operators.cluster import kmeans_assign
+    from geos_spark.operators.lm import doc_perplexity
+
+    km = kmeans_assign(_emb(spark, sf_dir), k=8, iterations=3)
+    ppl = doc_perplexity(_docs(spark, sf_dir))
+    return (
+        km.join(ppl, km["vec_id"] == ppl["doc_id"])
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            # average the ROUNDED per-vector distances — the oracle
+            # aggregates its dist2_r column, so the inputs must match
+            F.round(F.avg(F.round(F.col("dist2"), 6)), 6).alias("avg_dist2"),
+            F.round(F.avg("ppl"), 6).alias("avg_ppl"),
+        )
+    )
+
+
+def q_cluster_quality_sql() -> str:
+    from geos_spark.operators.lm import doc_perplexity_sql
+
+    return f"""WITH km AS MATERIALIZED (
+{q_kmeans_sql()}
+),
+ppl_t AS MATERIALIZED (
+{doc_perplexity_sql()}
+)
+SELECT km.cid, COUNT(*)::BIGINT AS n_docs,
+       ROUND(AVG(km.dist2_r), 6) AS avg_dist2,
+       ROUND(AVG(p.ppl), 6) AS avg_ppl
+FROM km JOIN ppl_t p ON km.vec_id = p.doc_id
+GROUP BY km.cid"""
+
+
+QUERIES.update({"cluster_quality": q_cluster_quality})
+ORACLES.update({"cluster_quality": q_cluster_quality_sql()})
