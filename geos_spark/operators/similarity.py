@@ -685,3 +685,72 @@ def cosine_topk_ivfpq(
         .where(F.col("rank") <= k)
         .select("q_id", "rank", "vec_id", "cosine")
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    tau: float = 0.454,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): embedding-space
+    near-duplicate pruning BLOCKED BY k-means cluster — the published
+    trick that turns the quadratic all-pairs cosine into per-cluster
+    products, because semantic duplicates land in the same cluster.
+
+    Keep rule (deterministic variant): a vector is dropped iff some
+    SAME-CLUSTER vector with a smaller id lies within cosine >= tau.
+    Returns (id_col, cid int, keep int) for every input vector.
+
+    Scale shape: the k-means rounds are the checkpointed jobs of
+    ``cluster.kmeans_assign``; candidate generation is a cid-keyed
+    self-equijoin (shuffle on cid — per-cluster products only, the
+    SemDeDup point); the cosine is the deterministic sequential fold
+    shared with the ANN operators, so engines agree to the last bit
+    and a tau chosen clear of the pair spectrum cannot flip.
+    """
+    from geos_spark.operators.cluster import kmeans_assign
+
+    km = kmeans_assign(emb, k=k, iterations=iterations).select(
+        F.col("vec_id"), F.col("cid")
+    )
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nv"),
+    )
+    j = km.join(e, "vec_id")
+    a = j.select(
+        F.col("cid"),
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    b = j.select(
+        F.col("cid"),
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
+    losers = (
+        a.join(b, "cid")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= F.lit(float(tau))
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("__drop", F.lit(1))
+    )
+    return (
+        km.join(losers, "vec_id", "left")
+        .select(
+            F.col("vec_id").alias(id_col),
+            F.col("cid").cast("int").alias("cid"),
+            F.when(F.col("__drop").isNull(), 1).otherwise(0).alias("keep"),
+        )
+    )

@@ -5347,3 +5347,41 @@ GROUP BY km.cid"""
 
 QUERIES.update({"cluster_quality": q_cluster_quality})
 ORACLES.update({"cluster_quality": q_cluster_quality_sql()})
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding near-dup pruning
+    blocked by k-means cluster — candidate pairs are per-cluster
+    products, not the corpus square. keep=0 iff a same-cluster
+    smaller-id vector lies within cosine >= tau; tau reuses
+    embed_neardup's 0.454 (1.3e-3 clear of the full pair spectrum, and
+    within-cluster pairs are a subset of that spectrum, so float
+    accumulation noise cannot flip membership)."""
+    from geos_spark.operators.similarity import semdedup
+
+    return semdedup(_emb(spark, sf_dir), k=8, iterations=3, tau=0.454)
+
+
+def q_semdedup_sql() -> str:
+    return f"""WITH km AS MATERIALIZED (
+{q_kmeans_sql()}
+),
+e AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
+  FROM embeddings
+),
+losers AS (
+  SELECT DISTINCT b.vec_id
+  FROM (SELECT km.cid, e.vec_id, e.v, e.nv FROM km JOIN e USING (vec_id)) a
+  JOIN (SELECT km.cid, e.vec_id, e.v, e.nv FROM km JOIN e USING (vec_id)) b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.nv * b.nv) >= 0.454
+)
+SELECT km.vec_id, km.cid::INT AS cid,
+       (CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END)::INT AS keep
+FROM km LEFT JOIN losers l USING (vec_id)"""
+
+
+QUERIES.update({"semdedup": q_semdedup})
+ORACLES.update({"semdedup": q_semdedup_sql()})
