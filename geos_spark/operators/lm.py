@@ -335,3 +335,139 @@ scored AS (
 SELECT {id_col}, COUNT(*)::BIGINT AS n_bigrams,
        ROUND(exp(-avg(logp)), 6) AS ppl
 FROM scored GROUP BY {id_col}"""
+
+
+def _doc_trigrams(words: DataFrame, id_col: str) -> DataFrame:
+    """Explode each doc's adjacent word triples (same guard pattern
+    as :func:`_doc_bigrams`)."""
+    ws = F.col("ws")
+    trips = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 2),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("w1"),
+                F.element_at(ws, i + F.lit(1)).alias("w2"),
+                F.element_at(ws, i + F.lit(2)).alias("w3"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+    )
+    return words.select(
+        F.col(id_col), F.explode(trips).alias("tr")
+    ).select(
+        id_col,
+        F.col("tr.w1").alias("w1"),
+        F.col("tr.w2").alias("w2"),
+        F.col("tr.w3").alias("w3"),
+    )
+
+
+def doc_perplexity_kn3(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_re: str = WORD_RE,
+    discount: float = KN_DISCOUNT,
+) -> DataFrame:
+    """Trigram interpolated Kneser-Ney self-perplexity — the
+    higher-order recursion KenLM ships (orders chain through
+    continuation counts, never raw frequencies below the top):
+
+        P(w3|w1,w2) = max(c123-D,0)/c12 + D*N1+(w1w2.)/c12 * Pc(w3|w2)
+        Pc(w3|w2)   = max(N1+(.w2w3)-D,0)/N1+(.w2.)
+                      + D*N1+(w2.)/N1+(.w2.) * Pc(w3)
+        Pc(w3)      = N1+(.w3)/N1+(..)
+
+    Every N1+ is a distinct-count aggregate over the distinct trigram
+    / bigram tables (vocabulary-sized); scoring is seven equijoins of
+    the per-doc trigram table against them plus a 1-row broadcast.
+    Documents need >= 3 words (n_trigrams >= 1) to appear.
+    """
+    words = _doc_words(df, id_col, text_col, word_re)
+    docw = words.select(F.explode("ws").alias("w"))
+    dbg = _doc_bigrams(words, id_col)
+    dtg = _doc_trigrams(words, id_col)
+    bi = dbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    tri = dtg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
+    nf12 = tri.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nf12"))
+    nb23 = tri.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("nb23"))
+    nmid = tri.groupBy("w2").agg(F.count(F.lit(1)).alias("nmid"))
+    nf2 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("nf2"))
+    nb3 = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("nb3"))
+    nbi = bi.agg(F.count(F.lit(1)).alias("nbi"))
+    d = F.lit(float(discount))
+    pc_uni = F.col("nb3") / F.col("nbi")
+    pc_bi = (
+        F.greatest(F.col("nb23") - d, F.lit(0.0)) / F.col("nmid")
+        + d * F.col("nf2") / F.col("nmid") * pc_uni
+    )
+    p = (
+        F.greatest(F.col("c123") - d, F.lit(0.0)) / F.col("c12")
+        + d * F.col("nf12") / F.col("c12") * pc_bi
+    )
+    scored = (
+        dtg.join(tri, ["w1", "w2", "w3"])
+        .join(bi, ["w1", "w2"])
+        .join(nf12, ["w1", "w2"])
+        .join(nb23, ["w2", "w3"])
+        .join(nmid, "w2")
+        .join(nf2.withColumnRenamed("w1", "w2"), "w2")
+        .join(nb3.withColumnRenamed("w2", "w3"), "w3")
+        .crossJoin(F.broadcast(nbi))
+        .select(F.col(id_col), F.log(p).alias("logp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.round(F.exp(-F.avg("logp")), 6).alias("ppl"),
+    )
+
+
+def doc_perplexity_kn3_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = KN_DISCOUNT,
+) -> str:
+    """DuckDB oracle for :func:`doc_perplexity_kn3`."""
+    return f"""WITH words AS (
+  SELECT {id_col}, regexp_extract_all(lower({text_col}), '{WORD_RE}') AS ws
+  FROM {table}
+),
+dbg AS MATERIALIZED (
+  SELECT {id_col}, pr.w1 AS w1, pr.w2 AS w2 FROM (
+    SELECT {id_col}, unnest(list_transform(range(1, len(ws)),
+             i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS pr
+    FROM words
+  )
+),
+dtg AS MATERIALIZED (
+  SELECT {id_col}, tr.w1 AS w1, tr.w2 AS w2, tr.w3 AS w3 FROM (
+    SELECT {id_col}, unnest(list_transform(range(1, len(ws) - 1),
+             i -> struct_pack(w1 := ws[i], w2 := ws[i+1], w3 := ws[i+2]))) AS tr
+    FROM words
+  )
+),
+bi AS MATERIALIZED (SELECT w1, w2, COUNT(*)::BIGINT AS c12 FROM dbg GROUP BY w1, w2),
+tri AS MATERIALIZED (SELECT w1, w2, w3, COUNT(*)::BIGINT AS c123 FROM dtg GROUP BY w1, w2, w3),
+nf12 AS (SELECT w1, w2, COUNT(*)::BIGINT AS nf12 FROM tri GROUP BY w1, w2),
+nb23 AS (SELECT w2, w3, COUNT(*)::BIGINT AS nb23 FROM tri GROUP BY w2, w3),
+nmid AS (SELECT w2, COUNT(*)::BIGINT AS nmid FROM tri GROUP BY w2),
+nf2 AS (SELECT w1 AS w2, COUNT(*)::BIGINT AS nf2 FROM bi GROUP BY w1),
+nb3 AS (SELECT w2 AS w3, COUNT(*)::BIGINT AS nb3 FROM bi GROUP BY w2),
+nbi AS (SELECT COUNT(*)::BIGINT AS nbi FROM bi),
+scored AS (
+  SELECT dtg.{id_col},
+         ln(GREATEST(tri.c123 - {discount!r}, 0.0) / bi.c12
+            + {discount!r} * nf12.nf12 / bi.c12
+              * (GREATEST(nb23.nb23 - {discount!r}, 0.0) / nmid.nmid
+                 + {discount!r} * nf2.nf2 / nmid.nmid
+                   * nb3.nb3 / nbi.nbi)) AS logp
+  FROM dtg JOIN tri USING (w1, w2, w3) JOIN bi USING (w1, w2)
+       JOIN nf12 USING (w1, w2) JOIN nb23 USING (w2, w3)
+       JOIN nmid USING (w2) JOIN nf2 USING (w2) JOIN nb3 USING (w3), nbi
+)
+SELECT {id_col}, COUNT(*)::BIGINT AS n_trigrams,
+       ROUND(exp(-avg(logp)), 6) AS ppl
+FROM scored GROUP BY {id_col}"""

@@ -5385,3 +5385,25 @@ FROM km LEFT JOIN losers l USING (vec_id)"""
 
 QUERIES.update({"semdedup": q_semdedup})
 ORACLES.update({"semdedup": q_semdedup_sql()})
+
+
+def q_doc_ppl_kn3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram interpolated Kneser-Ney self-perplexity — the
+    higher-order KenLM recursion: absolute-discounted trigram
+    probability backed off through the bigram and unigram
+    CONTINUATION distributions (distinct-context counts at every
+    level below the top). Seven equijoins of the per-doc trigram
+    table against vocabulary-sized count aggregates."""
+    from geos_spark.operators.lm import doc_perplexity_kn3
+
+    return doc_perplexity_kn3(_docs(spark, sf_dir))
+
+
+def q_doc_ppl_kn3_sql() -> str:
+    from geos_spark.operators.lm import doc_perplexity_kn3_sql
+
+    return doc_perplexity_kn3_sql()
+
+
+QUERIES.update({"doc_ppl_kn3": q_doc_ppl_kn3})
+ORACLES.update({"doc_ppl_kn3": q_doc_ppl_kn3_sql()})

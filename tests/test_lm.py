@@ -146,3 +146,72 @@ def test_doc_perplexity_kn_oracle_matches_reference():
     )
     ora = {r[0]: (r[1], r[2]) for r in con.execute(doc_perplexity_kn_sql()).fetchall()}
     assert ora == _ref_ppl_kn(DOCS)
+
+
+def _ref_ppl_kn3(docs, d=0.75):
+    toks = {i: re.findall("[a-z]+", (t or "").lower()) for i, t in docs}
+    bi: Counter = Counter()
+    tri: Counter = Counter()
+    for ws in toks.values():
+        bi.update(zip(ws, ws[1:]))
+        tri.update(zip(ws, ws[1:], ws[2:]))
+    nf12: Counter = Counter()
+    nb23: Counter = Counter()
+    nmid: Counter = Counter()
+    for w1, w2, w3 in tri:
+        nf12[(w1, w2)] += 1
+        nb23[(w2, w3)] += 1
+        nmid[w2] += 1
+    nf2: Counter = Counter()
+    nb3: Counter = Counter()
+    for w1, w2 in bi:
+        nf2[w1] += 1
+        nb3[w2] += 1
+    nbi = len(bi)
+    out = {}
+    for i, ws in toks.items():
+        trips = list(zip(ws, ws[1:], ws[2:]))
+        if not trips:
+            continue
+        lp = []
+        for w1, w2, w3 in trips:
+            pc_uni = nb3[w3] / nbi
+            pc_bi = (
+                max(nb23[(w2, w3)] - d, 0.0) / nmid[w2]
+                + d * nf2[w2] / nmid[w2] * pc_uni
+            )
+            p = (
+                max(tri[(w1, w2, w3)] - d, 0.0) / bi[(w1, w2)]
+                + d * nf12[(w1, w2)] / bi[(w1, w2)] * pc_bi
+            )
+            lp.append(math.log(p))
+        out[i] = (len(trips), round(math.exp(-sum(lp) / len(lp)), 6))
+    return out
+
+
+def test_doc_perplexity_kn3_matches_reference(spark):
+    from geos_spark.operators.lm import doc_perplexity_kn3
+
+    docs = DOCS + [(7, "two words")]  # 2 words: no trigram, excluded
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_trigrams, r.ppl) for r in doc_perplexity_kn3(df).collect()}
+    assert got == _ref_ppl_kn3(docs)
+    assert 7 not in got
+
+
+def test_doc_perplexity_kn3_oracle_matches_reference():
+    from geos_spark.operators.lm import doc_perplexity_kn3_sql
+
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    docs = DOCS + [(7, "two words")]
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(
+            f"({i}, " + ("NULL" if t is None else "'" + t.replace("'", "''") + "'") + ")"
+            for i, t in docs
+        )
+        + ") t(doc_id, text)"
+    )
+    ora = {r[0]: (r[1], r[2]) for r in con.execute(doc_perplexity_kn3_sql()).fetchall()}
+    assert ora == _ref_ppl_kn3(docs)
