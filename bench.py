@@ -399,6 +399,27 @@ def _bench_queries(spark):
             docs, num_hashes=16, bands=4, shingle_k=3, threshold=0.5
         )
 
+    def logreg_200k():
+        # iterative-ML shape at throughput: hashed-BOW featurization
+        # (6m (doc,bin) rows) + 5 batch-GD iterations, each two
+        # shuffles with the weight vector as an array literal; labels
+        # are a balanced synthetic split (training mechanics, not
+        # learnability, is what's measured). Oracle coverage: catalog
+        # rows logreg_weights/logreg_confusion (unrolled-GD twin).
+        from geos_spark.operators.classifier import (
+            hashed_features,
+            train_logreg,
+        )
+
+        docs = spark.read.parquet(dedup_src)
+        feats = hashed_features(
+            docs, F.col("doc_id") % 2 == 0, word_re="[a-z0-9]+"
+        )
+        w = train_logreg(feats, iters=5)
+        return spark.createDataFrame(
+            list(enumerate(w)), "bin int, weight double"
+        )
+
     def doc_ppl_200k():
         # corpus bigram-LM training (two count aggs) + per-doc
         # self-perplexity scoring (bigram equijoins) at 200k docs /
@@ -505,6 +526,7 @@ def _bench_queries(spark):
         "host_rank_2m": (host_rank_2m, 2 * N_SYNTH),
         "dedup_clusters_200k": (dedup_clusters_200k, 200_000),
         "doc_ppl_200k": (doc_ppl_200k, 200_000),
+        "logreg_200k": (logreg_200k, 200_000),
         "pip_join_10m": (pip_join_10m, 10 * N_SYNTH),
         "pip_native_10m": (pip_native_10m, 10 * N_SYNTH),
         "distance_native_10m": (distance_native_10m, 10 * N_SYNTH),
