@@ -1,12 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)  -> flagship point-in-polygon spatial join at sf0.001.
-queries()     -> operator catalog (geos_spark.queries.QUERIES; 101 as
-                 of round 5) — synthetic-table operators (joins,
+queries()     -> operator catalog (geos_spark.queries.QUERIES; 118 as
+                 of round 4) — synthetic-table operators (joins,
                  tiling, kNN, clustering, coverage
                  validate/simplify/clean, dedup + the full near-dup
-                 pipeline + paragraph dedup + benchmark
-                 decontamination, corpus shaping (hash/stratified
+                 pipeline + paragraph dedup + exact duplicated-
+                 substring removal (dedup_cut) + benchmark
+                 decontamination, raster<->vector (rasterize +
+                 polygonize-back, rasterize/raster_vectorize),
+                 corpus shaping (hash/stratified
                  sampling, source quota, boilerplate line removal,
                  URL canonicalization, PII redaction, Gopher/C4
                  quality filter, char entropy), lexical retrieval

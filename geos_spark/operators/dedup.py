@@ -770,3 +770,93 @@ def decontaminate(
             "contaminated", (F.col("n_contam") > 0).cast("int")
         )
     )
+
+
+def remove_dup_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring REMOVAL (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    ExactSubstr dedup): every n-word window whose exact text occurs at
+    least ``min_count`` times anywhere in the corpus (other docs or
+    the same doc) is a duplicated span; all words covered by any
+    duplicated span are cut, and the survivors are re-joined into the
+    cleaned text.  This is the *surgical* counterpart of the document
+    -level dedups above: boilerplate is removed, the unique remainder
+    of the page survives.
+
+    The reference implementation builds a corpus suffix array; the
+    distributed re-expression is windowed hashing — equivalent for a
+    fixed window length, and all-JVM here:
+
+    1. per doc: ``transform(sequence(...))`` emits the xxhash64 of
+       every positional n-word window (wide strings never leave the
+       worker; only 8-byte hashes enter the shuffle);
+    2. one hash-agg counts window occurrences corpus-wide;
+    3. one equijoin back on the hash (reusing the agg's hash
+       partitioning) recovers the duplicated start positions per doc;
+    4. a per-doc array fold marks covered word indexes (word w is cut
+       iff some duplicated window starts in [w-n+1, w]) and rebuilds
+       the text — no second explode, no python.
+
+    Returns the input plus ``n_words``, ``n_removed``, ``clean_text``
+    (NULL text -> 0/0/NULL; fully-duplicated text -> '').
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    has_text = F.col(text_col).isNotNull() & (
+        F.trim(F.col(text_col)) != ""
+    )
+    base = df.select(
+        id_col,
+        F.when(has_text, toks).alias("__t"),
+    )
+    windows = base.where(
+        F.size("__t") >= n
+    ).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__t") - n),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice("__t", i + 1, n))
+                ),
+            )
+        ).alias("pos", "h"),
+    )
+    dup_h = windows.groupBy("h").agg(F.count("*").alias("c")).where(
+        F.col("c") >= min_count
+    )
+    starts = (
+        windows.join(dup_h.select("h"), "h")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__starts"))
+    )
+    marked = base.join(starts, id_col, "left").withColumn(
+        "__starts",
+        F.coalesce("__starts", F.array().cast("array<int>")),
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("__t"), lambda w, i: F.struct(w.alias("w"), i.alias("i"))
+        ),
+        lambda p: ~F.exists(
+            F.col("__starts"),
+            lambda s: (s <= p["i"]) & (p["i"] < s + n),
+        ),
+    )
+    out = marked.select(
+        id_col,
+        F.coalesce(F.size("__t"), F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce(
+            F.size("__t") - F.size(kept), F.lit(0)
+        ).cast("long").alias("n_removed"),
+        F.when(
+            F.col("__t").isNotNull(),
+            F.concat_ws(" ", F.transform(kept, lambda p: p["w"])),
+        ).alias("clean_text"),
+    )
+    return df.join(out, id_col)

@@ -5407,3 +5407,236 @@ def q_doc_ppl_kn3_sql() -> str:
 
 QUERIES.update({"doc_ppl_kn3": q_doc_ppl_kn3})
 ORACLES.update({"doc_ppl_kn3": q_doc_ppl_kn3_sql()})
+
+
+# ----------------------------------------------------------------------
+# raster <-> vector (north-star tier: mask materialization + polygonize)
+# ----------------------------------------------------------------------
+
+_G_RASTER = 512  # 512x512 raster over the 4096 extent -> 8.0-unit pixels
+
+
+def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector -> raster: the 256 star polygons sampled on a 512x512
+    pixel grid (pixel center in polygon, RayCrossingCounter rule) via
+    the native_edges two-phase join — zero python per pixel.  Scored
+    as per-polygon mask aggregates (count + first/second index
+    moments + pixel bbox), which pin the exact set-pixel SET, not
+    just its size."""
+    from geos_spark.operators.raster import rasterize_polygons
+
+    mask = rasterize_polygons(
+        star_polygons(spark), grid=_G_RASTER, extent=EXTENT
+    )
+    m = mask.withColumn(
+        "idx", (F.col("py") * _G_RASTER + F.col("px")).cast("long")
+    )
+    return m.groupBy("poly_id").agg(
+        F.count("*").cast("long").alias("n_pix"),
+        F.sum("idx").cast("long").alias("sum_idx"),
+        F.sum(F.col("idx") * F.col("idx")).cast("long").alias("sum_idx2"),
+        F.min("px").cast("long").alias("min_px"),
+        F.max("px").cast("long").alias("max_px"),
+        F.min("py").cast("long").alias("min_py"),
+        F.max("py").cast("long").alias("max_py"),
+    )
+
+
+_RASTER_MASK_SQL = f"""
+pixels AS (
+    SELECT x.range::BIGINT AS gx, y.range::BIGINT AS gy,
+           x.range * 8 + 4 AS wx, y.range * 8 + 4 AS wy
+    FROM range({_G_RASTER}) x, range({_G_RASTER}) y
+),
+cand AS (
+    SELECT p.gx, p.gy, p.wx, p.wy, bb.poly_id
+    FROM pixels p JOIN star_bbox bb
+      ON p.wx >= bb.xmin AND p.wx <= bb.xmax
+     AND p.wy >= bb.ymin AND p.wy <= bb.ymax
+),
+crossings AS (
+    SELECT c.gx, c.gy, c.poly_id,
+           COUNT(*) FILTER (
+               WHERE ((e.y1 > c.wy AND e.y2 <= c.wy) OR (e.y2 > c.wy AND e.y1 <= c.wy))
+                 AND (CASE WHEN e.y2 < e.y1 THEN -1 ELSE 1 END)
+                     * ((e.x2 - e.x1) * (c.wy - e.y1) - (e.y2 - e.y1) * (c.wx - e.x1)) > 0
+           ) AS n_cross,
+           -- GEOS intersects includes the BOUNDARY (Location::BOUNDARY
+           -- -> true): pixel centers exactly on an edge are in, which
+           -- the parity rule alone misses on one side of each arm
+           COUNT(*) FILTER (
+               WHERE (e.x2 - e.x1) * (c.wy - e.y1) - (e.y2 - e.y1) * (c.wx - e.x1) = 0
+                 AND c.wx >= LEAST(e.x1, e.x2) AND c.wx <= GREATEST(e.x1, e.x2)
+                 AND c.wy >= LEAST(e.y1, e.y2) AND c.wy <= GREATEST(e.y1, e.y2)
+           ) AS n_on
+    FROM cand c JOIN star_edges e ON e.poly_id = c.poly_id
+    GROUP BY c.gx, c.gy, c.poly_id
+),
+mask AS (
+    SELECT gx, gy, poly_id FROM crossings
+    WHERE n_cross % 2 = 1 OR n_on > 0
+)
+"""
+
+
+def q_rasterize_sql() -> str:
+    return f"""
+WITH {star_params_sql()},
+{_RASTER_MASK_SQL}
+SELECT poly_id,
+       COUNT(*) AS n_pix,
+       CAST(SUM(gy * {_G_RASTER} + gx) AS BIGINT) AS sum_idx,
+       CAST(SUM((gy * {_G_RASTER} + gx) * (gy * {_G_RASTER} + gx)) AS BIGINT) AS sum_idx2,
+       MIN(gx) AS min_px, MAX(gx) AS max_px,
+       MIN(gy) AS min_py, MAX(gy) AS max_py
+FROM mask
+GROUP BY poly_id
+"""
+
+
+QUERIES.update({"rasterize": q_rasterize})
+ORACLES.update({"rasterize": q_rasterize_sql()})
+
+
+def q_raster_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster -> vector: polygonize the star mask back into geometry.
+    4-connected components of the set pixels (contraction CC), then
+    per-region boundary tracing into shell/hole rings
+    (kernels/raster_trace.py).  The scored area/perimeter come FROM
+    the traced rings (shoelace / ring length, exact in doubles for
+    8-unit grid coordinates), while the oracle derives them from the
+    combinatorial cell formulas (area = C*cell^2, perimeter =
+    (4C-2A)*cell) — equality certifies the geometry end-to-end."""
+    from geos_spark.operators.raster import (
+        rasterize_polygons,
+        vectorize_mask,
+    )
+
+    mask = rasterize_polygons(
+        star_polygons(spark), grid=_G_RASTER, extent=EXTENT
+    ).select("px", "py").distinct()
+    regions = vectorize_mask(mask, _G_RASTER, EXTENT)
+    return regions.select(
+        F.col("region").alias("region_id"),
+        F.col("n_cells"),
+        F.col("area"),
+        F.col("perimeter"),
+    )
+
+
+def q_raster_vectorize_sql() -> str:
+    g = _G_RASTER
+    return f"""
+WITH RECURSIVE {star_params_sql()},
+{_RASTER_MASK_SQL},
+midx AS (
+    SELECT DISTINCT gx, gy, gy * {g} + gx AS id FROM mask
+),
+adj AS (
+    SELECT a.id AS src, b.id AS dst
+    FROM midx a JOIN midx b ON b.id = a.id + 1 AND a.gx < {g - 1}
+    UNION ALL
+    SELECT a.id AS src, b.id AS dst
+    FROM midx a JOIN midx b ON b.id = a.id + {g}
+),
+sym AS (
+    SELECT src, dst FROM adj UNION ALL SELECT dst AS src, src AS dst FROM adj
+),
+cc AS (
+    SELECT id, id AS lbl FROM midx
+    UNION
+    SELECT e.dst AS id, cc.lbl
+    FROM cc JOIN sym e ON e.src = cc.id
+    WHERE cc.lbl < e.dst
+),
+lab AS (
+    SELECT id, MIN(lbl) AS region_id FROM cc GROUP BY id
+),
+adjr AS (
+    SELECT l.region_id, COUNT(*) AS a
+    FROM adj JOIN lab l ON adj.src = l.id
+    GROUP BY l.region_id
+),
+agg AS (
+    SELECT region_id, COUNT(*) AS c FROM lab GROUP BY region_id
+)
+SELECT g.region_id,
+       g.c AS n_cells,
+       CAST(g.c * 64 AS DOUBLE) AS area,
+       CAST((4 * g.c - 2 * COALESCE(r.a, 0)) * 8 AS DOUBLE) AS perimeter
+FROM agg g LEFT JOIN adjr r USING (region_id)
+"""
+
+
+QUERIES.update({"raster_vectorize": q_raster_vectorize})
+ORACLES.update({"raster_vectorize": q_raster_vectorize_sql()})
+
+
+# ----------------------------------------------------------------------
+# exact duplicated-substring removal (Lee et al. 2022 ExactSubstr)
+# ----------------------------------------------------------------------
+
+
+def q_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring REMOVAL: every 3-word window occurring
+    >= 2 times corpus-wide (any doc, including repeats inside one
+    doc) is cut from the text; survivors re-join.  The surgical
+    complement of document-level dedup — the oracle replays the whole
+    pipeline on the window STRINGS while the operator shuffles only
+    xxhash64 keys (identical barring an in-corpus 64-bit collision,
+    ~1e-11 at gate scale)."""
+    from geos_spark.operators.dedup import remove_dup_ngrams
+
+    out = remove_dup_ngrams(_docs(spark, sf_dir), n=3)
+    return out.select("doc_id", "n_words", "n_removed", "clean_text")
+
+
+def q_dedup_cut_sql() -> str:
+    return """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+    FROM documents
+    WHERE text IS NOT NULL AND trim(text) <> ''
+),
+sh AS (
+    SELECT doc_id, u.pos - 1 AS pos,
+           concat_ws(' ', t[u.pos], t[u.pos + 1], t[u.pos + 2]) AS s
+    FROM toks,
+         LATERAL (SELECT unnest(range(1, GREATEST(len(t) - 2, 0) + 1)) AS pos) u
+),
+freq AS (
+    SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 2
+),
+dupstart AS (
+    SELECT doc_id, pos FROM sh JOIN freq USING (s)
+),
+words AS (
+    SELECT doc_id, u.w - 1 AS w, t[u.w] AS word, len(t) AS nw
+    FROM toks,
+         LATERAL (SELECT unnest(range(1, len(t) + 1)) AS w) u
+),
+keepw AS (
+    SELECT w.doc_id, w.w, w.word, w.nw,
+           NOT EXISTS (
+               SELECT 1 FROM dupstart d
+               WHERE d.doc_id = w.doc_id AND d.pos <= w.w AND w.w < d.pos + 3
+           ) AS keep
+    FROM words w
+),
+agg AS (
+    SELECT doc_id,
+           ANY_VALUE(nw)::BIGINT AS n_words,
+           SUM(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_removed,
+           COALESCE(string_agg(word, ' ' ORDER BY w) FILTER (WHERE keep), '') AS clean_text
+    FROM keepw GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_words, 0) AS n_words,
+       COALESCE(a.n_removed, 0) AS n_removed,
+       a.clean_text AS clean_text
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+QUERIES.update({"dedup_cut": q_dedup_cut})
+ORACLES.update({"dedup_cut": q_dedup_cut_sql()})

@@ -734,3 +734,49 @@ def test_host_components_two_islands(spark):
         for r in host_components(edges).collect()
     }
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_remove_dup_ngrams_surgical(spark):
+    """ExactSubstr removal semantics on hand-built cases: cross-doc
+    dup spans cut, within-doc repeats cut, overlapping spans merged,
+    short/NULL/whitespace docs pass through."""
+    from geos_spark.operators.dedup import remove_dup_ngrams
+
+    rows = [
+        (1, "the quick brown fox jumps over unique alpha"),
+        (2, "the quick brown fox sleeps under unique beta"),
+        # within-doc repeated trigram "a b c"
+        (3, "a b c x y z a b c"),
+        (4, "totally singular content here"),
+        (5, "xy zz"),          # shorter than n: untouched
+        (6, None),
+        (7, "   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r for r in remove_dup_ngrams(df, n=3).collect()
+    }
+    # docs 1/2 share "the quick brown" and "quick brown fox":
+    # covered words 0..3 cut from both
+    assert out[1]["clean_text"] == "jumps over unique alpha"
+    assert out[1]["n_words"] == 8 and out[1]["n_removed"] == 4
+    assert out[2]["clean_text"] == "sleeps under unique beta"
+    # doc 3: "a b c" occurs twice (pos 0 and 6) -> both spans cut
+    assert out[3]["clean_text"] == "x y z"
+    assert out[3]["n_removed"] == 6
+    assert out[4]["clean_text"] == "totally singular content here"
+    assert out[4]["n_removed"] == 0
+    assert out[5]["clean_text"] == "xy zz" and out[5]["n_removed"] == 0
+    assert out[6]["clean_text"] is None and out[6]["n_words"] == 0
+    assert out[7]["clean_text"] is None and out[7]["n_words"] == 0
+
+
+def test_remove_dup_ngrams_full_cut(spark):
+    """A fully-duplicated doc collapses to the empty string."""
+    from geos_spark.operators.dedup import remove_dup_ngrams
+
+    rows = [(1, "copy pasta page"), (2, "copy pasta page")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in remove_dup_ngrams(df, n=3).collect()}
+    assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 3
+    assert out[2]["clean_text"] == ""
