@@ -1,14 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)  -> flagship point-in-polygon spatial join at sf0.001.
-queries()     -> operator catalog (geos_spark.queries.QUERIES; 118 as
+queries()     -> operator catalog (geos_spark.queries.QUERIES; 120 as
                  of round 4) — synthetic-table operators (joins,
                  tiling, kNN, clustering, coverage
                  validate/simplify/clean, dedup + the full near-dup
                  pipeline + paragraph dedup + exact duplicated-
                  substring removal (dedup_cut) + benchmark
                  decontamination, raster<->vector (rasterize +
-                 polygonize-back, rasterize/raster_vectorize),
+                 polygonize-back, rasterize/raster_vectorize +
+                 the block-decomposed raster_vectorize_tiled),
                  corpus shaping (hash/stratified
                  sampling, source quota, boilerplate line removal,
                  URL canonicalization, PII redaction, Gopher/C4
@@ -24,7 +25,7 @@ queries()     -> operator catalog (geos_spark.queries.QUERIES; 118 as
                  accessors),
                  Structured-Streaming twins run to completion
                  (stream_dedup/tiles/sessions/first_seen/pip/quota/
-                 ann), plus the xmltester corpus promoted as xt_*
+                 ann/ppl/cut), plus the xmltester corpus promoted as xt_*
                  fixture queries (the corpus audit is CLOSED: every
                  case in general/misc/robust/issue/validate is
                  scored or in the 8-entry analysed SKIP list; the

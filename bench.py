@@ -473,6 +473,43 @@ def _bench_queries(spark):
         # all 997 hosts appear as sources by construction (i % 997)
         return pagerank(edges, iterations=3, n_nodes=997)
 
+    def dedup_cut_200k():
+        # ExactSubstr duplicated-substring removal at 200k docs / 6m
+        # words: per-doc window-hash emit (transform + posexplode),
+        # one corpus-wide count agg, one hash equijoin back, per-doc
+        # array fold rebuilds the cleaned text — all-JVM, two
+        # shuffles.  Oracle coverage: catalog row `dedup_cut`.
+        from geos_spark.operators.dedup import remove_dup_ngrams
+
+        docs = spark.read.parquet(dedup_src)
+        out = remove_dup_ngrams(docs, n=5)
+        return out.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_removed").alias("cut_words"),
+            F.sum(F.length("clean_text")).alias("chars"),
+        )
+
+    def raster_1024():
+        # raster<->vector roundtrip at 1024x1024: 1m pixel centers
+        # probed against the 256 stars (native_edges join) -> ~75k
+        # set pixels -> contraction CC -> per-region ring tracing
+        # with measures from the traced geometry.  Oracle coverage:
+        # catalog rows `rasterize` / `raster_vectorize` (512 grid).
+        from geos_spark.operators.raster import (
+            rasterize_polygons,
+            vectorize_mask,
+        )
+
+        mask = rasterize_polygons(
+            stars, grid=1024, extent=EXTENT
+        ).select("px", "py").distinct()
+        reg = vectorize_mask(mask, 1024, EXTENT)
+        return reg.agg(
+            F.count(F.lit(1)).alias("n_regions"),
+            F.sum("n_cells").alias("cells"),
+            F.sum("perimeter").alias("perim"),
+        )
+
     # 10x tier: the three headline joins at the next scale decade
     # (10m rows) — direct evidence the plans grow ~linearly. Timed
     # once each (single run; the 1m tier carries the variance-managed
@@ -527,6 +564,8 @@ def _bench_queries(spark):
         "dedup_clusters_200k": (dedup_clusters_200k, 200_000),
         "doc_ppl_200k": (doc_ppl_200k, 200_000),
         "logreg_200k": (logreg_200k, 200_000),
+        "dedup_cut_200k": (dedup_cut_200k, 200_000),
+        "raster_1024": (raster_1024, 1024 * 1024),
         "pip_join_10m": (pip_join_10m, 10 * N_SYNTH),
         "pip_native_10m": (pip_native_10m, 10 * N_SYNTH),
         "distance_native_10m": (distance_native_10m, 10 * N_SYNTH),

@@ -82,10 +82,16 @@ def boundary_edges(cells: np.ndarray):
     return out
 
 
-def _link_rings(edges) -> list[np.ndarray]:
+def _link_rings(edges, merge_collinear: bool = True) -> list[np.ndarray]:
     """Link directed edges into closed rings (right-turn rule at
     4-valent pinch vertices), merging collinear runs.  Returns closed
-    integer vertex arrays (first == last)."""
+    integer vertex arrays (first == last).
+
+    ``merge_collinear=False`` keeps every ring at unit-cell segment
+    granularity — required when the rings will be net-cancelled
+    against an adjacent tile's rings by ``coverage_union`` (segment
+    multiplicities cancel only when both sides draw IDENTICAL unit
+    segments along the shared cut)."""
     rings = []
     # mutate edges dict: pop as we consume
     while edges:
@@ -121,15 +127,16 @@ def _link_rings(edges) -> list[np.ndarray]:
                     del edges[v]
             v, din = nxt, dout
         ring.append(start)
-        # merge collinear runs
         arr = np.array(ring, dtype=np.float64)
-        keep = [0]
-        for i in range(1, len(arr) - 1):
-            a, b, c = arr[keep[-1]], arr[i], arr[i + 1]
-            if (b[0] - a[0]) * (c[1] - b[1]) != (b[1] - a[1]) * (c[0] - b[0]):
-                keep.append(i)
-        keep.append(len(arr) - 1)
-        rings.append(arr[keep])
+        if merge_collinear:
+            keep = [0]
+            for i in range(1, len(arr) - 1):
+                a, b, c = arr[keep[-1]], arr[i], arr[i + 1]
+                if (b[0] - a[0]) * (c[1] - b[1]) != (b[1] - a[1]) * (c[0] - b[0]):
+                    keep.append(i)
+            keep.append(len(arr) - 1)
+            arr = arr[keep]
+        rings.append(arr)
     return rings
 
 
@@ -152,6 +159,7 @@ def trace_region(
     cells: np.ndarray,
     cell: float = 1.0,
     origin: tuple[float, float] = (0.0, 0.0),
+    merge_collinear: bool = True,
 ) -> G.Geom:
     """Vectorize one 4-connected cell region into POLYGON /
     MULTIPOLYGON (grid corners scaled by ``cell`` about ``origin``).
@@ -163,7 +171,7 @@ def trace_region(
     cells = np.asarray(cells, dtype=np.int64).reshape(-1, 2)
     if len(cells) == 0:
         return G.Geom.empty(G.POLYGON)
-    rings = _link_rings(boundary_edges(cells))
+    rings = _link_rings(boundary_edges(cells), merge_collinear)
     shells: list[tuple[np.ndarray, float]] = []
     holes: list[np.ndarray] = []
     for r in rings:

@@ -827,6 +827,14 @@ def remove_dup_ngrams(
             )
         ).alias("pos", "h"),
     )
+    # the window table feeds BOTH the frequency agg and the join-back;
+    # materialize it once (same pattern as cluster._materialize) —
+    # without this each consumer re-runs the tokenize+hash scan, and
+    # at corpus scale the window emit is the single biggest stage
+    try:
+        windows = windows.localCheckpoint(eager=True)
+    except Exception:  # noqa: BLE001 - e.g. checkpointing disabled
+        windows = windows.persist()
     dup_h = windows.groupBy("h").agg(F.count("*").alias("c")).where(
         F.col("c") >= min_count
     )

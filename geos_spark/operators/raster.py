@@ -108,6 +108,13 @@ def vectorize_mask(
         F.col("py").cast("long").alias("py"),
     ).distinct()
     m = m.withColumn("id", F.col("py") * grid + F.col("px"))
+    # the mask feeds both adjacency self-joins, the CC ids, and the
+    # final cell-label join — materialize it once or every consumer
+    # re-runs the full upstream plan (e.g. the rasterize spatial join)
+    try:
+        m = m.localCheckpoint(eager=True)
+    except Exception:  # noqa: BLE001 - e.g. checkpointing disabled
+        m = m.persist()
 
     a = m.select("id", "px")
     right = (
@@ -152,3 +159,123 @@ def vectorize_mask(
         )
 
     return cells.groupBy("cluster").applyInPandas(_trace, schema)
+
+
+def vectorize_mask_tiled(
+    mask: DataFrame,
+    grid: int,
+    extent: tuple[float, float, float, float] = DEFAULT_EXTENT,
+    block: int = 64,
+) -> DataFrame:
+    """Scale-path vectorize: same contract as :func:`vectorize_mask`,
+    but per-region work is bounded by ``block``^2 instead of region
+    size.
+
+    A continent-sized region breaks the per-region ``applyInPandas``
+    of the direct path (one task holds every cell).  Here the O(area)
+    work — boundary tracing — runs per (region, block) tile at
+    unit-segment granularity, and only the traced RINGS move to the
+    per-region merge, where ``coverage_union`` (kernels/coverage.py,
+    the reference's CoverageUnion segment-netting) cancels the
+    interior tile cuts: segments along a shared cut are drawn once by
+    each side in opposite directions and net to zero, exactly the
+    valid-coverage invariant of edge-matched fragments.  The merge
+    input is O(perimeter + cut crossings), not O(area) — the same
+    halo-free decomposition ``operators/coverage.py`` uses for
+    coverage cleaning.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from geos_spark.operators.cluster import connected_components
+
+    x0, y0, x1, y1 = extent
+    cw = (x1 - x0) / grid
+
+    m = mask.select(
+        F.col("px").cast("long").alias("px"),
+        F.col("py").cast("long").alias("py"),
+    ).distinct()
+    m = m.withColumn("id", F.col("py") * grid + F.col("px"))
+    try:
+        m = m.localCheckpoint(eager=True)
+    except Exception:  # noqa: BLE001
+        m = m.persist()
+
+    a = m.select("id", "px")
+    right = (
+        a.where(F.col("px") < grid - 1)
+        .alias("a")
+        .join(m.alias("b"), F.col("b.id") == F.col("a.id") + 1)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    up = (
+        a.alias("a")
+        .join(m.alias("b"), F.col("b.id") == F.col("a.id") + grid)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    labels = connected_components(m.select("id"), right.unionByName(up))
+    cells = m.join(labels, "id").select(
+        "cluster",
+        "px",
+        "py",
+        F.floor(F.col("px") / block).alias("bx"),
+        F.floor(F.col("py") / block).alias("by"),
+    )
+
+    cell = float(cw)
+    origin = (float(x0), float(y0))
+    piece_schema = "cluster long, n_cells long, wkb binary"
+
+    def _trace_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        from geos_spark.kernels.raster_trace import trace_region
+        from geos_spark.kernels.wkb import write_wkb
+
+        arr = pdf[["px", "py"]].to_numpy(dtype=np.int64)
+        g = trace_region(
+            arr, cell=cell, origin=origin, merge_collinear=False
+        )
+        return pd.DataFrame(
+            {
+                "cluster": [int(pdf["cluster"].iloc[0])],
+                "n_cells": [len(arr)],
+                "wkb": [bytes(write_wkb(g))],
+            }
+        )
+
+    pieces = cells.groupBy("cluster", "bx", "by").applyInPandas(
+        _trace_block, piece_schema
+    )
+
+    out_schema = (
+        "region long, n_cells long, area double, perimeter double,"
+        " n_polys int, n_holes int, wkb binary"
+    )
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        from geos_spark.kernels import geom as G
+        from geos_spark.kernels.coverage import coverage_union
+        from geos_spark.kernels.raster_trace import region_stats
+        from geos_spark.kernels.wkb import parse_wkb, write_wkb
+
+        polys: list = []
+        for w in pdf["wkb"]:
+            g = parse_wkb(bytes(w))
+            polys.extend(
+                g.data if g.type_id == G.MULTIPOLYGON else [g]
+            )
+        u = coverage_union(G.Geom.collection(G.GEOMETRYCOLLECTION, polys))
+        area, perim, n_polys, n_holes = region_stats(u)
+        return pd.DataFrame(
+            {
+                "region": [int(pdf["cluster"].iloc[0])],
+                "n_cells": [int(pdf["n_cells"].sum())],
+                "area": [area],
+                "perimeter": [perim],
+                "n_polys": [n_polys],
+                "n_holes": [n_holes],
+                "wkb": [bytes(write_wkb(u))],
+            }
+        )
+
+    return pieces.groupBy("cluster").applyInPandas(_merge, out_schema)

@@ -5640,3 +5640,56 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 
 QUERIES.update({"dedup_cut": q_dedup_cut})
 ORACLES.update({"dedup_cut": q_dedup_cut_sql()})
+
+
+def q_raster_vectorize_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path vectorize (per-(region, block) boundary tracing at
+    unit-segment granularity + coverage_union merge of the block
+    pieces — O(block^2) per trace task, O(perimeter) at the merge,
+    the decomposition that survives continent-sized regions).  Shares
+    raster_vectorize's oracle: the two physical strategies must be
+    bit-identical."""
+    from geos_spark.operators.raster import (
+        rasterize_polygons,
+        vectorize_mask_tiled,
+    )
+
+    mask = rasterize_polygons(
+        star_polygons(spark), grid=_G_RASTER, extent=EXTENT
+    ).select("px", "py").distinct()
+    regions = vectorize_mask_tiled(mask, _G_RASTER, EXTENT, block=32)
+    return regions.select(
+        F.col("region").alias("region_id"),
+        F.col("n_cells"),
+        F.col("area"),
+        F.col("perimeter"),
+    )
+
+
+QUERIES.update({"raster_vectorize_tiled": q_raster_vectorize_tiled})
+ORACLES.update({"raster_vectorize_tiled": q_raster_vectorize_sql()})
+
+
+def q_stream_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of dedup_cut: documents arrive as a file-source
+    stream and are scrubbed against the FROZEN duplicated-window
+    table mined from the static corpus (stream-static equijoin +
+    complete-mode per-doc aggregation, availableNow to completion) —
+    hash-checked against the SAME DuckDB oracle as the batch query."""
+    from geos_spark.streaming import (
+        read_documents_stream,
+        run_stream_to_memory,
+        streaming_dedup_cut,
+    )
+
+    s = read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    out, _ = run_stream_to_memory(
+        streaming_dedup_cut(s, _docs(spark, sf_dir), n=3),
+        spark,
+        output_mode="complete",
+    )
+    return out
+
+
+QUERIES.update({"stream_cut": q_stream_cut})
+ORACLES.update({"stream_cut": q_dedup_cut_sql()})

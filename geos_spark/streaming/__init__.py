@@ -613,3 +613,103 @@ def streaming_ppl_score(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.exp(-F.avg("logp")), 6).alias("ppl"),
     )
+
+
+def streaming_dedup_cut(
+    sdf: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cut duplicated substrings from STREAMING documents against a
+    FROZEN duplicated-window table built from a static corpus — the
+    ingest-side deployment of ``dedup.remove_dup_ngrams`` (the dup
+    table is mined offline; arriving crawl records are scrubbed as
+    they land, the way boilerplate filters run in production
+    pipelines).
+
+    The window table (xxhash64 of every n-word window occurring >=
+    min_count times in the corpus) is a static DataFrame; the stream
+    side emits each arriving doc's positional window hashes with
+    ``posexplode_outer`` (token-less docs keep their row), marks
+    duplicates through a stream-static equijoin, and one streaming
+    per-doc aggregation (complete mode) collects the duplicated start
+    positions while carrying the token array — the cleaned text is
+    rebuilt by the same array fold as the batch operator.  When the
+    stream replays the training corpus the result table equals batch
+    ``dedup_cut``, so the same DuckDB oracle binds it.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    has_text = F.col(text_col).isNotNull() & (
+        F.trim(F.col(text_col)) != ""
+    )
+
+    # frozen dup-window table from the static corpus
+    c_base = corpus.select(
+        id_col, F.when(has_text, toks).alias("__t")
+    )
+    c_win = c_base.where(F.size("__t") >= n).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__t") - n),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice("__t", i + 1, n))
+                ),
+            )
+        ).alias("h")
+    )
+    dup_h = (
+        c_win.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("h")
+    )
+
+    # stream side: positional window hashes, outer so every doc stays
+    s_base = sdf.select(id_col, F.when(has_text, toks).alias("__t"))
+    s_win = s_base.select(
+        id_col,
+        "__t",
+        F.posexplode_outer(
+            F.when(
+                F.size("__t") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__t") - n),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice("__t", i + 1, n))
+                    ),
+                ),
+            )
+        ).alias("pos", "h"),
+    )
+    marked = s_win.join(
+        dup_h.withColumn("__dup", F.lit(1)), "h", "left"
+    )
+    agg = marked.groupBy(id_col).agg(
+        F.first("__t").alias("__t"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("__dup") == 1, F.col("pos")))
+        ).alias("__starts"),
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("__t"), lambda w, i: F.struct(w.alias("w"), i.alias("i"))
+        ),
+        lambda p: ~F.exists(
+            F.col("__starts"),
+            lambda s: (s <= p["i"]) & (p["i"] < s + n),
+        ),
+    )
+    return agg.select(
+        id_col,
+        F.coalesce(F.size("__t"), F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce(
+            F.size("__t") - F.size(kept), F.lit(0)
+        ).cast("long").alias("n_removed"),
+        F.when(
+            F.col("__t").isNotNull(),
+            F.concat_ws(" ", F.transform(kept, lambda p: p["w"])),
+        ).alias("clean_text"),
+    )

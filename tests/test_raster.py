@@ -186,3 +186,79 @@ def test_vectorize_roundtrip(spark):
     assert float(regions.perimeter.sum()) == p * 8.0
     assert (regions.n_polys == 1).all()
     assert (regions.n_holes == 0).all()
+
+
+def test_vectorize_tiled_equals_direct(spark):
+    """The tiled scale path (per-block trace + coverage-union merge)
+    must produce identical regions/measures to the direct path —
+    including masks with holes and features crossing block cuts."""
+    import pandas as pd
+
+    from geos_spark.operators.raster import (
+        vectorize_mask,
+        vectorize_mask_tiled,
+    )
+
+    # crafted mask inside a 32-grid, block=8 so features cross cuts:
+    # - a 12x12 frame (holes) straddling blocks
+    # - a diagonal-pinch pair near a cut
+    # - an isolated blob fully inside one block
+    cells = set()
+    for x in range(2, 14):
+        for y in range(2, 14):
+            if not (4 <= x <= 11 and 4 <= y <= 11):
+                cells.add((x, y))  # frame with a big hole crossing cuts
+    cells |= {(20, 20), (21, 20), (21, 21), (22, 21)}  # step near cut
+    cells |= {(25, 3), (26, 3)}  # small blob
+    # diagonal pinch straddling the block-8 cut at x=8
+    cells |= {(7, 20), (8, 21), (7, 21), (8, 20)}  # 2x2 (no pinch)
+    cells |= {(16, 7), (17, 8), (17, 7)}  # L with diagonal to
+    cells |= {(15, 8)}  # ...make a pinch at (16,8) across the cut?
+
+    df = spark.createDataFrame(
+        pd.DataFrame(sorted(cells), columns=["px", "py"])
+    )
+    direct = (
+        vectorize_mask(df, 32)
+        .select("region", "n_cells", "area", "perimeter", "n_holes")
+        .toPandas()
+        .sort_values("region")
+        .reset_index(drop=True)
+    )
+    tiled = (
+        vectorize_mask_tiled(df, 32, block=8)
+        .select("region", "n_cells", "area", "perimeter", "n_holes")
+        .toPandas()
+        .sort_values("region")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(direct, tiled)
+
+
+def test_vectorize_tiled_stars(spark):
+    """Tiled == direct on the real star mask (512 grid, 64 blocks)."""
+    from geos_spark.operators.raster import (
+        rasterize_polygons,
+        vectorize_mask,
+        vectorize_mask_tiled,
+    )
+    from geos_spark.sources.pages import star_polygons
+
+    mask = (
+        rasterize_polygons(star_polygons(spark).where("poly_id < 8"), grid=512)
+        .select("px", "py")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cols = ["region", "n_cells", "area", "perimeter", "n_polys", "n_holes"]
+    d = vectorize_mask(mask, 512).select(*cols).toPandas().sort_values("region").reset_index(drop=True)
+    t = (
+        vectorize_mask_tiled(mask, 512, block=16)
+        .select(*cols)
+        .toPandas()
+        .sort_values("region")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(d, t)
