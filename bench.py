@@ -672,6 +672,40 @@ def _scaling_queries(spark, cores: int):
             F.round(F.avg("ppl"), 4).alias("mean_ppl"),
         )
 
+    def dedup_cut_600k():
+        # ExactSubstr duplicated-substring removal at 3x the headline
+        # workload (600k docs / 18m words): window-hash emit (one
+        # materialized pass), corpus-wide count aggregation, hash
+        # equijoin back, per-doc array-fold rebuild — the hash-shuffle
+        # text-pipeline family (same shuffle-bound profile as
+        # doc_ppl_600k: ~15m 8-byte keys through two exchanges)
+        from geos_spark.operators.dedup import remove_dup_ngrams
+
+        docs = spark.read.parquet(ppl_src)
+        out = remove_dup_ngrams(docs, n=5)
+        return out.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_removed").alias("cut_words"),
+            F.sum(F.length("clean_text")).alias("chars"),
+        )
+
+    def dedup_cut_1800k():
+        # 3x the 600k tier (1.8m docs / 54m words): the same plan at
+        # a runtime where fixed costs (checkpoint commit, small
+        # stages, driver) are amortized — the efficiency delta vs the
+        # 600k tier separates Amdahl floor from plan behavior
+        from geos_spark.operators.dedup import remove_dup_ngrams
+
+        docs = spark.read.parquet(
+            _dedup_corpus_parquet(spark, 1_800_000, parts)
+        )
+        out = remove_dup_ngrams(docs, n=5)
+        return out.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_removed").alias("cut_words"),
+            F.sum(F.length("clean_text")).alias("chars"),
+        )
+
     def pii_scrub_1m():
         # the webtext curation map as scaling evidence: quality rules
         # + 4-class PII scrub over 1m synthesized pages — stateless
@@ -718,6 +752,8 @@ def _scaling_queries(spark, cores: int):
         "token_stats_6m": (token_stats_6m, 6_000_000),
         "dedup_clusters_200k": (dedup_clusters_200k, 200_000),
         "doc_ppl_600k": (doc_ppl_600k, 600_000),
+        "dedup_cut_600k": (dedup_cut_600k, 600_000),
+        "dedup_cut_1800k": (dedup_cut_1800k, 1_800_000),
         "pii_scrub_1m": (pii_scrub_1m, 1_000_000),
         "page_rank_2m": (page_rank_2m, 2_000_000),
     }

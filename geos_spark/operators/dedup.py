@@ -23,6 +23,19 @@ _MINHASH_A = 1103515245
 _MINHASH_P = 2147483647  # 2^31 - 1
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Cut lineage AND stop recomputation for a DataFrame consumed by
+    several downstream plans (same contract as cluster._materialize):
+    without this each consumer re-runs the full upstream plan — the
+    multi-consumer recomputation trap."""
+    try:
+        return df.localCheckpoint(eager=True)
+    except Exception:  # noqa: BLE001 - e.g. checkpointing disabled
+        df = df.cache()
+        df.count()
+        return df
+
+
 def md5_i64(c: Column) -> Column:
     """First 8 hex digits of md5 as an integer (portable to any SQL)."""
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
@@ -536,10 +549,17 @@ def dedup_clusters(
         F.md5(F.col(text_col)),
         F.concat(F.lit("\x00null\x00"), F.col(id_col).cast("string")),
     )
-    doc2rep = df.select(
-        F.col(id_col).alias("id"), grp.alias("__grp")
-    ).withColumn("rep", F.min("id").over(Window.partitionBy("__grp")))
-    reps = (
+    # doc2rep feeds the representative filter AND the label unfold;
+    # reps feeds the LSH stage, BOTH sides of the Jaccard verify, and
+    # the CC id table — materialize each once (the multi-consumer
+    # recomputation trap: without this the md5 window and the text
+    # scan re-run per consumer)
+    doc2rep = _materialize(
+        df.select(
+            F.col(id_col).alias("id"), grp.alias("__grp")
+        ).withColumn("rep", F.min("id").over(Window.partitionBy("__grp")))
+    )
+    reps = _materialize(
         df.select(F.col(id_col).alias("rep_id"), F.col(text_col))
         .join(
             doc2rep.where(F.col("id") == F.col("rep"))
@@ -559,7 +579,9 @@ def dedup_clusters(
     rep_labels = connected_components(rep_ids, verified).select(
         F.col("id").alias("rep"), F.col("cluster").alias("canonical")
     )
-    labels = doc2rep.join(rep_labels, "rep").select("id", "canonical")
+    labels = _materialize(
+        doc2rep.join(rep_labels, "rep").select("id", "canonical")
+    )
     sizes = labels.groupBy("canonical").agg(
         F.count("*").alias("csize")
     )

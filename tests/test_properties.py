@@ -196,3 +196,86 @@ def test_doc_perplexity_exceeds_one(spark, texts):
     for r in doc_perplexity(df).collect():
         assert r.ppl > 1.0
         assert r.n_bigrams >= 1
+
+
+_cellsets = st.sets(
+    st.tuples(
+        st.integers(min_value=0, max_value=14),
+        st.integers(min_value=0, max_value=14),
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@_settings
+@given(_cellsets)
+def test_trace_region_formulas_per_component(cells):
+    """Pure-kernel property: for EVERY 4-connected component of a
+    random cell soup, the traced rings reproduce the exact
+    combinatorial area/perimeter, stay simple, and wind correctly.
+    (trace_region's contract is one 4-connected region, so the soup
+    is split into components first.)"""
+    import numpy as np
+
+    from geos_spark.kernels import geom as G
+    from geos_spark.kernels.raster_trace import region_stats, trace_region
+
+    remaining = set(cells)
+    while remaining:
+        seed = next(iter(remaining))
+        comp = {seed}
+        frontier = [seed]
+        while frontier:
+            x, y = frontier.pop()
+            for nx, ny in ((x+1,y),(x-1,y),(x,y+1),(x,y-1)):
+                if (nx, ny) in remaining and (nx, ny) not in comp:
+                    comp.add((nx, ny))
+                    frontier.append((nx, ny))
+        remaining -= comp
+        g = trace_region(np.array(sorted(comp), dtype=np.int64))
+        area, perim, _, _ = region_stats(g)
+        a4 = sum(1 for (x, y) in comp if (x+1, y) in comp) + sum(
+            1 for (x, y) in comp if (x, y+1) in comp
+        )
+        assert area == len(comp)
+        assert perim == 4 * len(comp) - 2 * a4
+        polys = g.data if g.type_id == G.MULTIPOLYGON else [g]
+        for p in polys:
+            for j, r in enumerate(p.data):
+                pts = [tuple(v) for v in r[:-1]]
+                assert len(pts) == len(set(pts))
+                sa = float(np.sum(r[:-1,0]*r[1:,1] - r[1:,0]*r[:-1,1]))
+                assert (sa > 0) == (j == 0)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_cellsets)
+def test_vectorize_tiled_equals_direct_random(spark, cells):
+    """Distributed property: the block-decomposed vectorize and the
+    direct per-region vectorize agree on random masks (block=4 so
+    cuts cross everything)."""
+    import pandas as pd
+
+    from geos_spark.operators.raster import (
+        vectorize_mask,
+        vectorize_mask_tiled,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(sorted(cells), columns=["px", "py"])
+    )
+    cols = ["region", "n_cells", "area", "perimeter", "n_holes"]
+    d = (
+        vectorize_mask(df, 16).select(*cols).toPandas()
+        .sort_values("region").reset_index(drop=True)
+    )
+    t = (
+        vectorize_mask_tiled(df, 16, block=4).select(*cols).toPandas()
+        .sort_values("region").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(d, t)
