@@ -42,6 +42,20 @@ from pyspark.sql import functions as F
 WORD_RE = "[a-z]+"
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Cut lineage AND stop recomputation for a table consumed by
+    several downstream plans (contract of cluster._materialize).
+    The LM functions fan one tokenize scan into 3-8 count/score
+    consumers; without this each consumer re-runs the regexp
+    tokenization (or the n-gram aggregation) from the raw text."""
+    try:
+        return df.localCheckpoint(eager=True)
+    except Exception:  # noqa: BLE001 - e.g. checkpointing disabled
+        df = df.cache()
+        df.count()
+        return df
+
+
 def _doc_words(
     df: DataFrame, id_col: str, text_col: str, word_re: str = WORD_RE
 ) -> DataFrame:
@@ -88,7 +102,7 @@ def doc_perplexity(
     appear (a NULL-text or single-word doc has no perplexity — same
     filtered-output contract as bm25).
     """
-    words = _doc_words(df, id_col, text_col, word_re)
+    words = _materialize(_doc_words(df, id_col, text_col, word_re))
     docw = words.select(F.explode("ws").alias("w"))
     uni = docw.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
     vocab = docw.agg(F.count_distinct("w").alias("v"))
@@ -268,11 +282,13 @@ def doc_perplexity_kn(
     1-row broadcast for N1+(..). Output (id_col, n_bigrams long,
     ppl double rounded to 6).
     """
-    words = _doc_words(df, id_col, text_col, word_re)
+    words = _materialize(_doc_words(df, id_col, text_col, word_re))
     docw = words.select(F.explode("ws").alias("w"))
     uni = docw.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
     dbg = _doc_bigrams(words, id_col)
-    bi = dbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    bi = _materialize(
+        dbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    )
     n1_fwd = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("nf"))
     n1_bwd = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("nb"))
     n_bi = bi.agg(F.count(F.lit(1)).alias("nbi"))
@@ -385,12 +401,15 @@ def doc_perplexity_kn3(
     the per-doc trigram table against them plus a 1-row broadcast.
     Documents need >= 3 words (n_trigrams >= 1) to appear.
     """
-    words = _doc_words(df, id_col, text_col, word_re)
-    docw = words.select(F.explode("ws").alias("w"))
+    words = _materialize(_doc_words(df, id_col, text_col, word_re))
     dbg = _doc_bigrams(words, id_col)
     dtg = _doc_trigrams(words, id_col)
-    bi = dbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    tri = dtg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
+    bi = _materialize(
+        dbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    )
+    tri = _materialize(
+        dtg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
+    )
     nf12 = tri.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nf12"))
     nb23 = tri.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("nb23"))
     nmid = tri.groupBy("w2").agg(F.count(F.lit(1)).alias("nmid"))

@@ -586,9 +586,16 @@ def streaming_ppl_score(
     the training corpus, the result table equals the batch query and
     the same DuckDB oracle binds it.
     """
-    from geos_spark.operators.lm import _doc_bigrams, _doc_words
+    from geos_spark.operators.lm import (
+        _doc_bigrams,
+        _doc_words,
+        _materialize,
+    )
 
-    words_s = _doc_words(lm_corpus, id_col, text_col)
+    # static LM side: one tokenize scan fans into uni/vocab/bi AND is
+    # re-read per micro-batch — materialize it once (streaming frames
+    # cannot be checkpointed, the static corpus side can)
+    words_s = _materialize(_doc_words(lm_corpus, id_col, text_col))
     docw = words_s.select(F.explode("ws").alias("w"))
     uni = docw.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
     vocab = docw.agg(F.count_distinct("w").alias("v"))
