@@ -262,3 +262,27 @@ def test_vectorize_tiled_stars(spark):
     import pandas as pd
 
     pd.testing.assert_frame_equal(d, t)
+
+
+def test_traced_geometry_is_ogc_valid():
+    """The vectorizer's output must pass the engine's own isValid —
+    including pinch masks, where the split rings touch at a point
+    (legal: a hole may touch the shell, holes may touch each other,
+    at finitely many points)."""
+    from geos_spark.kernels.valid import is_valid
+
+    masks = [
+        [(0, 0)],
+        [(x, y) for x in range(3) for y in range(3) if (x, y) != (1, 1)],
+        # diagonal holes touching at a vertex
+        [(x, y) for x in range(4) for y in range(4)
+         if (x, y) not in [(1, 1), (2, 2)]],
+        # spiral with a set-diagonal pinch on the outer boundary
+        [(0, 0), (1, 0), (2, 0), (2, 1), (2, 2), (1, 2), (1, 1)],
+        # frame with two separate holes
+        [(x, y) for x in range(5) for y in range(5)
+         if (x, y) not in [(1, 1), (3, 3)]],
+    ]
+    for cells in masks:
+        g = trace_region(np.array(cells, dtype=np.int64))
+        assert is_valid(g), cells
