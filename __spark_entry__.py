@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)  -> flagship point-in-polygon spatial join at sf0.001.
-queries()     -> operator catalog (geos_spark.queries.QUERIES; 120 as
+queries()     -> operator catalog (geos_spark.queries.QUERIES; 122 as
                  of round 4) — synthetic-table operators (joins,
                  tiling, kNN, clustering, coverage
                  validate/simplify/clean, dedup + the full near-dup
@@ -9,7 +9,8 @@ queries()     -> operator catalog (geos_spark.queries.QUERIES; 120 as
                  substring removal (dedup_cut) + benchmark
                  decontamination, raster<->vector (rasterize +
                  polygonize-back, rasterize/raster_vectorize +
-                 the block-decomposed raster_vectorize_tiled),
+                 the block-decomposed raster_vectorize_tiled, zonal
+                 statistics, overview pyramids),
                  corpus shaping (hash/stratified
                  sampling, source quota, boilerplate line removal,
                  URL canonicalization, PII redaction, Gopher/C4

@@ -279,3 +279,57 @@ def vectorize_mask_tiled(
         )
 
     return pieces.groupBy("cluster").applyInPandas(_merge, out_schema)
+
+
+def zonal_stats(
+    polys: DataFrame,
+    value_col_fn,
+    grid: int,
+    extent: tuple[float, float, float, float] = DEFAULT_EXTENT,
+    *,
+    poly_id_col: str = "poly_id",
+    level: int = 6,
+) -> DataFrame:
+    """Classic zonal statistics: per polygon zone, aggregate a raster
+    band sampled at the pixels the zone covers.
+
+    ``value_col_fn(px, py)`` is a Column-expression band generator
+    (deterministic; at production scale the band would be a parquet
+    raster table joined on (px, py) instead — the plan shape is the
+    same equijoin).  Composes the rasterize join (zone masks) with a
+    per-zone aggregate; everything stays in whole-stage codegen.
+    """
+    mask = rasterize_polygons(
+        polys, grid, extent, poly_id_col=poly_id_col, level=level
+    )
+    v = value_col_fn(F.col("px"), F.col("py"))
+    m = mask.withColumn("v", v)
+    return m.groupBy(poly_id_col).agg(
+        F.count("*").cast("long").alias("n_pix"),
+        F.sum("v").cast("long").alias("v_sum"),
+        F.min("v").cast("long").alias("v_min"),
+        F.max("v").cast("long").alias("v_max"),
+    )
+
+
+def downsample_mask(
+    mask: DataFrame,
+    factor: int = 2,
+    *,
+    min_count: int = 1,
+) -> DataFrame:
+    """Raster pyramid level: aggregate ``factor`` x ``factor`` pixel
+    blocks of a binary mask into coarse pixels set when at least
+    ``min_count`` fine pixels are set (min_count=1 is the OR rule,
+    min_count = factor^2/2 the majority rule).  One hash aggregate —
+    the overview-pyramid build step, trivially parallel at any
+    raster size."""
+    return (
+        mask.groupBy(
+            F.floor(F.col("px") / factor).cast("long").alias("px"),
+            F.floor(F.col("py") / factor).cast("long").alias("py"),
+        )
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") >= min_count)
+        .select("px", "py", F.col("__n").cast("long").alias("n_fine"))
+    )

@@ -5693,3 +5693,84 @@ def q_stream_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES.update({"stream_cut": q_stream_cut})
 ORACLES.update({"stream_cut": q_dedup_cut_sql()})
+
+
+def q_raster_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics over the star zones: a deterministic integer
+    band v = (7*px + 13*py) mod 1000 sampled on each zone's mask
+    pixels, aggregated per zone (count/sum/min/max) — the classic
+    raster-vector summary, pure codegen end-to-end."""
+    from geos_spark.operators.raster import zonal_stats
+
+    return zonal_stats(
+        star_polygons(spark),
+        lambda px, py: (px * 7 + py * 13) % 1000,
+        grid=_G_RASTER,
+        extent=EXTENT,
+    )
+
+
+def q_raster_zonal_sql() -> str:
+    return f"""
+WITH {star_params_sql()},
+{_RASTER_MASK_SQL}
+SELECT poly_id,
+       COUNT(*) AS n_pix,
+       CAST(SUM((gx * 7 + gy * 13) % 1000) AS BIGINT) AS v_sum,
+       CAST(MIN((gx * 7 + gy * 13) % 1000) AS BIGINT) AS v_min,
+       CAST(MAX((gx * 7 + gy * 13) % 1000) AS BIGINT) AS v_max
+FROM mask
+GROUP BY poly_id
+"""
+
+
+QUERIES.update({"raster_zonal": q_raster_zonal})
+ORACLES.update({"raster_zonal": q_raster_zonal_sql()})
+
+
+def q_raster_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overview-pyramid build: the 512-grid star mask downsampled 2x
+    twice (OR rule), scored as per-level aggregates over the coarse
+    masks — one hash aggregate per level."""
+    from geos_spark.operators.raster import (
+        downsample_mask,
+        rasterize_polygons,
+    )
+
+    mask = rasterize_polygons(
+        star_polygons(spark), grid=_G_RASTER, extent=EXTENT
+    ).select("px", "py").distinct()
+    lvl1 = downsample_mask(mask, 2)
+    lvl2 = downsample_mask(lvl1.select("px", "py"), 2)
+
+    def _summ(df, level):
+        idx = (F.col("py") * _G_RASTER + F.col("px")).cast("long")
+        return df.select(
+            F.lit(level).cast("long").alias("level"),
+            idx.alias("idx"),
+        ).groupBy("level").agg(
+            F.count("*").cast("long").alias("n_pix"),
+            F.sum("idx").cast("long").alias("sum_idx"),
+        )
+
+    return _summ(lvl1, 1).unionByName(_summ(lvl2, 2))
+
+
+def q_raster_pyramid_sql() -> str:
+    g = _G_RASTER
+    return f"""
+WITH {star_params_sql()},
+{_RASTER_MASK_SQL},
+m0 AS (SELECT DISTINCT gx, gy FROM mask),
+l1 AS (SELECT DISTINCT gx // 2 AS gx, gy // 2 AS gy FROM m0),
+l2 AS (SELECT DISTINCT gx // 2 AS gx, gy // 2 AS gy FROM l1)
+SELECT 1::BIGINT AS level, COUNT(*) AS n_pix,
+       CAST(SUM(gy * {g} + gx) AS BIGINT) AS sum_idx FROM l1
+UNION ALL
+SELECT 2::BIGINT AS level, COUNT(*) AS n_pix,
+       CAST(SUM(gy * {g} + gx) AS BIGINT) AS sum_idx FROM l2
+"""
+
+
+QUERIES.update({"raster_pyramid": q_raster_pyramid})
+ORACLES.update({"raster_pyramid": q_raster_pyramid_sql()})

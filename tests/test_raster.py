@@ -286,3 +286,46 @@ def test_traced_geometry_is_ogc_valid():
     for cells in masks:
         g = trace_region(np.array(cells, dtype=np.int64))
         assert is_valid(g), cells
+
+
+def test_downsample_rules(spark):
+    """OR vs majority rule on a hand-built 4x4 mask."""
+    import pandas as pd
+
+    from geos_spark.operators.raster import downsample_mask
+
+    # block (0,0): 3 pixels set; block (1,0): 1 pixel; block (0,1): 4
+    cells = [(0, 0), (1, 0), (0, 1), (2, 0), (0, 2), (1, 2), (0, 3), (1, 3)]
+    df = spark.createDataFrame(pd.DataFrame(cells, columns=["px", "py"]))
+    or_rule = {
+        (r.px, r.py): r.n_fine
+        for r in downsample_mask(df, 2, min_count=1).collect()
+    }
+    assert or_rule == {(0, 0): 3, (1, 0): 1, (0, 1): 4}
+    maj = {
+        (r.px, r.py): r.n_fine
+        for r in downsample_mask(df, 2, min_count=2).collect()
+    }
+    assert maj == {(0, 0): 3, (0, 1): 4}
+
+
+def test_zonal_stats_matches_mask(spark):
+    """Zonal stats on star 0 == direct python aggregation over the
+    operator's own mask."""
+    from geos_spark.operators.raster import rasterize_polygons, zonal_stats
+
+    polys = star_polygons_one(spark)
+    mask = rasterize_polygons(polys, grid=512).toPandas()
+    out = zonal_stats(
+        polys, lambda px, py: (px * 7 + py * 13) % 1000, grid=512
+    ).collect()[0]
+    vals = (mask.px * 7 + mask.py * 13) % 1000
+    assert out.n_pix == len(mask)
+    assert out.v_sum == int(vals.sum())
+    assert out.v_min == int(vals.min()) and out.v_max == int(vals.max())
+
+
+def star_polygons_one(spark):
+    from geos_spark.sources.pages import star_polygons
+
+    return star_polygons(spark).where("poly_id = 0")
