@@ -273,7 +273,7 @@ def _stages_sql(
         f"""WITH w0 AS (
   SELECT word, COUNT(*)::BIGINT AS cnt FROM (
     SELECT unnest(regexp_extract_all({text_col}, '{pat}')) AS word FROM {table}
-  ) WHERE NOT regexp_matches(word, '^\s*$') AND position(chr(31) IN word) = 0
+  ) WHERE NOT regexp_matches(word, '^\\s*$') AND position(chr(31) IN word) = 0
   GROUP BY word
 ),
 s0 AS MATERIALIZED (

@@ -853,10 +853,7 @@ def remove_dup_ngrams(
     # materialize it once (same pattern as cluster._materialize) —
     # without this each consumer re-runs the tokenize+hash scan, and
     # at corpus scale the window emit is the single biggest stage
-    try:
-        windows = windows.localCheckpoint(eager=True)
-    except Exception:  # noqa: BLE001 - e.g. checkpointing disabled
-        windows = windows.persist()
+    windows = _materialize(windows)
     dup_h = windows.groupBy("h").agg(F.count("*").alias("c")).where(
         F.col("c") >= min_count
     )

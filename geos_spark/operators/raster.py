@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from geos_spark.operators.cluster import _materialize
+
 DEFAULT_EXTENT = (0.0, 0.0, 4096.0, 4096.0)
 
 
@@ -111,10 +113,7 @@ def vectorize_mask(
     # the mask feeds both adjacency self-joins, the CC ids, and the
     # final cell-label join — materialize it once or every consumer
     # re-runs the full upstream plan (e.g. the rasterize spatial join)
-    try:
-        m = m.localCheckpoint(eager=True)
-    except Exception:  # noqa: BLE001 - e.g. checkpointing disabled
-        m = m.persist()
+    m = _materialize(m)
 
     a = m.select("id", "px")
     right = (
@@ -197,10 +196,7 @@ def vectorize_mask_tiled(
         F.col("py").cast("long").alias("py"),
     ).distinct()
     m = m.withColumn("id", F.col("py") * grid + F.col("px"))
-    try:
-        m = m.localCheckpoint(eager=True)
-    except Exception:  # noqa: BLE001
-        m = m.persist()
+    m = _materialize(m)
 
     a = m.select("id", "px")
     right = (

@@ -5744,13 +5744,17 @@ def q_raster_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     lvl2 = downsample_mask(lvl1.select("px", "py"), 2)
 
     def _summ(df, level):
+        # ungrouped agg, not groupBy(lit(level)): an empty pyramid level
+        # must still emit one (n_pix=0, sum_idx=NULL) row, exactly as the
+        # oracle's ungrouped COUNT(*)/SUM do over zero rows
         idx = (F.col("py") * _G_RASTER + F.col("px")).cast("long")
-        return df.select(
-            F.lit(level).cast("long").alias("level"),
-            idx.alias("idx"),
-        ).groupBy("level").agg(
-            F.count("*").cast("long").alias("n_pix"),
-            F.sum("idx").cast("long").alias("sum_idx"),
+        return (
+            df.select(idx.alias("idx"))
+            .agg(
+                F.count("*").cast("long").alias("n_pix"),
+                F.sum("idx").cast("long").alias("sum_idx"),
+            )
+            .select(F.lit(level).cast("long").alias("level"), "n_pix", "sum_idx")
         )
 
     return _summ(lvl1, 1).unionByName(_summ(lvl2, 2))
