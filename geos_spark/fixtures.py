@@ -850,10 +850,109 @@ def phs_cases():
     ]
 
 
+
+# GEOSNode oracle corpus — tests/unit/capi/GEOSNodeTest.cpp cases
+# 1-3 and 5-9 (case 4 is a noding failure the reference itself
+# tolerates).  Expected geometries are the capi test's literals; the
+# compare key is orientation-independent sorted parts INCLUDING the
+# Z/M ordinates (cases 6-8 pin the interpolated node values).
+_NODE_CASES = [
+    (
+        "node-01",
+        "LINESTRING(0 0, 10 10, 10 0, 0 10)",
+        "MULTILINESTRING ((5 5, 10 10, 10 0, 5 5), (0 10, 5 5), "
+        "(0 0, 5 5))",
+    ),
+    (
+        "node-02",
+        "MULTILINESTRING((0 0, 2 0, 4 0),(5 0, 3 0, 1 0))",
+        "MULTILINESTRING ((4 0, 5 0), (3 0, 4 0), (2 0, 3 0), "
+        "(1 0, 2 0), (0 0, 1 0))",
+    ),
+    (
+        "node-03",
+        "MULTILINESTRING((0 0, 2 0, 4 0),(0 0, 2 0, 4 0))",
+        "MULTILINESTRING ((2 0, 4 0), (0 0, 2 0))",
+    ),
+    ("node-05", "LINESTRING EMPTY", "LINESTRING EMPTY"),
+    (
+        "node-06",
+        "MULTILINESTRING Z ((0 0 0, 1 1 1), (0 1 5, 1 0 10))",
+        "MULTILINESTRING Z((0 0 0, 0.5 0.5 4),(0.5 0.5 4, 1 0 10),"
+        "(0 1 5, 0.5 0.5 4),(0.5 0.5 4, 1 1 1))",
+    ),
+    (
+        "node-07",
+        "MULTILINESTRING M ((0 0 0, 1 1 1), (0 1 5, 1 0 10))",
+        "MULTILINESTRING M((0 0 0, 0.5 0.5 4),(0.5 0.5 4, 1 0 10),"
+        "(0 1 5, 0.5 0.5 4),(0.5 0.5 4, 1 1 1))",
+    ),
+    (
+        "node-08",
+        "GEOMETRYCOLLECTION (LINESTRING Z(0 0 0, 1 1 1), "
+        "LINESTRING M(0 1 5, 1 0 10))",
+        "MULTILINESTRING ZM((0 0 0 NaN, 0.5 0.5 0.5 7.5),"
+        "(0.5 0.5 0.5 7.5, 1 0 NaN 10),(0 1 NaN 5, 0.5 0.5 0.5 7.5),"
+        "(0.5 0.5 0.5 7.5, 1 1 1 NaN))",
+    ),
+    (
+        "node-09",
+        "MULTICURVE (CIRCULARSTRING (0 0, 1 1, 2 0), "
+        "CIRCULARSTRING (0 1, 1 0, 2 1))",
+        "ERROR:ValueError",
+    ),
+]
+
+
+def canon_node_parts(g) -> str:
+    """Compare key for noded linework: sorted orientation-independent
+    parts with per-vertex x y z m ('-' = ordinate undefined/NaN)."""
+    import math as _math
+
+    if g is None or g.is_empty:
+        return "EMPTY"
+    parts = g.data if isinstance(g.data, list) else [g]
+
+    def fmt(v):
+        return (
+            "-"
+            if v is None or _math.isnan(v)
+            else format(float(v), ".12g")
+        )
+
+    keys = []
+    for p in parts:
+        pts = []
+        for i in range(len(p.data)):
+            z = float(p.zs[i]) if p.zs is not None else None
+            m = float(p.ms[i]) if p.ms is not None else None
+            pts.append(
+                f"{format(float(p.data[i, 0]), '.12g')} "
+                f"{format(float(p.data[i, 1]), '.12g')} "
+                f"{fmt(z)} {fmt(m)}"
+            )
+        fwd = ", ".join(pts)
+        rev = ", ".join(reversed(pts))
+        keys.append(min(fwd, rev))
+    return " | ".join(sorted(keys))
+
+
+def node_cases():
+    from geos_spark.kernels.wkt import parse_wkt
+
+    out = []
+    for cid, wa, exp in _NODE_CASES:
+        if not exp.startswith("ERROR"):
+            exp = canon_node_parts(parse_wkt(exp))
+        out.append((cid, "node", wa, None, None, exp))
+    return out
+
+
 def unit_cases():
     out = []
     for cid, op, wa, wb, arg, exp in (
         UNIT_CASES + chop_cases() + phs_cases() + fix_cases()
+        + node_cases()
     ):
         if exp is None:
             from geos_spark.kernels.wkt import parse_wkt
@@ -874,6 +973,10 @@ def run_unit_case(op, wkt_a, wkt_b, arg) -> str:
 
     a = parse_wkt(wkt_a)
     b = parse_wkt(wkt_b) if wkt_b else None
+    if op == "node":
+        from geos_spark.kernels.node import node_geometry
+
+        return canon_node_parts(node_geometry(a))
     if op == "snap":
         from geos_spark.kernels.snap import snap
 

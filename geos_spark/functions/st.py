@@ -1385,6 +1385,56 @@ def st_ashexwkb(col):
     return F.hex(col)
 
 
+@pandas_udf(T.IntegerType())
+def st_srid(wkb: pd.Series) -> pd.Series:
+    """GEOSGetSRID (capi geos_c.h.in:2900): the geometry's srid tag, 0
+    when untagged.  The tag travels in the binary column as EWKB (see
+    st_setsrid); canonical ISO WKB reads back as 0."""
+    return wkb.map(
+        lambda b: None if b is None else parse_wkb(b).srid
+    ).astype("Int32")
+
+
+def st_setsrid(srid: int):
+    """GEOSSetSRID (capi geos_c.h.in:3246): retag the geometry.  A
+    non-zero srid re-emits the value as EWKB (SRID flag + int32) so
+    the tag survives the column; srid 0 strips back to canonical ISO
+    WKB."""
+
+    @pandas_udf(T.BinaryType())
+    def _set(wkb: pd.Series) -> pd.Series:
+        from geos_spark.kernels.wkb import write_ewkb
+
+        return wkb.map(
+            lambda b: None
+            if b is None
+            else write_ewkb(parse_wkb(b), srid)
+        )
+
+    return _set
+
+
+@pandas_udf(T.BinaryType())
+def st_node(wkb: pd.Series) -> pd.Series:
+    """GEOSNode (capi geos_c.h.in:1107, noding::GeometryNoder): fully
+    noded, dissolved linework as a MultiLineString.  Curved input or a
+    non-converging noding nulls out (GEOSNodeTest cases 4 and 9).  An
+    srid tag on the input carries to the result (reference results are
+    built with the input's factory)."""
+    from geos_spark.kernels.node import node_geometry
+    from geos_spark.kernels.wkb import write_ewkb
+
+    def f(b):
+        if b is None:
+            return None
+        try:
+            return write_ewkb(node_geometry(parse_wkb(b)))
+        except Exception:  # noqa: BLE001 - NULL-on-exception contract
+            return None
+
+    return wkb.map(f)
+
+
 _PZF_SCHEMA = T.StructType(
     [
         T.StructField("polygons", T.BinaryType()),

@@ -154,6 +154,32 @@ def write_wkb(g: G.Geom) -> bytes:
     return bytes(out)
 
 
+def write_ewkb(g: G.Geom, srid: int | None = None) -> bytes:
+    """Extended-flavor (PostGIS EWKB) NDR WKB with an embedded SRID.
+
+    The canonical ISO writer has no SRID slot, so this is how the
+    per-geometry ``srid`` int tag (``capi/geos_c.h.in:2900``
+    GEOSGetSRID / ``:3246`` GEOSSetSRID; WKBWriter flavour Extended +
+    setIncludeSRID, ``src/io/WKBWriter.cpp:285-325``: Z 0x80000000,
+    M 0x40000000, SRID 0x20000000) survives a binary column.  The
+    top-level header carries the flag bits + srid; nested children
+    stay canonical ISO bodies (the reader accepts either flavour at
+    any level).  srid 0 (= "no srid") degrades to canonical ISO WKB,
+    keeping the byte-stability contract for untagged geometries.
+    """
+    s = int(g.srid if srid is None else srid)
+    iso = write_wkb(g)
+    if s == 0:
+        return iso
+    code = (
+        g.type_id
+        | (_Z_FLAG if g.has_z else 0)
+        | (_M_FLAG if g.has_m else 0)
+        | _SRID_FLAG
+    )
+    return iso[:1] + struct.pack("<Ii", code, s) + iso[5:]
+
+
 def _interleave(coords: np.ndarray, zs, ms) -> bytes:
     cols = [coords[:, 0], coords[:, 1]]
     if zs is not None:
