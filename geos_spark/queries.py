@@ -1247,6 +1247,125 @@ WHERE list_dot_product(a.v, b.v)
 """
 
 
+def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH *scale path* of embedding near-dup as a scored contract
+    (the exact row above stays the quadratic ground-truth baseline;
+    THIS row's plan is the one that survives 100 TB: sign-signature ->
+    band equijoin -> exact verify, no self cross-join anywhere).
+
+    Certified hash-strict against an independent DuckDB replica of the
+    same LSH spec (plane constants embedded in the oracle SQL), with
+    two recall contracts enforced structurally:
+
+    - planted cosine-1.0 clones: recall 1.0 — the oracle's output
+      includes every clone pair from the exact definition, so a single
+      missed clone mismatches the row;
+    - near-threshold background pairs: the oracle gates its own output
+      on lsh-recall >= 0.6 of the exact quadratic pair set (computed
+      oracle-side only), so if the banded plan's recall ever drops
+      below the bound the oracle emits zero rows and the gate goes
+      red.  Measured recall with this seed: 11/14 at sf0.01, 105/130
+      at sf0.1 (clones always 100%).
+
+    n_planes=96 / bands=16 = 6 sign bits per band: 64 buckets per
+    band today, and the bits-per-band knob is what scales bucket
+    occupancy down as the corpus grows."""
+    from geos_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dupes = emb.where(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    out = embedding_neardup_pairs(
+        emb.unionByName(dupes), 0.454, n_planes=96, bands=16, dim=64
+    )
+    return out.select(
+        "a_id",
+        "b_id",
+        (
+            (F.col("b_id") == F.col("a_id") + 100000)
+            & (F.col("a_id") % 10 == 0)
+        ).alias("is_clone"),
+    )
+
+
+def q_embed_neardup_lsh_sql() -> str:
+    """Independent SQL replica of the banded-LSH plan: the same
+    hyperplane constants (seed 20260817, the operator's spec) as
+    literal arrays, sign bits packed MSB-first exactly as the Spark
+    column expression does."""
+    import numpy as np
+
+    n_planes, bands, dim = 96, 16, 64
+    per = n_planes // bands
+    planes = np.random.RandomState(20260817).standard_normal(
+        (n_planes, dim)
+    )
+
+    def arr(i):
+        return "[" + ", ".join(format(x, ".17g") for x in planes[i]) + "]"
+
+    band_exprs = []
+    for b in range(bands):
+        terms = [
+            f"(CASE WHEN list_dot_product(v, {arr(b * per + p)}::DOUBLE[]) >= 0 "
+            f"THEN {1 << (per - 1 - p)} ELSE 0 END)"
+            for p in range(per)
+        ]
+        band_exprs.append(" + ".join(terms) + f" AS band{b}")
+    expl = " UNION ALL ".join(
+        f"SELECT vec_id, band{b} AS h, {b} AS b FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings
+    WHERE vec_id % 10 = 0
+),
+sig AS (
+    SELECT vec_id, {", ".join(band_exprs)} FROM e
+),
+expl AS ({expl}),
+cand AS (
+    SELECT DISTINCT l.vec_id AS a_id, r.vec_id AS b_id
+    FROM expl l JOIN expl r ON l.b = r.b AND l.h = r.h
+                           AND l.vec_id < r.vec_id
+),
+lsh_pairs AS (
+    SELECT a_id, b_id FROM cand
+    JOIN e ea ON ea.vec_id = a_id
+    JOIN e eb ON eb.vec_id = b_id
+    WHERE list_dot_product(ea.v, eb.v)
+          / (sqrt(list_dot_product(ea.v, ea.v))
+             * sqrt(list_dot_product(eb.v, eb.v))) >= 0.454
+),
+exact_bg AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.454
+      AND NOT (b.vec_id = a.vec_id + 100000 AND a.vec_id % 10 = 0)
+),
+recall_gate AS (
+    SELECT (SELECT COUNT(*) FROM lsh_pairs p
+            JOIN exact_bg x ON p.a_id = x.a_id AND p.b_id = x.b_id)
+           >= CEIL(0.6 * (SELECT COUNT(*) FROM exact_bg)) AS ok
+)
+SELECT a_id, b_id,
+       (b_id = a_id + 100000 AND a_id % 10 = 0) AS is_clone
+FROM (
+    SELECT a_id, b_id FROM lsh_pairs
+    UNION
+    SELECT vec_id AS a_id, vec_id + 100000 AS b_id FROM embeddings
+    WHERE vec_id % 10 = 0
+)
+WHERE (SELECT ok FROM recall_gate)
+"""
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k (brute-force fold baseline): broadcast query side, F.aggregate dot products, window top-k per query."""
     from geos_spark.operators.similarity import cosine_topk
@@ -3137,6 +3256,7 @@ QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_matmul": q_ann_matmul,
     "embed_neardup": q_embed_neardup,
+    "embed_neardup_lsh": q_embed_neardup_lsh,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
@@ -3211,6 +3331,7 @@ ORACLES = {
     "ann_topk": q_ann_topk_sql(),
     "ann_matmul": q_ann_topk_sql(),
     "embed_neardup": q_embed_neardup_sql(),
+    "embed_neardup_lsh": q_embed_neardup_lsh_sql(),
     "ann_lsh": q_ann_lsh_sql(),
     "ann_ivf": q_ann_ivf_sql(),
     "ann_pq": q_ann_ivf_sql(),
