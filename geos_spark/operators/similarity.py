@@ -648,7 +648,6 @@ def cosine_topk_ivfpq(
             approx += sub_adc[:, m, :][:, codes[:, m]]
         approx[q_ids[qi][:, None] == vids[None, :]] = -np.inf
         cand = min(refine * k, approx.shape[1])
-        part = np.argpartition(-approx, cand - 1, axis=1)[:, :cand]
         # exact re-rank of the ADC candidates only
         vm = np.asarray([np.asarray(v) for v in pdf["v"]])
         vn = np.sqrt((vm * vm).sum(axis=1))
@@ -656,7 +655,12 @@ def cosine_topk_ivfpq(
         sub_n = q_norms[qi]
         rows = []
         for r in range(nq):
-            idx = part[r]
+            # deterministic candidate cut: ADC desc, vec_id asc.
+            # Equal PQ codes give bit-equal ADC scores, so an
+            # argpartition boundary inside such a tie group would be
+            # arbitrary — the explicit tiebreak makes the approximate
+            # output reproducible (and SQL-replicable) at any sf
+            idx = np.lexsort((vids, -approx[r]))[:cand]
             idx = idx[approx[r, idx] > -np.inf]
             if not len(idx):
                 continue

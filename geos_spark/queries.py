@@ -1463,14 +1463,19 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (compressed-index tier): coarse-quantize to
     inverted lists, PQ-encode (8 subspaces x 16 pivot codewords),
-    ADC candidate scoring, exact re-rank of the top refine*k.  At the
-    gate's sf0.01 (refine*k=40 >= the ~31-row lists) the re-ranked
-    output equals the exact top-k over the probed lists, so the row
-    shares ann_ivf's oracle and the gate proves the whole
-    encode/ADC/refine pipeline loses nothing.  At larger SF the
-    pruning goes live and the operator is approximate BY DESIGN
-    (measured: 0.89 set-recall vs the oracle at sf0.1's ~312-row
-    lists); recall/agreement bounds are pinned in tests."""
+    ADC candidate scoring, exact re-rank of the top refine*k with a
+    deterministic (ADC desc, vec_id asc) candidate cut.
+
+    The oracle is a full SQL replica of the SAME pipeline (codebooks,
+    codes, ADC tables, refine cut, re-rank), so the row is hash-strict
+    at ANY sf — including when refine*k no longer covers the probed
+    lists and the pruning is live (sf0.1's ~312-row lists).  The
+    separate ``ann_pq_recall`` row states the quality contract
+    (set-recall >= 0.85 vs the exact top-k over the same probed
+    lists); this row certifies the algorithm executes its spec
+    bit-for-bit.  Cross-engine float margins measured at sf0.01/0.1:
+    codeword argmin gap >= 1.6e-6, ADC refine-boundary gap >= 1.6e-5,
+    re-rank top-k gap >= 3e-4 — all >= 9 orders above double noise."""
     from geos_spark.operators.similarity import cosine_topk_ivfpq
 
     emb = _emb(spark, sf_dir)
@@ -1489,6 +1494,119 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "q_id", F.col("rank").cast("int").alias("rank"), "vec_id"
     )
+
+
+def q_ann_pq_sql() -> str:
+    """Full SQL replica of the IVF-PQ pipeline (same spec as
+    ``cosine_topk_ivfpq``): pivot codebooks from the 16 lowest-id
+    vectors, per-subspace nearest-codeword codes (squared-L2 argmin,
+    tie lowest codeword), per-query ADC tables, probed-list candidate
+    scoring by summed table lookups, deterministic refine*k cut, exact
+    cosine re-rank."""
+    n_lists, n_probe, m_sub, ks, sub, refine_k, k = 16, 4, 8, 16, 8, 40, 5
+    return f"""
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+),
+c AS (
+    SELECT vec_id AS cid, vv AS cv, sqrt(list_dot_product(vv, vv)) AS cn
+    FROM v ORDER BY vec_id LIMIT {n_lists}
+),
+cscore AS (
+    SELECT v.vec_id, c.cid,
+           list_dot_product(v.vv, c.cv)
+             / (sqrt(list_dot_product(v.vv, v.vv)) * c.cn) AS cs
+    FROM v CROSS JOIN c
+),
+assign AS (
+    SELECT vec_id, cid AS list_id FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+        FROM cscore) WHERE rn = 1
+),
+probe AS (
+    SELECT vec_id AS q_id, cid AS list_id FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+        FROM cscore WHERE vec_id % 50 = 0) WHERE rn <= {n_probe}
+),
+piv AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j,
+           CASE WHEN nrm = 0 THEN vv
+                ELSE list_transform(vv, x -> x / nrm) END AS pv
+    FROM (SELECT vec_id, vv, sqrt(list_dot_product(vv, vv)) AS nrm
+          FROM v ORDER BY vec_id LIMIT {ks})
+),
+book AS (
+    SELECT m.m, piv.j, piv.pv[m.m*{sub}+1 : m.m*{sub}+{sub}] AS bw
+    FROM piv CROSS JOIN (SELECT unnest(range({m_sub})) AS m) m
+),
+vhat AS (
+    SELECT vec_id,
+           CASE WHEN nrm = 0 THEN vv
+                ELSE list_transform(vv, x -> x / nrm) END AS hv
+    FROM (SELECT vec_id, vv, sqrt(list_dot_product(vv, vv)) AS nrm FROM v)
+),
+codes AS (
+    SELECT vec_id, m, j AS code FROM (
+        SELECT h.vec_id, b.m, b.j,
+               ROW_NUMBER() OVER (
+                   PARTITION BY h.vec_id, b.m
+                   ORDER BY list_dot_product(
+                       list_transform(range({sub}),
+                                      i -> h.hv[b.m*{sub} + i + 1] - b.bw[i + 1]),
+                       list_transform(range({sub}),
+                                      i -> h.hv[b.m*{sub} + i + 1] - b.bw[i + 1])
+                   ) ASC, b.j ASC) AS rn
+        FROM vhat h CROSS JOIN book b
+    ) WHERE rn = 1
+),
+adc AS (
+    SELECT q.vec_id AS q_id, b.m, b.j,
+           list_dot_product(
+               list_transform(range({sub}), i -> q.hv[b.m*{sub} + i + 1]),
+               b.bw
+           ) AS t
+    FROM (SELECT h.* FROM vhat h WHERE h.vec_id % 50 = 0) q
+    CROSS JOIN book b
+),
+approx AS (
+    SELECT p.q_id, a.vec_id, a.list_id, SUM(t.t) AS score
+    FROM probe p
+    JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.q_id
+    JOIN codes cd ON cd.vec_id = a.vec_id
+    JOIN adc t ON t.q_id = p.q_id AND t.m = cd.m AND t.j = cd.code
+    GROUP BY p.q_id, a.vec_id, a.list_id
+),
+cand AS (
+    -- the refine cut is PER PROBED LIST (the operator prunes inside
+    -- each applyInPandas list group), not across the probed union
+    SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id, list_id
+                   ORDER BY score DESC, vec_id ASC
+               ) AS rn
+        FROM approx) WHERE rn <= {refine_k}
+),
+rerank AS (
+    SELECT cand.q_id, cand.vec_id,
+           list_dot_product(qv.vv, av.vv)
+             / (sqrt(list_dot_product(qv.vv, qv.vv))
+                * sqrt(list_dot_product(av.vv, av.vv))) AS cosine
+    FROM cand
+    JOIN v qv ON qv.vec_id = cand.q_id
+    JOIN v av ON av.vec_id = cand.vec_id
+)
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id FROM (
+    SELECT q_id, vec_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC
+           ) AS rank
+    FROM rerank) WHERE rank <= {k}
+"""
 
 
 def q_ann_ivf_sql() -> str:
@@ -1543,6 +1661,63 @@ ranked AS (
     FROM scored
 )
 SELECT q_id, CAST(rank AS INT) AS rank, vec_id FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The *approximate contract* of IVF-PQ, certified at any sf: the
+    PQ + ADC + refine pipeline must keep set-recall >= 0.85 against
+    the exact top-k over the same probed lists (ann_ivf's plan — the
+    pruning-free ground truth of the compressed tier).
+
+    Where ``ann_pq`` is hash-exact only while refine*k covers the
+    lists (sf0.01; the r4 10x sweep measured 0.89 set-recall once
+    sf0.1's ~312-row lists out-grow the refine budget), THIS row
+    states the approximate contract directly, so the certified
+    artifact is the one that holds when pruning goes live.  Output is
+    the contract verdict (n_queries, k, recall_ok); the oracle binds
+    n_queries/k from the table and pins recall_ok TRUE — a recall
+    regression below the bound flips the boolean and reddens the
+    gate."""
+    from geos_spark.operators.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_ivfpq,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    qpdf = queries.toPandas()
+    pq = cosine_topk_ivfpq(
+        emb, qpdf, k=5, n_lists=_IVF_LISTS, n_probe=_IVF_PROBE,
+        m_subspaces=8, ks=16, refine=8,
+    ).select("q_id", "vec_id")
+    ivf = cosine_topk_ivf(
+        emb, queries, k=5, n_lists=_IVF_LISTS, n_probe=_IVF_PROBE
+    ).select("q_id", "vec_id")
+    hits = ivf.join(
+        pq.withColumn("__m", F.lit(1)), ["q_id", "vec_id"], "left"
+    ).agg(
+        (
+            F.sum(F.coalesce("__m", F.lit(0)))
+            >= F.ceil(F.lit(0.85) * F.count(F.lit(1)))
+        ).alias("recall_ok")
+    )
+    nq = queries.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
+    )
+    return nq.crossJoin(hits).select(
+        "n_queries", F.lit(5).cast("int").alias("k"), "recall_ok"
+    )
+
+
+def q_ann_pq_recall_sql() -> str:
+    return """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(5 AS INT) AS k,
+       TRUE AS recall_ok
+FROM embeddings WHERE vec_id % 50 = 0
 """
 
 
@@ -3260,6 +3435,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
+    "ann_pq_recall": q_ann_pq_recall,
     "rect_join": q_rect_join,
     "tile_area_sum": q_tile_area_sum,
     "tile_clip": q_tile_clip,
@@ -3334,7 +3510,8 @@ ORACLES = {
     "embed_neardup_lsh": q_embed_neardup_lsh_sql(),
     "ann_lsh": q_ann_lsh_sql(),
     "ann_ivf": q_ann_ivf_sql(),
-    "ann_pq": q_ann_ivf_sql(),
+    "ann_pq": q_ann_pq_sql(),
+    "ann_pq_recall": q_ann_pq_recall_sql(),
     "rect_join": q_rect_join_sql(),
     "tile_area_sum": q_tile_area_sum_sql(),
     "union_points": q_union_points_sql(),
