@@ -65,6 +65,76 @@ def _ann_corpus_parquet(spark, n: int, dim: int, parts: int) -> str:
 
 
 
+def _lsh_corpus_parquet(spark, n: int, dim: int, parts: int) -> str:
+    """Deterministic near-dup embedding corpus for the banded-LSH
+    line: splitmix64-mixed Box-Muller pseudo-Gaussians (geometrically
+    iid — the plain hash-lattice corpus is a shifted lattice whose
+    rows cluster in sign space and would make any hyperplane LSH
+    quadratic) + every 100th vector re-emitted as id+1e6 with small
+    deterministic noise (cosine ~0.996: the planted near-dup pairs)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_cache",
+        f"lsh_{n}_{dim}.parquet",
+    )
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _mix(x):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        z = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    def _vecs(ids):
+        dd = np.arange(dim, dtype=np.uint64)
+        idx = ids[:, None].astype(np.uint64) * np.uint64(dim) + dd[None, :]
+        with np.errstate(over="ignore"):
+            h1 = _mix(idx)
+            h2 = _mix(idx + np.uint64(0xABCDEF1234567890))
+        u1 = ((h1 >> np.uint64(11)).astype(np.float64) + 1.0) / (2**53 + 2)
+        u2 = (h2 >> np.uint64(11)).astype(np.float64) / (2**53)
+        return np.sqrt(-2 * np.log(u1)) * np.cos(2 * np.pi * u2)
+
+    def _gen(batches):
+        dd = np.arange(dim, dtype=np.int64)
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64)
+            z = _vecs(ids)
+            out = [pd.DataFrame({"vec_id": ids, "embedding": list(z)})]
+            m = ids % 100 == 0
+            if m.any():
+                noise = (
+                    ((ids[m][:, None] * 48271 + dd[None, :] * 69621 + 7)
+                     % 1000) / 1000.0 - 0.5
+                ) * 0.3
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": ids[m] + 1_000_000,
+                            "embedding": list(z[m] + noise),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    spark.range(0, n, 1, parts).mapInPandas(_gen, schema).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
 def _dedup_corpus_parquet(spark, n: int, parts: int) -> str:
     """Deterministic near-dup corpus: 30-word texts from a 50k-word
     vocab via splitmix-style bit mixing (a plain linear-congruential
@@ -386,6 +456,7 @@ def _bench_queries(spark):
         )
 
     dedup_src = _dedup_corpus_parquet(spark, 200_000, CPUS)
+    lsh_path = _lsh_corpus_parquet(spark, 200_000, 64, CPUS)
 
     def dedup_clusters_200k():
         # the full near-dup pipeline (LSH candidates -> Jaccard
@@ -398,6 +469,32 @@ def _bench_queries(spark):
         return dedup_clusters(
             docs, num_hashes=16, bands=4, shingle_k=3, threshold=0.5
         )
+
+    def embed_lsh_200k():
+        # the scored LSH scale path of embedding near-dup at bench
+        # scale: 202k vectors (2k planted near-dup pairs), 128 planes
+        # x 8 16-bit bands -> ~4.9M band-equijoin candidates (max
+        # bucket 74), exact-cosine verify. Oracle coverage: catalog
+        # row `embed_neardup_lsh` (SQL replica of the LSH spec with
+        # clone-recall + bg-recall contracts).
+        from geos_spark.operators.dedup import embedding_neardup_pairs
+
+        vecs = spark.read.parquet(lsh_path)
+        return embedding_neardup_pairs(
+            vecs, 0.7, n_planes=128, bands=8, dim=64, max_bucket=2000
+        )
+
+    def bpe_train_256():
+        # tokenizer-induction at a production merge count: one corpus
+        # scan builds the word domain, 256 merges learned driver-side
+        # from the collected (vocab-sized) domain — O(1) Spark jobs
+        # total, not one per merge. Oracle coverage: catalog rows
+        # bpe_train/bpe_vocab/bpe_encode + the prefix-stability test
+        # (driver-side trainer == per-merge distributed loop).
+        from geos_spark.operators.bpe import bpe_train
+
+        docs = spark.read.parquet(dedup_src)
+        return bpe_train(docs, merges=256)
 
     def logreg_200k():
         # iterative-ML shape at throughput: hashed-BOW featurization
@@ -562,6 +659,8 @@ def _bench_queries(spark):
         "pii_redact_1m": (pii_redact_1m, N_SYNTH),
         "host_rank_2m": (host_rank_2m, 2 * N_SYNTH),
         "dedup_clusters_200k": (dedup_clusters_200k, 200_000),
+        "embed_lsh_200k": (embed_lsh_200k, 202_000),
+        "bpe_train_256": (bpe_train_256, 200_000),
         "doc_ppl_200k": (doc_ppl_200k, 200_000),
         "logreg_200k": (logreg_200k, 200_000),
         "dedup_cut_200k": (dedup_cut_200k, 200_000),

@@ -97,7 +97,146 @@ def word_domain(
     )
 
 
+def _apply_merge(syms: list, l: str, r: str) -> list:
+    """Leftmost non-overlapping merge pass over one symbol list —
+    exactly what replace() does on the SEP-wrapped encoding."""
+    out = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _train_local(
+    domain: list, merges: int
+) -> tuple[list, list]:
+    """Exact in-memory BPE over a collected (word, cnt) domain: lazy
+    max-heap over pair counts + re-scan of only the words containing
+    the merged pair.  Same greedy sequence and (count DESC, l ASC,
+    r ASC) tie-break as the per-merge Spark loop (Python str compares
+    by code point == UTF-8 binary collation), so the learned table is
+    bit-identical — pinned by the prefix-stability test.
+
+    Returns (learned merges, final per-word symbol lists parallel to
+    ``domain``).  Cost is O(total symbols + merges * affected-word
+    rescans): a 32k-vocab tokenizer is one heap loop, not 32k Spark
+    jobs.
+    """
+    import heapq
+    from collections import defaultdict
+
+    words = [list(w) for w, _ in domain]
+    cnts = [int(c) for _, c in domain]
+
+    pair_counts: dict = defaultdict(int)
+    pair_words: dict = defaultdict(set)
+
+    def add_word(wi: int, sign: int) -> set:
+        touched = set()
+        syms = words[wi]
+        c = cnts[wi] * sign
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] += c
+            touched.add(p)
+            if sign > 0:
+                pair_words[p].add(wi)
+        return touched
+
+    for wi in range(len(words)):
+        add_word(wi, +1)
+
+    heap = [(-c, l, r) for (l, r), c in pair_counts.items() if c > 0]
+    heapq.heapify(heap)
+    learned = []
+    for rank in range(1, merges + 1):
+        best = None
+        while heap:
+            negc, l, r = heapq.heappop(heap)
+            cur = pair_counts.get((l, r), 0)
+            if cur <= 0:
+                continue
+            if -negc != cur:
+                # stale entry: re-push with the live count
+                heapq.heappush(heap, (-cur, l, r))
+                continue
+            best = (l, r, cur)
+            break
+        if best is None:
+            break
+        l, r, pc = best
+        learned.append((rank, l, r, l + r, pc))
+        affected = list(pair_words.pop((l, r), ()))
+        dirty = set()
+        for wi in affected:
+            dirty |= add_word(wi, -1)
+            words[wi] = _apply_merge(words[wi], l, r)
+            dirty |= add_word(wi, +1)
+        pair_counts.pop((l, r), None)
+        for p in dirty:
+            c = pair_counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p[0], p[1]))
+    return learned, words
+
+
+# Domain-row cap for driver-side training.  The word-count domain is
+# vocabulary-sized (the module docstring's scale argument: tens of
+# millions of rows at web scale — the same "model-sized" tier as the
+# collected pair table), so the default keeps even a 50M-pretoken web
+# vocabulary on one machine; above it the per-merge distributed loop
+# is the (slow but unbounded) fallback.
+DRIVER_DOMAIN_CAP = 50_000_000
+
+
 def _train_loop(
+    df: DataFrame,
+    text_col: str,
+    merges: int,
+    keep_word: bool = False,
+    driver_domain_cap: int = DRIVER_DOMAIN_CAP,
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Training entry: one corpus scan builds the domain; if the
+    domain fits ``driver_domain_cap`` rows it is collected and trained
+    in-memory (O(1) Spark jobs for any merge count), else the
+    per-merge distributed loop below takes over.  Both paths learn the
+    identical merge table."""
+    spark = df.sparkSession
+    dom0 = word_domain(df, text_col).persist()
+    n = dom0.count()
+    if n > driver_domain_cap:
+        learned, dom = _train_loop_distributed(
+            df, text_col, merges, keep_word
+        )
+        dom0.unpersist()
+        return learned, dom
+    rows = [(r[0], int(r[1])) for r in dom0.select("word", "cnt").collect()]
+    dom0.unpersist()
+    learned, final_syms = _train_local(rows, merges)
+    out_rows = [
+        (
+            *( (w,) if keep_word else () ),
+            "".join(SEP + s + SEP for s in syms),
+            c,
+        )
+        for (w, c), syms in zip(rows, final_syms)
+    ]
+    schema = (
+        "word string, seq string, cnt long"
+        if keep_word
+        else "seq string, cnt long"
+    )
+    dom = spark.createDataFrame(out_rows, schema).persist()
+    return learned, dom
+
+
+def _train_loop_distributed(
     df: DataFrame,
     text_col: str,
     merges: int,

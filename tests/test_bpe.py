@@ -193,3 +193,38 @@ def test_bpe_vocab_oracle_matches_spark_semantics():
     ora = [tuple(r) for r in con.execute(bpe_vocab_sql(6, 10)).fetchall()]
     exp, _ = _ref_vocab(CORPUS, 6, 10)
     assert ora == exp
+
+
+def test_local_and_distributed_loops_learn_identical_tables(spark):
+    """The driver-side trainer and the per-merge Spark loop are the
+    same algorithm: bit-identical merge tables (prefix-stability
+    contract for the batching change)."""
+    from geos_spark.operators import bpe as B
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    local, dom_l = B._train_loop(docs, "text", 8)
+    dom_l.unpersist()
+    dist, dom_d = B._train_loop_distributed(docs, "text", 8)
+    dom_d.unpersist()
+    assert local == dist
+
+
+def test_train_prefix_stability_and_large_merge_count(spark):
+    """merges=256 must (a) run in O(1) Spark jobs via the collected
+    domain, finishing far inside the single-digit-minutes bar, and
+    (b) agree with the merges=8 table on its first 8 rows (greedy
+    prefix property)."""
+    import time
+
+    from geos_spark.operators.bpe import bpe_train
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t0 = time.time()
+    big = bpe_train(docs, merges=256).collect()
+    took = time.time() - t0
+    small = bpe_train(docs, merges=8).collect()
+    assert [tuple(r) for r in big[:8]] == [tuple(r) for r in small]
+    # 256 merges may exhaust the domain early but must learn well
+    # past the unrolled-oracle tier
+    assert len(big) > 64
+    assert took < 120  # driver-side loop: seconds, not per-merge jobs
