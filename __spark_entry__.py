@@ -1,8 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry(spark)  -> flagship point-in-polygon spatial join at sf0.001.
-queries()     -> operator catalog (geos_spark.queries.QUERIES; 122 as
-                 of round 4) — synthetic-table operators (joins,
+queries()     -> operator catalog (geos_spark.queries.QUERIES; 124 as
+                 of round 5) — synthetic-table operators (joins,
                  tiling, kNN, clustering, coverage
                  validate/simplify/clean, dedup + the full near-dup
                  pipeline + paragraph dedup + exact duplicated-
@@ -19,7 +19,10 @@ queries()     -> operator catalog (geos_spark.queries.QUERIES; 122 as
                  (anchor extraction, host PageRank — unweighted /
                  weighted / TrustRank-personalized / incremental
                  warm-start), ANN
-                 (exact/LSH/matmul/IVF/IVF-PQ), text, html->text
+                 (exact/LSH/matmul/IVF/IVF-PQ + the certified
+                 IVF-PQ recall contract ann_pq_recall), the scored
+                 banded-LSH near-dup scale path (embed_neardup_lsh),
+                 text, html->text
                  extraction with the cross-engine byte-identity
                  oracle (pages_extract), Z/M ordinate surface
                  (geom_zm), SQL/MM curve measures, structural

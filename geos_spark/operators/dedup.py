@@ -892,6 +892,18 @@ def remove_dup_ngrams(
 
     Returns the input plus ``n_words``, ``n_removed``, ``clean_text``
     (NULL text -> 0/0/NULL; fully-duplicated text -> '').
+
+    **Collision bound** (hash equality stands in for window-string
+    equality): with W distinct windows in the corpus, the expected
+    number of colliding 64-bit xxhash64 window pairs is
+    ~ W^2 / 2^65 — a collision silently over-cuts the affected span.
+    Concretely: W = 10^6 (gate tier) -> ~3e-8 expected collisions;
+    W = 5e7 (the 1.8M-doc bench tier) -> ~7e-5; W = 10^11 (a 100 TB
+    corpus at ~500 distinct windows/doc) -> ~0.3 expected collisions
+    corpus-WIDE, i.e. O(n) cut words out of ~10^13 — noise relative
+    to the boilerplate actually removed.  If even that is too much,
+    verify-join the flagged positions on the window STRING (bounded
+    by duplicate count, not corpus size) before cutting.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     has_text = F.col(text_col).isNotNull() & (

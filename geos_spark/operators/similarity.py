@@ -88,12 +88,23 @@ def cosine_topk_matmul(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_bytes: int = 512 << 20,
 ) -> DataFrame:
     """Throughput variant of exact top-k: the query block is shipped
     as a numpy matrix inside a ``mapInPandas`` closure; each Arrow
     batch of the corpus computes one BLAS matmul and keeps only its
     per-batch top-k rows, so the shuffle into the final global top-k
     is O(partitions * Q * k), never O(Q * N).
+
+    **Query-block bound (the serving-shape contract):** the block
+    costs ``Q * dim * 8`` bytes in the driver AND in every task's
+    deserialized closure — a 10^5-query x 64-dim block is ~50 MB
+    (fine, pinned by a test); the default ``max_query_bytes`` of
+    512 MB rejects blocks that would OOM executors with a clear
+    escalation message.  When Q approaches corpus size the problem is
+    all-pairs, not serving: use ``cosine_topk_lsh`` (bucket equijoin)
+    or ``embedding_neardup_pairs`` (banded LSH) — both shuffle on hash
+    keys and never materialize a query block anywhere.
 
     Summation order is BLAS-defined (not the sequential fold of
     ``cosine_topk``), so scores can differ from the oracle in the last
@@ -107,6 +118,14 @@ def cosine_topk_matmul(
     qm = np.asarray(
         [np.asarray(v, dtype=np.float64) for v in queries_pdf["q_vec"]]
     )
+    if qm.nbytes > max_query_bytes:
+        raise ValueError(
+            f"query block is {qm.nbytes >> 20} MiB "
+            f"(> max_query_bytes={max_query_bytes >> 20} MiB); this "
+            "operator ships the block into every task closure — batch "
+            "the queries, or for Q ~ corpus use cosine_topk_lsh / "
+            "embedding_neardup_pairs (all-pairs shapes, no query block)"
+        )
     q_ids = np.asarray(queries_pdf["q_id"], dtype=np.int64)
     q_norms = np.sqrt((qm * qm).sum(axis=1))
 

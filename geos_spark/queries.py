@@ -1413,7 +1413,12 @@ def q_ann_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     and rank-only output as ``ann_topk``, so it shares that oracle:
     BLAS summation order differs from the sequential fold only in the
     last ulp, while the smallest adjacent-rank cosine gap in this
-    corpus is 2.9e-4 (measured, sf0.01) — ranks are identical."""
+    corpus is 2.9e-4 (measured, sf0.01) — ranks are identical.
+
+    Query-block bound: Q*dim*8 bytes in driver + every task closure
+    (serving-shape; the operator enforces a 512 MB default cap and a
+    10^5-row block is pinned by test); Q ~ corpus escalates to the
+    LSH all-pairs shapes — see cosine_topk_matmul's docstring."""
     from geos_spark.operators.similarity import cosine_topk_matmul
 
     emb = _emb(spark, sf_dir)

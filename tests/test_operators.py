@@ -695,3 +695,45 @@ def test_cosine_topk_ivfpq_agreement_and_recall(spark):
     top1 = {r.q_id: r.vec_id for r in out if r.rank == 1}
     hits = sum(1 for i in range(40) if top1.get(i) == 1000 + i)
     assert hits == 40  # all clones recovered
+
+
+def test_cosine_topk_matmul_1e5_query_block(spark):
+    """Pins the documented query-block bound: a 10^5-row x 64-dim
+    block (~50 MB closure) works; the guard rejects blocks over
+    max_query_bytes with the escalation message."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    from geos_spark.operators.similarity import cosine_topk_matmul
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rs = np.random.RandomState(7)
+    Q = 100_000
+    qpdf = pd.DataFrame(
+        {
+            "q_id": np.arange(Q, dtype=np.int64) + 10_000_000,
+            "q_vec": list(rs.standard_normal((Q, 64))),
+        }
+    )
+    out = cosine_topk_matmul(emb, qpdf, k=3)
+    agg = out.agg(
+        F.countDistinct("q_id").alias("nq"), F.count("*").alias("n")
+    ).collect()[0]
+    assert agg.nq == Q and agg.n == 3 * Q
+    # spot-check one query against a local brute force
+    one = {
+        (r["rank"], r.vec_id)
+        for r in out.where(F.col("q_id") == 10_000_000).collect()
+    }
+    corpus = emb.orderBy("vec_id").collect()
+    V = np.asarray([r.embedding for r in corpus])
+    ids = np.asarray([r.vec_id for r in corpus])
+    q = np.asarray(qpdf["q_vec"][0])
+    cos = (V @ q) / (np.linalg.norm(V, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -cos))[:3]
+    assert one == {(i + 1, int(ids[j])) for i, j in enumerate(order)}
+    # the guard: an over-bound block raises with the escalation hint
+    with pytest.raises(ValueError, match="cosine_topk_lsh"):
+        cosine_topk_matmul(emb, qpdf, k=3, max_query_bytes=1 << 20)
