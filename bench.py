@@ -472,16 +472,18 @@ def _bench_queries(spark):
 
     def embed_lsh_200k():
         # the scored LSH scale path of embedding near-dup at bench
-        # scale: 202k vectors (2k planted near-dup pairs), 128 planes
-        # x 8 16-bit bands -> ~4.9M band-equijoin candidates (max
-        # bucket 74), exact-cosine verify. Oracle coverage: catalog
-        # row `embed_neardup_lsh` (SQL replica of the LSH spec with
-        # clone-recall + bg-recall contracts).
+        # scale: 202k vectors (2k planted near-dup pairs), 160 planes
+        # x 8 20-bit bands (bits-per-band is the scale knob: 20 bits
+        # keeps candidates ~300k instead of the ~5M a 16-bit config
+        # yields at this corpus size), ids-only candidate shuffle,
+        # exact-cosine verify; recall 1997/2000 planted pairs.
+        # Oracle coverage: catalog row `embed_neardup_lsh` (SQL
+        # replica of the LSH spec with clone/bg recall contracts).
         from geos_spark.operators.dedup import embedding_neardup_pairs
 
         vecs = spark.read.parquet(lsh_path)
         return embedding_neardup_pairs(
-            vecs, 0.7, n_planes=128, bands=8, dim=64, max_bucket=2000
+            vecs, 0.7, n_planes=160, bands=8, dim=64, max_bucket=2000
         )
 
     def bpe_train_256():

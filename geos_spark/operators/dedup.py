@@ -503,6 +503,11 @@ def embedding_neardup_pairs(
             )
         ).alias("__bk"),
     ).select("__id", "__v", "__n", "__bk.b", "__bk.h")
+    # the exploded signature table feeds THREE consumers (the bucket
+    # counts and both sides of the candidate equijoin) — materialize
+    # it once or the signature stage (a full corpus scan + matmul)
+    # re-runs per consumer, the multi-consumer recomputation trap
+    exploded = _materialize(exploded)
     if max_bucket is not None:
         counts = exploded.groupBy("b", "h").agg(
             F.count(F.lit(1)).alias("__bn")
@@ -511,30 +516,34 @@ def embedding_neardup_pairs(
             F.broadcast(counts.where(F.col("__bn") <= max_bucket)),
             ["b", "h"],
         )
-    l = exploded.select(
-        F.col("__id").alias("a_id"),
-        F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"),
-        "b",
-        "h",
-    )
-    r = exploded.select(
-        F.col("__id").alias("b_id"),
-        F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"),
-        "b",
-        "h",
-    )
-    cand = (
+    # candidates shuffle IDS ONLY (16 B/row); the dim-sized vector
+    # payload joins back per side after the distinct — carrying
+    # __v through the band equijoin instead puts ~8*dim B on every
+    # candidate row and the pair shuffle becomes the bottleneck
+    # (measured 5 GB at the 200k bench line)
+    l = exploded.select(F.col("__id").alias("a_id"), "b", "h")
+    r = exploded.select(F.col("__id").alias("b_id"), "b", "h")
+    pair_ids = (
         l.join(r, ["b", "h"])
         .where(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(
-            F.first("__va").alias("__va"),
-            F.first("__na").alias("__na"),
-            F.first("__vb").alias("__vb"),
-            F.first("__nb").alias("__nb"),
-        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    side = exploded.select("__id", "__v", "__n").distinct()
+    cand = pair_ids.join(
+        side.select(
+            F.col("__id").alias("a_id"),
+            F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"),
+        ),
+        "a_id",
+    ).join(
+        side.select(
+            F.col("__id").alias("b_id"),
+            F.col("__v").alias("__vb"),
+            F.col("__n").alias("__nb"),
+        ),
+        "b_id",
     )
     if vectorized:
         from pyspark.sql.functions import pandas_udf
