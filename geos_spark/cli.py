@@ -27,7 +27,9 @@ import time
 
 # geosop scalar op name -> (st attribute, shape). Shapes: "u" unary
 # column udf over wkb; "uf0" unary zero-arg factory; "uf" unary
-# factory taking the --arg scalar; "b" binary udf over (wkb, wkb_b).
+# factory taking the --arg scalar; "b" binary udf over (wkb, wkb_b);
+# "bf0" zero-arg factory returning a binary udf; "bsr" fixed-precision
+# overlay (st_overlay(op, scale=--arg) over (wkb, wkb_b)).
 SCALAR_OPS = {
     "area": ("st_area", "u"),
     "length": ("st_length", "u"),
@@ -62,6 +64,21 @@ SCALAR_OPS = {
     "maxInscribedCircle": ("st_maximuminscribedcircle", "uf"),
     "largestEmptyCircle": ("st_largestemptycircle", "uf"),
     "reducePrecision": ("st_setprecision", "uf"),
+    # float overlay binaries (lowercase aliases are handled by the
+    # dedicated branch in main(); these are the geosop spellings)
+    "symDifference": ("st_symdifference", "b"),
+    # fixed-precision (snap-rounding) overlay: --arg is the PM scale
+    "intersectionSR": ("intersection", "bsr"),
+    "unionSR": ("union", "bsr"),
+    "differenceSR": ("difference", "bsr"),
+    "symDifferenceSR": ("symdifference", "bsr"),
+    # "buffer" itself has a dedicated branch in main() (--distance)
+    "bufferSingleSided": ("st_singlesidedbuffer", "uf"),
+    "interpolate": ("st_interpolate", "uf"),
+    "project": ("st_project", "bf0"),
+    "hasZ": ("st_hasz", "u"),
+    "hasM": ("st_hasm", "u"),
+    "concaveHullByLength": ("st_concavehullbylength", "uf"),
     "relate": ("st_relate", "b"),
     "distance": ("st_distance", "b"),
     "hausdorffDistance": ("st_hausdorffdistance", "b"),
@@ -162,7 +179,8 @@ def main(argv=None) -> None:
             from geos_spark.functions import st
 
             name, shape = SCALAR_OPS[args.op]
-            f = getattr(st, name)
+            # "bsr" carries the overlay op name, not an st attribute
+            f = getattr(st, name) if shape != "bsr" else None
             if shape == "u":
                 return a.withColumn("result", f(F.col("wkb")))
             if shape == "uf0":
@@ -173,13 +191,29 @@ def main(argv=None) -> None:
                         f"--op {args.op} needs --arg (geosop opArg)"
                     )
                 return a.withColumn("result", f(args.arg)(F.col("wkb")))
-            # binary: join A/B on id (geosop -a/-b pairing)
+            # binary shapes: join A/B on id (geosop -a/-b pairing)
             if b is None:
                 raise SystemExit(f"--op {args.op} needs --b")
             bb = b.select(
                 F.col("id"), F.col("wkb").alias("wkb_b")
             )
-            return a.join(bb, "id").withColumn(
+            joined = a.join(bb, "id")
+            if shape == "bf0":
+                return joined.withColumn(
+                    "result", f()(F.col("wkb"), F.col("wkb_b"))
+                )
+            if shape == "bsr":
+                if args.arg is None:
+                    raise SystemExit(
+                        f"--op {args.op} needs --arg (precision scale)"
+                    )
+                return joined.withColumn(
+                    "result",
+                    st.st_overlay(name, float(args.arg))(
+                        F.col("wkb"), F.col("wkb_b")
+                    ),
+                )
+            return joined.withColumn(
                 "result", f(F.col("wkb"), F.col("wkb_b"))
             )
         if args.op == "cluster":

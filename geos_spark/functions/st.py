@@ -787,6 +787,28 @@ def st_offsetcurve(
     return _oc
 
 
+def st_concavehullbylength(length: float, allow_holes: bool = False):
+    """GEOSConcaveHullByLength (capi geos_c.h.in; geosop
+    concaveHullByLength): concave hull with an absolute max edge
+    length instead of the longest-edge ratio."""
+
+    @pandas_udf(T.BinaryType())
+    def _chl(wkb: pd.Series) -> pd.Series:
+        from geos_spark.kernels.hull import concave_hull_by_length
+
+        return wkb.map(
+            _row_nullout(
+                lambda b: write_wkb(
+                    concave_hull_by_length(
+                        parse_wkb(b), length, holes=allow_holes
+                    )
+                )
+            )
+        )
+
+    return _chl
+
+
 def st_concavehull(ratio: float, allow_holes: bool = False):
     """GEOSConcaveHull (capi geos_c.h.in): concave hull by edge-length
     ratio."""

@@ -158,3 +158,42 @@ def test_cli_node_op(spark, tmp_path, capsys):
             "(0 0, 5 5))"
         ),
     )
+
+
+def test_cli_geosop_round5_ops(spark, tmp_path, capsys):
+    """Round-5 geosop additions: SR (fixed-precision) overlay, the
+    symDifference spelling, linear referencing (project/interpolate),
+    Z/M flags, concaveHullByLength, bufferSingleSided."""
+    from geos_spark.cli import main
+    from geos_spark.kernels.scalars import geom_area
+    from geos_spark.kernels.wkb import parse_wkb, write_wkb
+    from geos_spark.kernels.wkt import parse_wkt, write_wkt
+
+    def tbl(name, wkt):
+        p = str(tmp_path / name)
+        spark.createDataFrame(
+            [(1, write_wkb(parse_wkt(wkt)))], "id long, wkb binary"
+        ).write.mode("overwrite").parquet(p)
+        return p
+
+    a = tbl("a", "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")
+    b = tbl("b", "POLYGON((2 2, 6 2, 6 6, 2 6, 2 2))")
+    line = tbl("l", "LINESTRING(0 0, 10 0)")
+    pt = tbl("p", "POINT(3 1)")
+
+    def run(argv, col="result"):
+        out = str(tmp_path / f"out_{argv[1]}")
+        main(argv + ["--out", out])
+        capsys.readouterr()
+        return spark.read.parquet(out).collect()[0][col]
+
+    v = run(["--op", "intersectionSR", "--a", a, "--b", b, "--arg", "1"])
+    assert geom_area(parse_wkb(bytes(v))) == 4.0
+    v = run(["--op", "symDifference", "--a", a, "--b", b])
+    assert geom_area(parse_wkb(bytes(v))) == 24.0
+    assert run(["--op", "hasZ", "--a", a]) is False
+    assert run(["--op", "project", "--a", line, "--b", pt]) == 3.0
+    v = run(["--op", "interpolate", "--a", line, "--arg", "4"])
+    assert write_wkt(parse_wkb(bytes(v))) == "POINT (4 0)"
+    v = run(["--op", "bufferSingleSided", "--a", line, "--arg", "1"])
+    assert write_wkt(parse_wkb(bytes(v))) == "LINESTRING (0 1, 10 1)"
